@@ -1,0 +1,26 @@
+"""Job configuration — the five options the reference backend actually
+reads (/root/reference/app.py:663-667), plus derived knobs.
+
+(The reference UI exposes many more fields — dpi, denoise, deskew,
+thresholds — that the server never reads; they are dead config and are
+deliberately not modeled, SURVEY §2.2 M7.)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class ExtractionConfig:
+    ocr_engine: str = "glyph"  # 'glyph' (built-in), 'tesseract', 'easyocr', 'pyocr'
+    language: str = "eng"
+    quality: str = "standard"  # 'high' -> 600 DPI
+    preprocess: bool = False
+    output_formats: tuple[str, ...] = ("txt", "md", "html")
+
+    @property
+    def dpi(self) -> int:
+        """M8: quality knob is the only DPI input
+        (/root/reference/app.py:432-435)."""
+        return 600 if self.quality == "high" else 300

@@ -1,0 +1,128 @@
+"""Checkpointed, resumable extraction runs (SURVEY §4 #2, FIXTURES F4).
+
+The unit of checkpointing is a *bucket*: ``pmod(xxhash64(doc_id), B)``.
+A run:
+
+1. reads the manifest, collects this run_id's completed buckets,
+2. anti-joins them away (the reference's resume analogue: its task
+   lifecycle at /root/reference/app.py:593-628 restarts whole jobs;
+   we restart at bucket granularity),
+3. extracts the remaining documents,
+4. writes output parquet partitioned by bucket with **dynamic partition
+   overwrite** — so re-processing a bucket is idempotent by
+   construction (a half-written bucket from a killed run is simply
+   overwritten),
+5. appends manifest rows (status='completed', per-bucket metrics)
+   only *after* the output write action has succeeded — two-phase, so
+   the manifest never claims a bucket whose data didn't commit.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdf_ocr_spark.config import ExtractionConfig
+from pdf_ocr_spark.plans.pipeline import extract_documents
+from pdf_ocr_spark.schema import MANIFEST_SCHEMA
+
+
+def _manifest_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "_manifest")
+
+
+def _output_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "documents")
+
+
+def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
+    path = _manifest_dir(out_dir)
+    try:
+        return spark.read.schema(MANIFEST_SCHEMA).parquet(path)
+    except Exception:
+        return spark.createDataFrame([], MANIFEST_SCHEMA)
+
+
+def completed_buckets(spark: SparkSession, out_dir: str, run_id: str) -> DataFrame:
+    return (
+        read_manifest(spark, out_dir)
+        .where((F.col("run_id") == run_id) & (F.col("status") == "completed"))
+        .select(F.col("partition_id").alias("bucket"))
+        .distinct()
+    )
+
+
+def run_extraction(
+    spark: SparkSession,
+    documents: DataFrame,
+    media: DataFrame,
+    out_dir: str,
+    run_id: str,
+    config: ExtractionConfig | None = None,
+    n_buckets: int = 32,
+    only_buckets: list[int] | None = None,
+) -> int:
+    """Execute (or resume) an extraction run. Returns the number of
+    buckets processed in this invocation.
+
+    ``only_buckets`` is a test hook simulating a run killed after k
+    buckets (FIXTURES F4 resume test).
+    """
+    cfg = config or ExtractionConfig()
+    t0 = time.time()
+
+    docs = documents.withColumn("bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int"))
+    if only_buckets is not None:
+        docs = docs.where(F.col("bucket").isin([int(b) for b in only_buckets]))
+
+    done = completed_buckets(spark, out_dir, run_id)
+    todo = docs.join(F.broadcast(done), "bucket", "left_anti")
+
+    extracted = extract_documents(todo.drop("bucket"), media, cfg).withColumn(
+        "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
+    )
+
+    with_overwrite = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            extracted.write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(_output_dir(out_dir))
+        )
+    finally:
+        if with_overwrite is not None:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", with_overwrite)
+
+    # Phase 2: the write committed — derive per-bucket lineage metrics
+    # from the freshly written output (cheap: metadata + two narrow
+    # columns) and append manifest rows.
+    todo_buckets = [r["bucket"] for r in todo.select("bucket").distinct().collect()]
+    if not todo_buckets:
+        return 0
+    elapsed = time.time() - t0
+    written = spark.read.parquet(_output_dir(out_dir)).where(F.col("bucket").isin(todo_buckets))
+    stats = (
+        written.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_pages").alias("n_pages"),
+            F.avg("mean_confidence").alias("mean_confidence"),
+        )
+        .select(
+            F.lit(run_id).alias("run_id"),
+            F.col("bucket").alias("partition_id"),
+            F.lit(None).cast("int").alias("salt"),
+            F.lit("completed").alias("status"),
+            "n_docs",
+            "n_pages",
+            "mean_confidence",
+            F.lit(float(elapsed)).alias("elapsed_s"),
+            F.current_timestamp().alias("ts"),
+        )
+    )
+    stats.write.mode("append").parquet(_manifest_dir(out_dir))
+    return len(todo_buckets)

@@ -1,0 +1,49 @@
+"""Skew-aware salted reassembly (SURVEY §4 custom job logic #1).
+
+A document with millions of pages would make the plain
+``groupBy(doc_id)`` put its whole span list through one reducer. The
+salted form is the classic two-stage re-merge:
+
+  stage 1: group on (doc_id, salt) where salt = pmod(hash(offset), S)
+           -> S partial lists per hot doc, each sorted
+  stage 2: group on doc_id, flatten + re-sort the partials
+
+Both stages get map-side partial aggregation; the hot key's data now
+crosses the wire in S pieces landing on S different reducers. ``flatten
++ array_sort`` on stage 2 is cheap because partials are presorted and
+small relative to executor memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def reassemble_spans_salted(pages: DataFrame, n_salt: int = 16) -> DataFrame:
+    """Salted inverse of explode_spans. Output matches
+    :func:`pdf_ocr_spark.operators.spans.reassemble_spans` exactly."""
+    ordered_struct = F.struct(
+        F.col("offset").alias("offset"),
+        F.col("kind").alias("kind"),
+        F.col("text").alias("text"),
+        F.col("media_ref").alias("media_ref"),
+    )
+    partials = (
+        pages.withColumn("_salt", F.pmod(F.xxhash64("offset"), F.lit(n_salt)))
+        .groupBy("doc_id", "_salt")
+        .agg(F.array_sort(F.collect_list(ordered_struct)).alias("_partial"))
+    )
+    merged = partials.groupBy("doc_id").agg(
+        F.array_sort(F.flatten(F.collect_list("_partial"))).alias("_ordered")
+    )
+    canonical = F.transform(
+        F.col("_ordered"),
+        lambda s: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            s["offset"].alias("offset"),
+        ),
+    )
+    return merged.select("doc_id", canonical.alias("spans"))

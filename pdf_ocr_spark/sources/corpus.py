@@ -1,0 +1,179 @@
+"""Deterministic synthetic corpus generator for the interleaved
+documents table (FIXTURES.md F1).
+
+Generation is distributed (``spark.range`` -> ``mapInPandas``) and
+keyed: every value derives from ``random.Random(f"{seed}:{key}")``, so
+any row can be regenerated independently on any executor — no driver
+loops, no order dependence, identical output at any parallelism. The
+same keyed derivation gives the *expected* OCR text of every page image
+(:func:`expected_page_text`), which is the span-equality oracle.
+
+Span-count skew follows the FIXTURES profile: 80% of docs have 1-3
+spans, 15% have 4-20, 5% have 50-200 — exercising the salting path.
+"""
+
+from __future__ import annotations
+
+import random
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pdf_ocr_spark.schema import DOCUMENTS_SCHEMA, MEDIA_SCHEMA
+from pdf_ocr_spark.sources.glyphs import render_text_image
+from pdf_ocr_spark.sources.pngcodec import encode_png
+
+#: Uppercase-safe vocabulary for page images (must stay inside the
+#: renderer charset so OCR decode is lossless).
+IMG_WORDS = (
+    "TESSERACT OCR TEST PAGE SCAN IMAGE SPARK ENGINE BATCH ARROW SPAN "
+    "DOC TEXT LINE WORD GLYPH PIXEL TABLE QUERY SHUFFLE JOIN MERGE SORT"
+).split()
+
+#: Text-span vocabulary, deliberately seeded with the artifact patterns
+#: the fix_common_ocr_errors chain rewrites (l1, rn, cl, vv, space-punct,
+#: digits 0/1/5) plus control chars and newline runs (FIXTURES.md F1).
+TEXT_TOKENS = [
+    "quick", "l1ne", "learn", "circle", "savvy", "modern", "uncle",
+    "word", "batch", "page5", "vol1", "r0w", "data", "engine ,",
+    "end .", "why ?", "stop !", "note :", "mid ;", "plain",
+]
+
+
+def media_ref_for(doc_id: str, offset: int) -> str:
+    return f"mem://{doc_id}/page_{offset}.png"
+
+
+def parse_media_ref(ref: str) -> tuple[str, int]:
+    doc_id = ref.split("//", 1)[1].split("/", 1)[0]
+    offset = int(ref.rsplit("page_", 1)[1].removesuffix(".png"))
+    return doc_id, offset
+
+
+def doc_id_for(i: int) -> str:
+    return f"doc_{i:08d}"
+
+
+def expected_page_text(doc_id: str, offset: int, seed: int = 42) -> str:
+    """The exact text rendered into (and OCR-recoverable from) the page
+    image at (doc_id, offset)."""
+    rng = random.Random(f"{seed}:{doc_id}:{offset}:img")
+    lines = []
+    for _ in range(1 if rng.random() < 0.7 else 2):
+        toks = [rng.choice(IMG_WORDS) for _ in range(rng.randint(2, 5))]
+        if rng.random() < 0.3:
+            toks.append(str(rng.randint(0, 999)))
+        line = " ".join(toks)
+        if rng.random() < 0.3:
+            line += rng.choice([".", "!", "?", ":", ";", ","])
+        lines.append(line)
+    return "\n".join(lines)
+
+
+def _page_jitter(doc_id: str, offset: int, seed: int) -> tuple[int, int]:
+    rng = random.Random(f"{seed}:{doc_id}:{offset}:jit")
+    return rng.randint(0, 4), rng.randint(0, 6)
+
+
+def _media_fate(doc_id: str, offset: int, seed: int) -> float:
+    return random.Random(f"{seed}:{doc_id}:{offset}:fate").random()
+
+
+def _text_span(rng: random.Random) -> str:
+    parts = [rng.choice(TEXT_TOKENS) for _ in range(rng.randint(3, 10))]
+    sep = rng.choice([" ", " ", " ", "\n", "\n\n", "\n\n\n"])
+    text = sep.join(parts)
+    if rng.random() < 0.1:
+        text = text[: len(text) // 2] + "\x00\x07" + text[len(text) // 2 :]
+    return text
+
+
+def _span_count(rng: random.Random) -> int:
+    r = rng.random()
+    if r < 0.80:
+        return rng.randint(1, 3)
+    if r < 0.95:
+        return rng.randint(4, 20)
+    return rng.randint(50, 200)
+
+
+def generate_documents(spark, n_docs: int, seed: int = 42, image_rate: float = 0.5):
+    """Distributed deterministic documents table."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids, spans_col = [], []
+            for i in pdf["id"]:
+                doc_id = doc_id_for(int(i))
+                rng = random.Random(f"{seed}:{doc_id}")
+                spans = []
+                for off in range(_span_count(rng)):
+                    if rng.random() < image_rate:
+                        spans.append(
+                            {
+                                "kind": "image",
+                                "text": "",
+                                "media_ref": media_ref_for(doc_id, off),
+                                "offset": off,
+                            }
+                        )
+                    else:
+                        spans.append(
+                            {
+                                "kind": "text",
+                                "text": _text_span(rng),
+                                "media_ref": "",
+                                "offset": off,
+                            }
+                        )
+                doc_ids.append(doc_id)
+                spans_col.append(spans)
+            yield pd.DataFrame({"doc_id": doc_ids, "spans": spans_col})
+
+    return spark.range(n_docs).mapInPandas(gen, schema=DOCUMENTS_SCHEMA)
+
+
+def generate_media(
+    spark,
+    documents,
+    seed: int = 42,
+    missing_rate: float = 0.0,
+    corrupt_rate: float = 0.0,
+):
+    """Media side-table (media_ref -> PNG payload) for a documents table.
+
+    Payloads derive from the media_ref alone, so this needs no state
+    from the documents generator. ``missing_rate`` drops refs (the
+    kernel must emit file-not-found error rows, mirroring
+    /root/reference/app.py:332-334); ``corrupt_rate`` yields non-PNG
+    bytes (decode-error rows).
+    """
+    from pyspark.sql import functions as F
+
+    refs = (
+        documents.select(F.explode("spans").alias("s"))
+        .where(F.col("s.kind") == "image")
+        .select(F.col("s.media_ref").alias("media_ref"))
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_refs, payloads = [], []
+            for ref in pdf["media_ref"]:
+                doc_id, offset = parse_media_ref(ref)
+                fate = _media_fate(doc_id, offset, seed)
+                if fate < missing_rate:
+                    continue
+                if fate < missing_rate + corrupt_rate:
+                    payload = b"\x89PNG but not really"
+                else:
+                    img = render_text_image(
+                        expected_page_text(doc_id, offset, seed),
+                        jitter=_page_jitter(doc_id, offset, seed),
+                    )
+                    payload = encode_png(img)
+                out_refs.append(ref)
+                payloads.append(payload)
+            yield pd.DataFrame({"media_ref": out_refs, "payload": payloads})
+
+    return refs.mapInPandas(gen, schema=MEDIA_SCHEMA)
