@@ -1,0 +1,817 @@
+"""Driver-contract queries: every implemented operator as a
+(spark_fn, oracle_sql) pair over the /root/testdata tables.
+
+The DuckDB SQL strings are *generated from the same constants* as the
+Spark column expressions (replacement chain, stopword lists, MinHash
+parameters), so the two sides cannot drift.
+
+Column-name discipline: every computed column is aliased identically in
+the Spark plan and the SQL (the driver hashes values after sorting
+columns by name).
+
+Float discipline: aggregates over doubles go through exact
+``decimal(18,2)`` sums (then to double), divisions happen after, and
+similarity scores are rounded to 6 digits *before* ranking — so
+cross-engine ULP noise cannot flip a value or a rank.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pdf_ocr_spark.functions.serialize import html_doc_col, markdown_doc_col, txt_doc_col
+from pdf_ocr_spark.functions.text import (
+    allowed_file_col,
+    lang_map_col,
+    normalize_text_col,
+    secure_clean_filename_col,
+    select_dpi_col,
+)
+from pdf_ocr_spark.operators.analysis import (
+    LANG_PRIORITY,
+    STOPWORDS,
+    avg_token_len_col,
+    digit_ratio_col,
+    fingerprint_col,
+    lang_id_col,
+    punct_ratio_col,
+    quality_score_col,
+    stopword_ratio_col,
+    token_count_col,
+)
+from pdf_ocr_spark.operators.dedup import (
+    LSH_BANDS,
+    LSH_ROWS,
+    MINHASH_PERMS,
+    exact_dedup_groups,
+    lsh_candidate_pairs,
+    ngram_jaccard_pairs,
+    norm_text_col,
+    simhash_col,
+)
+from pdf_ocr_spark.operators.similarity import cosine_topk, lsh_topk
+from pdf_ocr_spark.oracle.serializers import HTML_STYLE, TXT_PAGE_SEPARATOR
+from pdf_ocr_spark.oracle.textfuncs import LANGUAGE_CODE_MAP, OCR_REPLACEMENTS
+from pdf_ocr_spark.sources.testdata import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# ---------------------------------------------------------------------------
+# SQL builders shared with the Spark side via common constants
+# ---------------------------------------------------------------------------
+
+
+def sql_sanitize(e: str) -> str:
+    return f"regexp_replace(coalesce({e}, ''), '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g')"
+
+
+def sql_fix(e: str) -> str:
+    """The M5 chain in DuckDB SQL. The lookaround-free newline folding is
+    equivalent to the reference's two regexes: runs>=2 -> sentinel,
+    singles -> space, sentinel -> double newline (runs of exactly 2 and
+    >=3 both end as two newlines either way)."""
+    for wrong, right in OCR_REPLACEMENTS:
+        e = f"replace({e}, '{wrong}', '{right}')"
+    e = f"regexp_replace({e}, '\\n\\n+', chr(1), 'g')"
+    e = f"replace({e}, chr(10), ' ')"
+    e = f"replace({e}, chr(1), chr(10) || chr(10))"
+    return e
+
+
+def sql_normalize(e: str) -> str:
+    return sql_fix(sql_sanitize(e))
+
+
+_NL2 = "chr(10) || chr(10)"
+
+
+def sql_strip(e: str) -> str:
+    return f"regexp_replace({e}, '^\\s+|\\s+$', '', 'g')"
+
+
+def sql_tokens(e: str) -> str:
+    return f"(CASE WHEN {sql_strip(e)} = '' THEN [] ELSE string_split_regex({sql_strip(e)}, '\\s+') END)"
+
+
+def sql_grams(e: str) -> str:
+    """Word-3-gram shingles of lowercased text (matches word_ngrams_col)."""
+    t = sql_tokens(f"lower({e})")
+    return (
+        f"(CASE WHEN len({t}) < 3 THEN [array_to_string({t}, ' ')] "
+        f"ELSE list_transform(generate_series(1, len({t}) - 2), "
+        f"i -> {t}[i] || ' ' || {t}[i+1] || ' ' || {t}[i+2]) END)"
+    )
+
+
+def sql_stop_hits(e: str, lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter({sql_tokens(f'lower({e})')}, t -> list_contains([{words}], t)))"
+
+
+#: Shared corpus CTE injecting exact and near duplicates into the flat
+#: documents table (dedup operators need dups to find).
+CORPUS_CTE = """
+corpus AS (
+    SELECT doc_id AS id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS id, replace(text, ' window ', ' pane ') AS text
+    FROM documents WHERE doc_id % 5 = 0
+    UNION ALL
+    SELECT doc_id + 200000 AS id, text FROM documents WHERE doc_id % 7 = 0
+)
+"""
+
+
+def _corpus_df(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    near = d.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("id"),
+        F.replace(F.col("text"), F.lit(" window "), F.lit(" pane ")).alias("text"),
+    )
+    exact = d.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("id"), "text"
+    )
+    return d.select(F.col("doc_id").alias("id"), "text").unionByName(near).unionByName(exact)
+
+
+_SHINGLES_CTE = (
+    "shingles AS (SELECT id, unnest(list_distinct(" + sql_grams("text") + ")) AS gram FROM corpus)"
+)
+
+_JACCARD_CTES = f"""
+{_SHINGLES_CTE},
+sizes AS (SELECT id, count(*) AS n FROM shingles GROUP BY id),
+inter AS (
+    SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+    FROM shingles a JOIN shingles b ON a.gram = b.gram AND a.id < b.id
+    GROUP BY a.id, b.id
+),
+jacc AS (
+    SELECT id_a, id_b,
+           round(n_shared::DOUBLE / (sa.n + sb.n - n_shared), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = inter.id_a
+    JOIN sizes sb ON sb.id = inter.id_b
+)
+"""
+
+
+def _sql_minhash_ctes() -> str:
+    sig_cols = ", ".join(
+        f"min(md5('{p}:' || gram)) AS h{p}" for p in range(MINHASH_PERMS)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT id, {b} AS band_idx, md5({h}) AS band_hash FROM sigs".format(
+            b=b,
+            h=" || '|' || ".join(f"h{b * LSH_ROWS + r}" for r in range(LSH_ROWS)),
+        )
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+sigs AS (SELECT id, {sig_cols} FROM shingles GROUP BY id),
+bands AS ({band_selects}),
+cand AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.id < b.id
+)
+"""
+
+
+def _sql_lang_case(e: str) -> str:
+    conds = []
+    for i, lang in enumerate(LANG_PRIORITY[:-1]):
+        later = LANG_PRIORITY[i + 1 :]
+        cond = " AND ".join(f"s_{lang} >= s_{lo}" for lo in later)
+        conds.append(f"WHEN {cond} THEN '{lang}'")
+    return "CASE " + " ".join(conds) + f" ELSE '{LANG_PRIORITY[-1]}' END"
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_sum([{a}[i]::DOUBLE * {b}[i]::DOUBLE "
+        f"for i in generate_series(1, len({a}))])"
+    )
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return (
+        f"({_sql_dot(a, b)} / (sqrt({_sql_dot(a, a)}) * sqrt({_sql_dot(b, b)})))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Query registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, sql: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def _books(spark: SparkSession, sf: str) -> DataFrame:
+    """Derive a multi-page 'book' table from the flat documents table:
+    book_id = doc_id // 5, page = doc_id % 5 — the per-document page
+    model of SURVEY §1.1 over driver-provided data."""
+    d = load_table(spark, sf, "documents")
+    return d.select(
+        (F.col("doc_id") / 5).cast("long").alias("book_id"),
+        (F.col("doc_id") % 5).cast("int").alias("page"),
+        "text",
+    )
+
+
+_BOOKS_CTE = (
+    "books AS (SELECT doc_id // 5 AS book_id, (doc_id % 5)::INT AS page, text FROM documents)"
+)
+
+# --- extraction kernels ----------------------------------------------------
+
+
+@_register(
+    "normalize_chain",
+    f"SELECT doc_id, {sql_normalize('text')} AS norm_text FROM documents",
+)
+def q_normalize_chain(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return d.select("doc_id", normalize_text_col(F.col("text")).alias("norm_text"))
+
+
+@_register(
+    "paragraph_explode",
+    f"""
+WITH paged AS (
+    SELECT doc_id, replace(text, ' batch ', {_NL2}) AS ptext FROM documents
+)
+SELECT doc_id, generate_subscripts(parts, 1) - 1 AS para_no, unnest(parts) AS para
+FROM (SELECT doc_id, string_split(ptext, {_NL2}) AS parts FROM paged)
+""",
+)
+def q_paragraph_explode(spark: SparkSession, sf: str) -> DataFrame:
+    """M10 paragraph split + explode with position. The blank-line
+    boundaries are synthesized (testdata text has no newlines)."""
+    d = load_table(spark, sf, "documents")
+    paged = d.select(
+        "doc_id", F.replace(F.col("text"), F.lit(" batch "), F.lit("\n\n")).alias("ptext")
+    )
+    return paged.select(
+        "doc_id", F.posexplode(F.split(F.col("ptext"), r"\n\n")).alias("para_no", "para")
+    )
+
+
+@_register(
+    "reassemble_txt",
+    f"""
+WITH {_BOOKS_CTE}
+SELECT book_id, string_agg(text, '{TXT_PAGE_SEPARATOR}' ORDER BY page) AS txt
+FROM books GROUP BY book_id
+""",
+)
+def q_reassemble_txt(spark: SparkSession, sf: str) -> DataFrame:
+    """S5+A2: ordered reassembly + txt serialization (sorted collect)."""
+    b = _books(spark, sf)
+    pages = F.array_sort(
+        F.collect_list(F.struct(F.col("page").alias("offset"), F.col("text").alias("text")))
+    )
+    return b.groupBy("book_id").agg(txt_doc_col(pages).alias("txt"))
+
+
+@_register(
+    "serialize_md",
+    f"""
+WITH {_BOOKS_CTE},
+paged AS (SELECT book_id, page, replace(text, ' batch ', {_NL2}) AS ptext FROM books),
+bodies AS (
+    SELECT book_id, page,
+           array_to_string(list_transform(string_split(ptext, {_NL2}),
+                                          p -> {sql_strip('p')} || {_NL2}), '') AS body
+    FROM paged
+)
+SELECT book_id, string_agg(body, '---' || {_NL2} ORDER BY page) AS md
+FROM bodies GROUP BY book_id
+""",
+)
+def q_serialize_md(spark: SparkSession, sf: str) -> DataFrame:
+    b = _books(spark, sf).select(
+        "book_id", "page", F.replace(F.col("text"), F.lit(" batch "), F.lit("\n\n")).alias("text")
+    )
+    pages = F.array_sort(
+        F.collect_list(F.struct(F.col("page").alias("offset"), F.col("text").alias("text")))
+    )
+    return b.groupBy("book_id").agg(markdown_doc_col(pages).alias("md"))
+
+
+_HTML_HEAD_SQL = (
+    "'<!DOCTYPE html>' || chr(10) || '<html lang=\"en\">' || chr(10) || '<head>' || chr(10) || "
+    "'    <meta charset=\"UTF-8\">' || chr(10) || '    <title>' || title || '</title>' || chr(10) || "
+    f"{HTML_STYLE[:-1]!r} || chr(10) || "
+    "'</head>' || chr(10) || '<body>' || chr(10) || '<h1>' || title || '</h1>' || chr(10)"
+)
+
+
+@_register(
+    "serialize_html",
+    f"""
+WITH {_BOOKS_CTE},
+paged AS (SELECT book_id, page, replace(text, ' batch ', {_NL2}) AS ptext FROM books),
+bodies AS (
+    SELECT book_id, page,
+           array_to_string(list_transform(string_split(ptext, {_NL2}),
+               p -> '<p>' || {sql_strip("replace(replace(replace(p, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')")} || '</p>' || chr(10)), '') AS body
+    FROM paged
+),
+titled AS (SELECT book_id, 'book_' || book_id AS title,
+                  string_agg(body, '<hr class="page-break">' || chr(10) ORDER BY page) AS inner_html
+           FROM bodies GROUP BY book_id)
+SELECT book_id,
+       {_HTML_HEAD_SQL} || inner_html || '</body>' || chr(10) || '</html>' || chr(10) AS html
+FROM titled
+""",
+)
+def q_serialize_html(spark: SparkSession, sf: str) -> DataFrame:
+    b = _books(spark, sf).select(
+        "book_id", "page", F.replace(F.col("text"), F.lit(" batch "), F.lit("\n\n")).alias("text")
+    )
+    pages = F.array_sort(
+        F.collect_list(F.struct(F.col("page").alias("offset"), F.col("text").alias("text")))
+    )
+    return b.groupBy("book_id").agg(
+        html_doc_col(pages, F.concat(F.lit("book_"), F.col("book_id"))).alias("html")
+    )
+
+
+@_register(
+    "page_count",
+    f"WITH {_BOOKS_CTE} "
+    "SELECT book_id, count(*) AS n_pages, max(page) AS max_page FROM books GROUP BY book_id",
+)
+def q_page_count(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        _books(spark, sf)
+        .groupBy("book_id")
+        .agg(F.count("*").alias("n_pages"), F.max("page").alias("max_page"))
+    )
+
+
+_FNAME = "'../up loads/' || source || '_' || doc_id || '.pdf'"
+_FNAME_CLEAN_SQL = (
+    "trim(regexp_replace(array_to_string(string_split_regex(trim("
+    f"replace(replace({_FNAME}, '/', ' '), '\\', ' ')"
+    "), '\\s+'), '_'), '[^A-Za-z0-9_.-]', '', 'g'), '._')"
+)
+
+
+@_register(
+    "secure_filename",
+    f"SELECT doc_id, {_FNAME_CLEAN_SQL} AS clean_name FROM documents",
+)
+def q_secure_filename(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    fname = F.concat(F.lit("../up loads/"), F.col("source"), F.lit("_"), F.col("doc_id"), F.lit(".pdf"))
+    return d.select("doc_id", secure_clean_filename_col(fname).alias("clean_name"))
+
+
+@_register(
+    "allowed_file",
+    """
+WITH named AS (
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN source || '.pdf'
+                           WHEN 1 THEN source || '.PDF'
+                           ELSE source END AS fname
+    FROM documents
+)
+SELECT doc_id, fname FROM named
+WHERE strpos(fname, '.') > 0 AND lower(regexp_extract(fname, '\\.([^.]*)$', 1)) = 'pdf'
+""",
+)
+def q_allowed_file(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    fname = (
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.col("source"), F.lit(".pdf")))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.col("source"), F.lit(".PDF")))
+        .otherwise(F.col("source"))
+    )
+    return d.select("doc_id", fname.alias("fname")).where(allowed_file_col(F.col("fname")))
+
+
+_LANG_CASE = (
+    "CASE x "
+    + " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in LANGUAGE_CODE_MAP.items())
+    + " ELSE x END"
+)
+
+
+@_register(
+    "lang_map",
+    "SELECT doc_id, array_to_string(list_transform(string_split(lang || '+eng', '+'), "
+    f"x -> {_LANG_CASE}), '+') AS mapped FROM documents",
+)
+def q_lang_map(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.array_join(lang_map_col(F.concat(F.col("lang"), F.lit("+eng"))), "+").alias("mapped"),
+    )
+
+
+@_register(
+    "dpi_select",
+    "SELECT doc_id, CASE WHEN doc_id % 2 = 1 THEN 'high' ELSE 'standard' END AS quality, "
+    "CASE WHEN (CASE WHEN doc_id % 2 = 1 THEN 'high' ELSE 'standard' END) = 'high' "
+    "THEN 600 ELSE 300 END AS dpi FROM documents",
+)
+def q_dpi_select(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    quality = F.when(F.col("doc_id") % 2 == 1, F.lit("high")).otherwise(F.lit("standard"))
+    return d.select(
+        "doc_id", quality.alias("quality"), select_dpi_col(quality).cast("int").alias("dpi")
+    )
+
+
+# --- relational operators (SURVEY §2.4) ------------------------------------
+
+
+@_register(
+    "anti_join_unprocessed",
+    "SELECT o_orderkey, o_totalprice FROM orders o "
+    "WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)",
+)
+def q_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    """The checkpoint-resume join shape: rows with no match (left anti)."""
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem").select("l_orderkey")
+    return orders.join(li, orders.o_orderkey == li.l_orderkey, "left_anti").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+@_register(
+    "window_offsets",
+    """
+SELECT user_id, event_id, seq FROM (
+    SELECT user_id, event_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+    FROM events
+) WHERE seq <= 3
+""",
+)
+def q_window_offsets(spark: SparkSession, sf: str) -> DataFrame:
+    """The span-offset-assignment window (row_number per key)."""
+    e = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select("user_id", "event_id", F.row_number().over(w).alias("seq"))
+        .where(F.col("seq") <= 3)
+    )
+
+
+@_register(
+    "topk_per_group",
+    """
+SELECT c_nationkey, rk, c_custkey, c_acctbal FROM (
+    SELECT c_nationkey, c_custkey, c_acctbal,
+           row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rk
+    FROM customer
+) WHERE rk <= 5
+""",
+)
+def q_topk(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        c.select("c_nationkey", "c_custkey", "c_acctbal", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= 5)
+        .select("c_nationkey", "rk", "c_custkey", "c_acctbal")
+    )
+
+
+@_register(
+    "pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       (sum(l_quantity::DECIMAL(18,2)))::DOUBLE AS sum_qty,
+       (sum(l_extendedprice::DECIMAL(18,2)))::DOUBLE AS sum_base,
+       (sum(l_discount::DECIMAL(18,2)))::DOUBLE / count(*) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_pricing(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1 shape with exact decimal sums (deterministic across
+    engines/partitionings), divisions after."""
+    li = load_table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base"),
+        (
+            F.sum(F.col("l_discount").cast("decimal(18,2)")).cast("double") / F.count("*")
+        ).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@_register(
+    "region_rollup",
+    """
+SELECT coalesce(r_name, 'ALL') AS region, coalesce(c_mktsegment, 'ALL') AS segment,
+       count(*) AS n_customers,
+       (sum(c_acctbal::DECIMAL(18,2)))::DOUBLE AS sum_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, c_mktsegment)
+""",
+)
+def q_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Broadcast dim joins + ROLLUP aggregation."""
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("sum_bal"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region"),
+            F.coalesce(F.col("c_mktsegment"), F.lit("ALL")).alias("segment"),
+            "n_customers",
+            "sum_bal",
+        )
+    )
+
+
+@_register(
+    "set_except",
+    """
+SELECT event_type FROM events WHERE value > 150
+EXCEPT
+SELECT event_type FROM events WHERE value < 50
+""",
+)
+def q_set_except(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    hi = e.where(F.col("value") > 150).select("event_type")
+    lo = e.where(F.col("value") < 50).select("event_type")
+    return hi.distinct().exceptAll(lo.distinct())
+
+
+@_register(
+    "asof_prev_error",
+    """
+SELECT event_id, user_id, prev_error_value FROM (
+    SELECT event_id, user_id, event_type,
+           last_value(CASE WHEN event_type = 'error' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_error_value
+    FROM events
+) WHERE event_type = 'click'
+""",
+)
+def q_asof(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join shape: each click matched to the latest prior error of
+    the same user, via an ignore-nulls window (no join at all)."""
+    e = load_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.last(
+        F.when(F.col("event_type") == "error", F.col("value")), ignorenulls=True
+    ).over(w)
+    return (
+        e.select("event_id", "user_id", "event_type", prev.alias("prev_error_value"))
+        .where(F.col("event_type") == "click")
+        .select("event_id", "user_id", "prev_error_value")
+    )
+
+
+# --- dedup -----------------------------------------------------------------
+
+
+_NORM_SQL = "regexp_replace(lower(" + sql_strip("text") + "), '\\s+', ' ', 'g')"
+
+
+@_register(
+    "dedup_exact",
+    f"""
+WITH {CORPUS_CTE.strip()}
+SELECT md5({_NORM_SQL}) AS text_hash,
+       count(*) AS n_copies, min(id) AS keeper_id
+FROM corpus GROUP BY 1 HAVING count(*) > 1
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    return exact_dedup_groups(_corpus_df(spark, sf), text_col="text", id_col="id")
+
+
+@_register(
+    "dedup_ngram_jaccard",
+    f"""
+WITH {CORPUS_CTE.strip()},
+{_JACCARD_CTES.strip()}
+SELECT id_a, id_b, jaccard FROM jacc WHERE jaccard >= 0.5
+""",
+)
+def q_dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    return ngram_jaccard_pairs(_corpus_df(spark, sf), text_col="text", id_col="id", threshold=0.5)
+
+
+@_register(
+    "dedup_minhash_lsh",
+    f"""
+WITH {CORPUS_CTE.strip()},
+{_JACCARD_CTES.strip()},
+{_sql_minhash_ctes().strip()}
+SELECT c.id_a, c.id_b FROM cand c
+JOIN jacc j ON j.id_a = c.id_a AND j.id_b = c.id_b
+WHERE j.jaccard >= 0.5
+""",
+)
+def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    corpus = _corpus_df(spark, sf)
+    cand = lsh_candidate_pairs(corpus, text_col="text", id_col="id")
+    verified = ngram_jaccard_pairs(corpus, text_col="text", id_col="id", threshold=0.5)
+    return cand.join(verified, ["id_a", "id_b"]).select("id_a", "id_b")
+
+
+def _sql_simhash(e: str, bits: int = 32) -> str:
+    toks = f"list_distinct({sql_tokens(f'lower({e})')})"
+    digits = "('8','9','a','b','c','d','e','f')"
+    parts = [
+        f"(CASE WHEN list_sum(list_transform({toks}, "
+        f"t -> CASE WHEN substr(md5(t), {j + 1}, 1) IN {digits} THEN 1 ELSE -1 END)) > 0 "
+        f"THEN '1' ELSE '0' END)"
+        for j in range(bits)
+    ]
+    return " || ".join(parts)
+
+
+@_register(
+    "simhash_signatures",
+    f"SELECT doc_id, {_sql_simhash('text')} AS simhash FROM documents",
+)
+def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return d.select("doc_id", simhash_col(F.col("text")).alias("simhash"))
+
+
+# --- similarity search -----------------------------------------------------
+
+
+@_register(
+    "knn_cosine_topk",
+    f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+    SELECT query_id, neighbor_id, round({_sql_cosine('qv', 'cv')}, 6) AS score
+    FROM q CROSS JOIN c WHERE query_id != neighbor_id
+)
+SELECT query_id, rank, neighbor_id, score FROM (
+    SELECT query_id, neighbor_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+    FROM scored
+) WHERE rank <= 3
+""",
+)
+def q_knn(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    return cosine_topk(emb.where(F.col("vec_id") < 5), emb, k=3)
+
+
+# --- text analysis ---------------------------------------------------------
+
+
+@_register(
+    "token_stats",
+    f"""
+SELECT doc_id,
+       len({sql_tokens('text')}) AS n_tokens,
+       round(CASE WHEN len({sql_tokens('text')}) = 0 THEN 0.0
+             ELSE list_sum(list_transform({sql_tokens('text')}, t -> len(t)))::DOUBLE
+                  / len({sql_tokens('text')}) END, 6) AS avg_token_len,
+       round(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+             / nullif(len(text), 0), 6) AS punct_ratio,
+       round(len(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+             / nullif(len(text), 0), 6) AS digit_ratio
+FROM documents
+""",
+)
+def q_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        token_count_col(t).alias("n_tokens"),
+        F.round(avg_token_len_col(t), 6).alias("avg_token_len"),
+        F.round(punct_ratio_col(t), 6).alias("punct_ratio"),
+        F.round(digit_ratio_col(t), 6).alias("digit_ratio"),
+    )
+
+
+@_register(
+    "quality_score",
+    f"""
+SELECT doc_id,
+       round(0.4 * least(len(text)::DOUBLE / 200.0, 1.0)
+           + 0.3 * (1.0 - len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / nullif(len(text), 0))
+           + 0.3 * (CASE WHEN len({sql_tokens('text')}) = 0 THEN 0.0
+                    ELSE {sql_stop_hits('text', 'en')}::DOUBLE / len({sql_tokens('lower(text)')}) END),
+           6) AS quality,
+       round(CASE WHEN len({sql_tokens('text')}) = 0 THEN 0.0
+             ELSE {sql_stop_hits('text', 'en')}::DOUBLE / len({sql_tokens('lower(text)')}) END, 6)
+           AS stopword_ratio
+FROM documents
+""",
+)
+def q_quality(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        quality_score_col(t).alias("quality"),
+        F.round(stopword_ratio_col(t), 6).alias("stopword_ratio"),
+    )
+
+
+@_register(
+    "lang_id",
+    "WITH scored AS (SELECT doc_id, "
+    + ", ".join(f"{sql_stop_hits('text', lang)} AS s_{lang}" for lang in LANG_PRIORITY)
+    + " FROM documents) "
+    + f"SELECT doc_id, {_sql_lang_case('text')} AS lang_pred FROM scored",
+)
+def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return d.select("doc_id", lang_id_col(F.col("text")).alias("lang_pred"))
+
+
+@_register(
+    "doc_fingerprint",
+    f"""
+WITH grams AS (SELECT doc_id, unnest({sql_grams('text')}) AS gram FROM documents)
+SELECT doc_id, min(md5(gram)) AS fingerprint FROM grams GROUP BY doc_id
+""",
+)
+def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return d.select("doc_id", fingerprint_col(F.col("text")).alias("fingerprint"))
+
+
+# --- rows-only (no SQL oracle): approximate / LSH-ANN ----------------------
+
+
+@_register("knn_lsh_topk")
+def q_knn_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-bucketed ANN (approximate — bucket recall is engine-defined,
+    so this gets the driver's rows-only check; the exact variant above
+    is the oracle-checked baseline)."""
+    emb = load_table(spark, sf, "embeddings")
+    return lsh_topk(emb.where(F.col("vec_id") < 5), emb, k=3)
+
+
+@_register("approx_distinct_users")
+def q_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """HLL approx_count_distinct (estimator differs per engine — rows-only)."""
+    e = load_table(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.expr("percentile_approx(value, 0.5)").alias("p50_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flagship entry
+# ---------------------------------------------------------------------------
+
+
+def flagship(spark: SparkSession) -> DataFrame:
+    """End-to-end span-model extraction over a generated interleaved
+    corpus: generate -> OCR-decode -> normalize -> reassemble ->
+    serialize. Returns per-document results with metrics."""
+    from pdf_ocr_spark.plans.pipeline import extract_documents
+    from pdf_ocr_spark.sources.corpus import generate_documents, generate_media
+
+    docs = generate_documents(spark, n_docs=200, seed=42)
+    media = generate_media(spark, docs, seed=42, missing_rate=0.03, corrupt_rate=0.03)
+    out = extract_documents(docs, media)
+    return out.select("doc_id", "n_pages", "n_errors", F.round("mean_confidence", 6).alias("mean_confidence"), "txt")

@@ -1,0 +1,115 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language ID, document fingerprinting.
+
+All pure column expressions (JVM-side). Each has an ANSI-SQL twin in
+:mod:`pdf_ocr_spark.entrypoints` for the DuckDB oracle; the two are
+kept in sync by sharing the constant lists below.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tiny stopword inventories for the n-gram/stopword language heuristic.
+#: Deliberately small and fixed — the heuristic's value is determinism.
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "los", "del"),
+    "de": ("der", "die", "und", "das", "von", "zu", "mit", "den"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "une"),
+}
+
+#: Tie-break priority when stopword scores are equal.
+LANG_PRIORITY = ("en", "es", "de", "fr")
+
+PUNCT_CLASS = r"[^A-Za-z0-9\s]"
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization; empty/blank text -> empty array."""
+    trimmed = F.regexp_replace(text, r"^\s+|\s+$", "")
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_count_col(text: Column) -> Column:
+    return F.size(tokens_col(text))
+
+
+def punct_ratio_col(text: Column) -> Column:
+    n = F.length(text)
+    punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(punct.cast("double") / n.cast("double"))
+
+
+def digit_ratio_col(text: Column) -> Column:
+    n = F.length(text)
+    digits = F.length(F.regexp_replace(text, r"[^0-9]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(digits.cast("double") / n.cast("double"))
+
+
+def stopword_ratio_col(text: Column, lang: str = "en") -> Column:
+    toks = tokens_col(F.lower(text))
+    hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS[lang])))
+    n = F.size(toks)
+    return F.when(n == 0, F.lit(0.0)).otherwise(hits.cast("double") / n.cast("double"))
+
+
+def stopword_hits_col(text: Column, lang: str) -> Column:
+    toks = tokens_col(F.lower(text))
+    return F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS[lang])))
+
+
+def lang_id_col(text: Column) -> Column:
+    """Stopword-vote language ID with fixed priority tie-break."""
+    scores = {lang: stopword_hits_col(text, lang) for lang in LANG_PRIORITY}
+    expr = F.lit(LANG_PRIORITY[-1])
+    # build the when-chain in reverse so earlier languages win ties
+    for lang in reversed(LANG_PRIORITY[:-1]):
+        later = [scores[lo] for lo in LANG_PRIORITY[LANG_PRIORITY.index(lang) + 1 :]]
+        cond = None
+        for o in later:
+            c = scores[lang] >= o
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def avg_token_len_col(text: Column) -> Column:
+    toks = tokens_col(text)
+    n = F.size(toks)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(n == 0, F.lit(0.0)).otherwise(total.cast("double") / n.cast("double"))
+
+
+def quality_score_col(text: Column) -> Column:
+    """Deterministic [0,1]-ish quality blend: length saturation, low
+    punctuation, presence of stopwords — the usual cheap pretraining
+    quality gates."""
+    len_sat = F.least(F.length(text).cast("double") / F.lit(200.0), F.lit(1.0))
+    return F.round(
+        0.4 * len_sat + 0.3 * (1.0 - punct_ratio_col(text)) + 0.3 * stopword_ratio_col(text),
+        6,
+    )
+
+
+def word_ngrams_col(text: Column, n: int = 3) -> Column:
+    """Array of word n-gram shingles (space-joined). Fewer than n tokens
+    -> the whole text as a single shingle."""
+    toks = tokens_col(F.lower(text))
+    k = F.size(toks)
+    idx = F.sequence(F.lit(1), k - F.lit(n - 1))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]),
+    )
+    return F.when(k < n, F.array(F.concat_ws(" ", toks))).otherwise(grams)
+
+
+def fingerprint_col(text: Column, n: int = 3) -> Column:
+    """Document fingerprint: lexicographic-min MD5 over word n-gram
+    shingles (a 1-permutation MinHash / winnowing-style selector).
+    Portable across engines because it is pure MD5-on-strings."""
+    return F.array_min(F.transform(word_ngrams_col(text, n), F.md5))

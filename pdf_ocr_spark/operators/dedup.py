@@ -1,0 +1,150 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Engine-portable hashing: everything derives from MD5 hex strings
+(identical in Spark and DuckDB), so every operator here has an exact
+SQL oracle. MinHash uses the lexicographic minimum of salted MD5
+strings — a valid min-wise permutation family without any bigint
+conversion games.
+
+Scale notes: exact dedup is one hash-groupBy. MinHash/LSH is the scale
+path for near-dup (candidates via band-bucket equi-join — shuffle on
+band hash, no O(n^2)); the plain n-gram Jaccard join is the small-scale
+verifier. SimHash gives 32-bit signatures whose byte-blocks can be
+equi-joined for Hamming<=k candidate generation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pdf_ocr_spark.operators.analysis import tokens_col, word_ngrams_col
+
+#: MinHash configuration shared with the SQL oracle.
+MINHASH_PERMS = 12
+LSH_BANDS = 4
+LSH_ROWS = 3  # MINHASH_PERMS / LSH_BANDS
+
+SIMHASH_BITS = 32
+
+
+def norm_text_col(text: Column) -> Column:
+    """Dedup normalization: lowercase, trim, collapse whitespace runs."""
+    return F.regexp_replace(F.lower(F.regexp_replace(text, r"^\s+|\s+$", "")), r"\s+", " ")
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Hash-groupBy exact dedup over normalized text. Returns one row
+    per duplicate group: (text_hash, n_copies, keeper_id)."""
+    return (
+        df.select(F.md5(norm_text_col(F.col(text_col))).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_copies"), F.min(id_col).alias("keeper_id"))
+        .where(F.col("n_copies") > 1)
+    )
+
+
+def minhash_signature_col(text: Column, perms: int = MINHASH_PERMS) -> Column:
+    """Array of `perms` MinHash values (min MD5 of salted shingles)."""
+    grams = word_ngrams_col(text, 3)
+
+    def salted(p: int):
+        # closure factory: keeps the lambda unary (PySpark infers
+        # higher-order-function arity from the Python signature)
+        return lambda g: F.md5(F.concat(F.lit(f"{p}:"), g))
+
+    return F.array(*[F.array_min(F.transform(grams, salted(p))) for p in range(perms)])
+
+
+def lsh_candidate_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Banded-LSH candidate pairs (id_a < id_b). Bands hash `LSH_ROWS`
+    consecutive signature values; docs sharing any band bucket pair up.
+    The equi-join on (band_idx, band_hash) is the only shuffle."""
+    sig = df.select(
+        F.col(id_col).alias("id"), minhash_signature_col(F.col(text_col)).alias("sig")
+    )
+    bands = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[F.element_at("sig", b * LSH_ROWS + r + 1) for r in range(LSH_ROWS)],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "band.band_idx", "band.band_hash")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All pairs with word-3-gram Jaccard >= threshold, via a shared-
+    shingle equi-join (no cross join): |A∩B| from the join, |A|,|B|
+    from per-doc distinct counts. Returns (id_a, id_b, jaccard)."""
+    shingles = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_ngrams_col(F.col(text_col), 3))).alias("gram"),
+    )
+    sizes = shingles.groupBy("id").agg(F.count("*").alias("n"))
+    a, b = shingles.alias("a"), shingles.alias("b")
+    inter = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_col(text: Column, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash as a `bits`-char bit string: bit j is the majority vote
+    of bit j of each token's MD5 (top bit of hex digit j). Portable:
+    pure MD5-hex-digit arithmetic."""
+    toks = F.array_distinct(tokens_col(F.lower(text)))
+
+    def vote(j: int):
+        return lambda acc, t: acc + F.when(
+            F.substring(F.md5(t), j + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1
+        ).otherwise(-1)
+
+    votes = [F.aggregate(toks, F.lit(0), vote(j)) for j in range(bits)]
+    return F.concat(*[F.when(v > 0, F.lit("1")).otherwise(F.lit("0")) for v in votes])

@@ -1,0 +1,77 @@
+"""Self-check of the driver contract: run every queries() entry on Spark
+and its oracle_sql() twin on DuckDB over sf0.001, compare row counts,
+column names, and (order-insensitive) values — the same comparison the
+round driver performs at sf0.01."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings".split()
+)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def _normalize(rows, cols):
+    out = []
+    for row in rows:
+        vals = []
+        for c in sorted(cols):
+            v = row[c] if not isinstance(row, tuple) else row[cols.index(c)]
+            if isinstance(v, float):
+                v = round(v, 9) if not (math.isnan(v) or math.isinf(v)) else repr(v)
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=repr)
+    return out
+
+
+QUERY_NAMES = sorted(entry_mod.queries())
+
+
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_query_matches_oracle(spark, duck, name):
+    q = entry_mod.queries()[name]
+    sdf = q(spark, SF_DIR)
+    scols = sdf.columns
+    srows = sdf.collect()
+
+    sql = entry_mod.oracle_sql().get(name)
+    if sql is None:
+        # rows-only contract: must run and have a stable schema
+        assert isinstance(srows, list)
+        return
+
+    res = duck.execute(sql)
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+
+    assert sorted(scols) == sorted(dcols), f"{name}: column mismatch {scols} vs {dcols}"
+    assert len(srows) == len(drows), f"{name}: row count {len(srows)} vs {len(drows)}"
+
+    s_norm = _normalize([tuple(r[c] for c in dcols) for r in srows], dcols)
+    d_norm = _normalize(drows, dcols)
+    mismatches = [(a, b) for a, b in zip(s_norm, d_norm) if a != b]
+    assert not mismatches, f"{name}: {len(mismatches)} value mismatches, first: {mismatches[0]}"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) == 200
+    assert {"doc_id", "n_pages", "n_errors", "mean_confidence", "txt"} <= set(df.columns)
