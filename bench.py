@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries + the flagship span-model
+extraction at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "suite_seconds", "value": N, "unit": "sec",
+     "queries": {...}, "sf": 0.1, "extraction": {...}}
+
+Each query is executed to completion with a noop sink (full plan, no
+driver materialization cost). Extraction throughput is reported as
+docs/sec and pages/sec (the reference's own metric,
+/root/reference/app.py:560-563).
+
+For the two-parallelism scaling evidence (north rule) see
+scripts/scaling_bench.py, which reuses run_extraction_bench here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+BENCH_QUERIES = [
+    "normalize_chain",
+    "paragraph_explode",
+    "reassemble_txt",
+    "serialize_md",
+    "serialize_html",
+    "page_count",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "simhash_signatures",
+    "doc_fingerprint",
+    "knn_cosine_topk",
+    "token_stats",
+    "quality_score",
+    "lang_id",
+    "pricing_summary",
+    "window_offsets",
+    "topk_per_group",
+    "anti_join_unprocessed",
+    "region_rollup",
+    "asof_prev_error",
+]
+
+
+def build_spark(cpus: int, app: str = "pdf-ocr-spark-bench") -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(2 * cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def _exec(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def run_extraction_bench(
+    spark: SparkSession, n_docs: int, seed: int = 42, corpus_dir: str | None = None, reps: int = 1
+) -> dict:
+    """Flagship pipeline benchmark: read the materialized interleaved
+    corpus (documents + media parquet — the Iceberg-input stand-in) ->
+    OCR decode -> normalize -> reassemble -> serialize, fully executed.
+    Corpus generation happens once (outside the timed region).
+    With reps>1, reports the best of the post-warmup repetitions."""
+    from pdf_ocr_spark.plans.pipeline import extract_documents
+    from pdf_ocr_spark.sources.corpus import materialize_corpus
+
+    corpus_dir = corpus_dir or os.path.join(
+        os.environ.get("SPARK_GRAFT_TMP", "/tmp"), f"pdf_ocr_corpus_{n_docs}_{seed}"
+    )
+    docs_path, media_path = materialize_corpus(spark, corpus_dir, n_docs=n_docs, seed=seed)
+    out = extract_documents(
+        spark.read.parquet(docs_path), spark.read.parquet(media_path)
+    )
+    times = []
+    agg = None
+    for _ in range(reps + 1):  # first run is warmup
+        t0 = time.time()
+        agg = out.agg(
+            F.count("*").alias("docs"),
+            F.sum("n_pages").alias("pages"),
+            F.sum(F.length("txt")).alias("chars"),
+        ).collect()[0]
+        times.append(time.time() - t0)
+    elapsed = min(times[1:])
+    return {
+        "n_docs": int(agg["docs"]),
+        "n_pages": int(agg["pages"]),
+        "out_chars": int(agg["chars"]),
+        "seconds": round(elapsed, 3),
+        "all_runs": [round(t, 2) for t in times],
+        "docs_per_sec": round(agg["docs"] / elapsed, 2),
+        "pages_per_sec": round(agg["pages"] / elapsed, 2),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", str(max(200, int(sf * 200000)))))
+
+    import pdf_ocr_spark.entrypoints as ep
+
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    total0 = time.time()
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        _exec(ep.QUERIES[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    extraction = run_extraction_bench(spark, n_docs=n_docs)
+    timings["flagship_extraction"] = extraction["seconds"]
+    total = round(time.time() - total0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "extraction": extraction,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

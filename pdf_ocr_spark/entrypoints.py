@@ -47,7 +47,7 @@ from pdf_ocr_spark.operators.dedup import (
     LSH_ROWS,
     MINHASH_PERMS,
     exact_dedup_groups,
-    lsh_candidate_pairs,
+    minhash_near_dup,
     ngram_jaccard_pairs,
     norm_text_col,
     simhash_col,
@@ -604,6 +604,112 @@ def q_asof(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_register(
+    "cube_events",
+    """
+SELECT coalesce(event_type, 'ALL') AS etype,
+       coalesce(d, -1) AS day_of_month,
+       count(*) AS n
+FROM (SELECT event_type, extract(day FROM ts)::INT AS d FROM events)
+GROUP BY CUBE (event_type, d)
+""",
+)
+def q_cube(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events").select(
+        "event_type", F.dayofmonth("ts").cast("int").alias("d")
+    )
+    return (
+        e.cube("event_type", "d")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("etype"),
+            F.coalesce(F.col("d"), F.lit(-1)).alias("day_of_month"),
+            "n",
+        )
+    )
+
+
+@_register(
+    "set_intersect",
+    """
+SELECT event_type FROM events WHERE value > 190
+INTERSECT
+SELECT event_type FROM events WHERE value < 20
+""",
+)
+def q_set_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    hi = e.where(F.col("value") > 190).select("event_type").distinct()
+    lo = e.where(F.col("value") < 20).select("event_type").distinct()
+    return hi.intersectAll(lo)
+
+
+@_register(
+    "semi_join_active_customers",
+    "SELECT c_custkey, c_name FROM customer c "
+    "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+)
+def q_semi_join(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders").select("o_custkey")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@_register(
+    "distinct_pairs",
+    "SELECT DISTINCT lang, source FROM documents",
+)
+def q_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    return load_table(spark, sf, "documents").select("lang", "source").distinct()
+
+
+@_register(
+    "deterministic_sample",
+    "SELECT doc_id, n_chars FROM documents "
+    "WHERE substr(md5(doc_id::VARCHAR), 1, 1) IN ('0', '1')",
+)
+def q_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Hash-based deterministic sampling (portable, reproducible —
+    unlike rand(), identical across engines and reruns)."""
+    d = load_table(spark, sf, "documents")
+    return d.where(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0", "1")
+    ).select("doc_id", "n_chars")
+
+
+@_register(
+    "range_join_quantity_buckets",
+    """
+WITH ranges AS (SELECT i AS bucket, i * 5.0 AS lo, (i + 1) * 5.0 AS hi
+                FROM (SELECT unnest(generate_series(0, 9)) AS i))
+SELECT bucket, count(*) AS n,
+       (sum(l_quantity::DECIMAL(18,2)))::DOUBLE AS sum_qty
+FROM lineitem JOIN ranges ON l_quantity >= lo AND l_quantity < hi
+GROUP BY bucket
+""",
+)
+def q_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Non-equi (range) join: broadcast the tiny ranges side so the plan
+    is BroadcastNestedLoopJoin over the fact table, no shuffle."""
+    li = load_table(spark, sf, "lineitem")
+    ranges = spark.range(10).select(
+        F.col("id").alias("bucket"),
+        (F.col("id") * 5.0).alias("lo"),
+        ((F.col("id") + 1) * 5.0).alias("hi"),
+    )
+    return (
+        li.join(
+            F.broadcast(ranges),
+            (li.l_quantity >= ranges.lo) & (li.l_quantity < ranges.hi),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        )
+    )
+
+
 # --- dedup -----------------------------------------------------------------
 
 
@@ -647,10 +753,7 @@ WHERE j.jaccard >= 0.5
 """,
 )
 def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
-    corpus = _corpus_df(spark, sf)
-    cand = lsh_candidate_pairs(corpus, text_col="text", id_col="id")
-    verified = ngram_jaccard_pairs(corpus, text_col="text", id_col="id", threshold=0.5)
-    return cand.join(verified, ["id_a", "id_b"]).select("id_a", "id_b")
+    return minhash_near_dup(_corpus_df(spark, sf), text_col="text", id_col="id", threshold=0.5)
 
 
 def _sql_simhash(e: str, bits: int = 32) -> str:

@@ -45,7 +45,13 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc
 
 
 def minhash_signature_col(text: Column, perms: int = MINHASH_PERMS) -> Column:
-    """Array of `perms` MinHash values (min MD5 of salted shingles)."""
+    """Array of `perms` MinHash values (min MD5 of salted shingles).
+
+    The shingle array is materialized once into the expression tree and
+    each permutation is a transform over it; for the exploded/aggregate
+    formulation (cheaper when shingles are already exploded for the
+    verification join) see :func:`shingle_table` + ``groupBy().agg``.
+    """
     grams = word_ngrams_col(text, 3)
 
     def salted(p: int):
@@ -56,14 +62,41 @@ def minhash_signature_col(text: Column, perms: int = MINHASH_PERMS) -> Column:
     return F.array(*[F.array_min(F.transform(grams, salted(p))) for p in range(perms)])
 
 
+def shingle_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per (id, distinct word-3-gram). The shared input of the
+    MinHash, LSH, and Jaccard operators — compute (and cache) it once
+    instead of re-deriving shingles inside every downstream plan."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_ngrams_col(F.col(text_col), 3))).alias("gram"),
+    )
+
+
+def minhash_signatures_from_shingles(shingles: DataFrame, perms: int = MINHASH_PERMS) -> DataFrame:
+    """Aggregate-formulated MinHash over an exploded shingle table:
+    one hash-shuffle, `perms` min() aggregates — the scale path (each
+    shingle is hashed `perms` times exactly once)."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{p}:"), F.col("gram")))).alias(f"h{p}")
+        for p in range(perms)
+    ]
+    return shingles.groupBy("id").agg(*aggs)
+
+
 def lsh_candidate_pairs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate pairs (id_a < id_b). Bands hash `LSH_ROWS`
     consecutive signature values; docs sharing any band bucket pair up.
     The equi-join on (band_idx, band_hash) is the only shuffle."""
-    sig = df.select(
-        F.col(id_col).alias("id"), minhash_signature_col(F.col(text_col)).alias("sig")
+    if shingles is None:
+        shingles = shingle_table(df, text_col, id_col)
+    sigs = minhash_signatures_from_shingles(shingles)
+    sig = sigs.select(
+        "id", F.array(*[F.col(f"h{p}") for p in range(MINHASH_PERMS)]).alias("sig")
     )
     bands = sig.select(
         "id",
@@ -102,14 +135,16 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """All pairs with word-3-gram Jaccard >= threshold, via a shared-
     shingle equi-join (no cross join): |A∩B| from the join, |A|,|B|
-    from per-doc distinct counts. Returns (id_a, id_b, jaccard)."""
-    shingles = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(word_ngrams_col(F.col(text_col), 3))).alias("gram"),
-    )
+    from per-doc distinct counts. Returns (id_a, id_b, jaccard).
+
+    Pass a cached ``shingles`` table when composing with the LSH
+    operators so the shingle derivation runs once."""
+    if shingles is None:
+        shingles = shingle_table(df, text_col, id_col)
     sizes = shingles.groupBy("id").agg(F.count("*").alias("n"))
     a, b = shingles.alias("a"), shingles.alias("b")
     inter = (
@@ -133,6 +168,21 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def minhash_near_dup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The composed scale-path near-dup operator: shingles computed once
+    (cached), LSH candidates, exact-Jaccard verification restricted to
+    the candidate set. Returns (id_a, id_b)."""
+    shingles = shingle_table(df, text_col, id_col).cache()
+    cand = lsh_candidate_pairs(df, text_col, id_col, shingles=shingles)
+    verified = ngram_jaccard_pairs(df, text_col, id_col, threshold, shingles=shingles)
+    return cand.join(verified, ["id_a", "id_b"]).select("id_a", "id_b")
 
 
 def simhash_col(text: Column, bits: int = SIMHASH_BITS) -> Column:

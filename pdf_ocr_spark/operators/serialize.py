@@ -53,6 +53,10 @@ def serialize_documents(
             out = out.withColumn("md", markdown_doc_col(pages))
         elif fmt == "html":
             out = out.withColumn("html", html_doc_col(pages, title))
+        elif fmt == "docx":
+            from pdf_ocr_spark.operators.docx import docx_udf
+
+            out = out.withColumn("docx", docx_udf()(pages))
         else:
             raise ValueError(f"Unsupported output format: {fmt}")
     return out

@@ -46,6 +46,26 @@ def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
         return spark.createDataFrame([], MANIFEST_SCHEMA)
 
 
+def expire_manifest(spark: SparkSession, out_dir: str, ttl_seconds: float) -> int:
+    """S10 retention: drop manifest rows older than the TTL (the
+    reference deletes stale uploads/tasks by mtime,
+    /root/reference/app.py:76-102). Parquet has no row deletes, so this
+    rewrites the manifest filtered — with Iceberg it would be a
+    metadata-only ``DELETE WHERE ts < cutoff``. Returns rows kept."""
+    import tempfile
+
+    m = read_manifest(spark, out_dir)
+    kept = m.where(
+        F.col("ts") >= F.from_unixtime(F.unix_timestamp(F.current_timestamp()) - F.lit(int(ttl_seconds))).cast("timestamp")
+    )
+    rows = kept.collect()
+    path = _manifest_dir(out_dir)
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(rows, MANIFEST_SCHEMA).coalesce(1).write.mode("overwrite").parquet(td + "/m")
+        spark.read.schema(MANIFEST_SCHEMA).parquet(td + "/m").write.mode("overwrite").parquet(path)
+    return len(rows)
+
+
 def completed_buckets(spark: SparkSession, out_dir: str, run_id: str) -> DataFrame:
     return (
         read_manifest(spark, out_dir)

@@ -133,6 +133,38 @@ def generate_documents(spark, n_docs: int, seed: int = 42, image_rate: float = 0
     return spark.range(n_docs).mapInPandas(gen, schema=DOCUMENTS_SCHEMA)
 
 
+def materialize_corpus(
+    spark,
+    out_dir: str,
+    n_docs: int,
+    seed: int = 42,
+    missing_rate: float = 0.02,
+    corrupt_rate: float = 0.02,
+    partitions: int = 64,
+) -> tuple[str, str]:
+    """Generate and write the documents + media tables to parquet
+    (the stand-in for the Iceberg input tables). Skips work if already
+    materialized. Returns (documents_path, media_path)."""
+    import os
+
+    docs_path = os.path.join(out_dir, "documents")
+    media_path = os.path.join(out_dir, "media")
+    marker = os.path.join(out_dir, f"_READY_{n_docs}_{seed}")
+    if not os.path.exists(marker):
+        docs = generate_documents(spark, n_docs=n_docs, seed=seed).repartition(partitions)
+        docs.write.mode("overwrite").parquet(docs_path)
+        media = generate_media(
+            spark,
+            spark.read.parquet(docs_path),
+            seed=seed,
+            missing_rate=missing_rate,
+            corrupt_rate=corrupt_rate,
+        )
+        media.write.mode("overwrite").parquet(media_path)
+        open(marker, "w").close()
+    return docs_path, media_path
+
+
 def generate_media(
     spark,
     documents,

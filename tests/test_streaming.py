@@ -1,0 +1,72 @@
+"""Streaming surface tests: the streaming pipeline must produce exactly
+the batch pipeline's results (the kernel is batch/stream agnostic)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pdf_ocr_spark.operators.normalize import normalize_documents
+from pdf_ocr_spark.plans.pipeline import extract_documents
+from pdf_ocr_spark.sources.corpus import generate_documents, generate_media
+from pdf_ocr_spark.streaming.stream import stream_extract, stream_normalize
+
+
+@pytest.fixture(scope="module")
+def staged(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("stream")
+    docs = generate_documents(spark, n_docs=40, seed=11)
+    docs.write.parquet(str(root / "in"))
+    media = generate_media(spark, docs, seed=11).cache()
+    return root, media
+
+
+def test_stream_normalize_matches_batch(spark, staged):
+    root, _ = staged
+    q = stream_normalize(
+        spark, str(root / "in"), str(root / "norm_out"), str(root / "norm_ckpt")
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: [tuple(s) for s in r["spans"]]
+        for r in spark.read.parquet(str(root / "norm_out")).collect()
+    }
+    want = {
+        r["doc_id"]: [tuple(s) for s in r["spans"]]
+        for r in normalize_documents(spark.read.parquet(str(root / "in"))).collect()
+    }
+    assert got == want
+
+
+def test_stream_extract_matches_batch(spark, staged):
+    root, media = staged
+    q = stream_extract(
+        spark, str(root / "in"), media, str(root / "ex_out"), str(root / "ex_ckpt")
+    )
+    q.awaitTermination(180)
+    got = {
+        r["doc_id"]: (r["txt"], [tuple(s) for s in r["spans"]])
+        for r in spark.read.parquet(str(root / "ex_out")).collect()
+    }
+    batch = extract_documents(spark.read.parquet(str(root / "in")), media)
+    want = {
+        r["doc_id"]: (r["txt"], [tuple(s) for s in r["spans"]]) for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_stream_is_incremental(spark, staged):
+    """New files appended to the input dir are picked up by a later
+    availableNow run without reprocessing the old ones."""
+    root, media = staged
+    more = generate_documents(spark, n_docs=10, seed=99).withColumnRenamed("doc_id", "doc_id")
+    more = more.selectExpr("concat('late_', doc_id) as doc_id", "spans")
+    more.write.mode("append").parquet(str(root / "in"))
+    late_media = generate_media(spark, more, seed=11)
+    q = stream_extract(
+        spark, str(root / "in"), media.unionByName(late_media), str(root / "ex_out"), str(root / "ex_ckpt")
+    )
+    q.awaitTermination(180)
+    out = spark.read.parquet(str(root / "ex_out"))
+    # 40 originals exactly once + 10 late docs
+    assert out.count() == 50
+    assert out.where("doc_id like 'late_%'").count() == 10
