@@ -801,6 +801,92 @@ def q_knn(spark: SparkSession, sf: str) -> DataFrame:
     return cosine_topk(emb.where(F.col("vec_id") < 5), emb, k=3)
 
 
+@_register(
+    "dedup_embedding_cosine",
+    f"""
+WITH base AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+dup AS (SELECT vec_id + 10000 AS id, embedding AS v FROM embeddings WHERE vec_id % 10 = 0),
+corpus AS (SELECT * FROM base UNION ALL SELECT * FROM dup),
+pairs AS (
+    SELECT a.id AS id_a, b.id AS id_b, {_sql_cosine('a.v', 'b.v')} AS cos
+    FROM corpus a JOIN corpus b ON a.id < b.id
+)
+SELECT id_a, id_b FROM pairs WHERE cos >= 0.99
+""",
+)
+def q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup: exact duplicates injected (vec_id+10000
+    for every 10th vector), pairs above 0.99 cosine reported by id only
+    (score excluded from the contract — ULP-robust)."""
+    from pdf_ocr_spark.operators.similarity import cosine_col
+
+    e = load_table(spark, sf, "embeddings")
+    base = e.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
+    dup = e.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10000).alias("id"), F.col("embedding").alias("v")
+    )
+    corpus = base.unionByName(dup)
+    a = corpus.alias("a")
+    b = corpus.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .where(cosine_col(F.col("a.v"), F.col("b.v")) >= 0.99)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+
+
+#: BPE-ish pre-tokenizer regex (GPT-2 style, lookaround-free so it runs
+#: identically on Java regex and RE2): contractions, letter runs,
+#: number runs, punctuation runs, whitespace runs.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+@_register(
+    "bpe_token_count",
+    "SELECT doc_id, len(regexp_extract_all(text, '"
+    + BPE_PATTERN.replace("'", "''")
+    + "')) AS n_bpe_tokens FROM documents",
+)
+def q_bpe_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), F.lit(0))).alias(
+            "n_bpe_tokens"
+        ),
+    )
+
+
+# --- multimodal (rows-only: no SQL oracle can parse PNG) --------------------
+
+
+def _fixed_media(spark: SparkSession):
+    from pdf_ocr_spark.sources.corpus import generate_documents, generate_media
+
+    docs = generate_documents(spark, n_docs=50, seed=13)
+    return generate_media(spark, docs, seed=13, corrupt_rate=0.05)
+
+
+@_register("media_metadata")
+def q_media_metadata(spark: SparkSession, sf: str) -> DataFrame:
+    """Typed metadata over opaque binary media (PNG header parse;
+    malformed payloads as error rows)."""
+    from pdf_ocr_spark.operators.multimodal import media_metadata
+
+    return media_metadata(_fixed_media(spark))
+
+
+@_register("image_features")
+def q_image_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Decode + downsample-grid visual embedding over media payloads."""
+    from pdf_ocr_spark.operators.multimodal import image_features
+
+    return image_features(_fixed_media(spark)).select(
+        "media_ref", "width", "height", F.round("mean_intensity", 4).alias("mean_intensity"),
+        F.round("ink_ratio", 4).alias("ink_ratio"),
+    )
+
+
 # --- text analysis ---------------------------------------------------------
 
 

@@ -1,0 +1,229 @@
+"""Multimodal media operators: typed metadata + decode/feature plumbing.
+
+Media payloads are opaque ``binary`` columns with typed metadata
+extracted by Arrow-batched kernels. The PNG path is fully real (the
+pure-Python codec); audio/video decode backends don't exist in this
+container, so their decode steps are STUBS behind clearly-marked
+``NotImplementedError`` — but the Spark-side plumbing (schemas, batch
+shapes, kernel signatures, partitioning) is real and tested with an
+injectable fake decoder, so swapping in a real backend (ffmpeg,
+torchaudio, ...) is a one-function change inside the kernel.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_META_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType(), False),
+        StructField("format", StringType(), True),  # 'png' | 'unknown'
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_bytes", IntegerType(), False),
+        StructField("valid", StringType(), False),  # 'ok' | error message
+    ]
+)
+
+
+def png_dimensions(payload: bytes) -> tuple[int, int]:
+    """Width/height straight from the IHDR chunk (no full decode)."""
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    w, h = struct.unpack(">II", payload[16:24])
+    return int(w), int(h)
+
+
+def media_metadata(media: DataFrame) -> DataFrame:
+    """Typed metadata for every media payload; malformed payloads are
+    error-as-row (valid != 'ok'), never exceptions."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts, ws, hs, ns, oks = [], [], [], [], []
+            for payload in pdf["payload"]:
+                b = bytes(payload) if payload is not None else b""
+                ns.append(len(b))
+                try:
+                    w, h = png_dimensions(b)
+                    fmts.append("png")
+                    ws.append(w)
+                    hs.append(h)
+                    oks.append("ok")
+                except Exception as e:
+                    fmts.append("unknown")
+                    ws.append(None)
+                    hs.append(None)
+                    oks.append(f"error: {e}")
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "format": fmts,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "n_bytes": ns,
+                    "valid": oks,
+                }
+            )
+
+    return media.mapInPandas(kernel, schema=MEDIA_META_SCHEMA)
+
+
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("mean_intensity", DoubleType(), True),
+        StructField("ink_ratio", DoubleType(), True),
+        StructField("embedding", ArrayType(FloatType()), True),
+    ]
+)
+
+
+def image_features(media: DataFrame, grid: int = 4) -> DataFrame:
+    """Decode -> downsample to a grid -> cheap visual embedding
+    (per-cell mean intensity). Real end-to-end for PNG payloads."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from pdf_ocr_spark.operators.imaging import to_grayscale
+        from pdf_ocr_spark.sources.pngcodec import decode_png
+
+        for pdf in batches:
+            rows = {k: [] for k in ("width", "height", "mean_intensity", "ink_ratio", "embedding")}
+            for payload in pdf["payload"]:
+                try:
+                    img = to_grayscale(decode_png(bytes(payload)))
+                    h, w = img.shape
+                    cells = []
+                    for gy in range(grid):
+                        for gx in range(grid):
+                            block = img[
+                                gy * h // grid : (gy + 1) * h // grid or 1,
+                                gx * w // grid : (gx + 1) * w // grid or 1,
+                            ]
+                            cells.append(float(block.mean()) / 255.0 if block.size else 0.0)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["mean_intensity"].append(float(img.mean()))
+                    rows["ink_ratio"].append(float((img < 128).mean()))
+                    rows["embedding"].append(np.array(cells, dtype="float32"))
+                except Exception:
+                    for k in rows:
+                        rows[k].append(None)
+            out = pd.DataFrame({"media_ref": pdf["media_ref"]})
+            for k, v in rows.items():
+                out[k] = pd.Series(v, dtype="object" if k == "embedding" else None)
+            yield out
+
+    return media.mapInPandas(kernel, schema=IMAGE_FEATURES_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType(), False),
+        StructField("duration_s", DoubleType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("rms", DoubleType(), True),
+    ]
+)
+
+VIDEO_FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType(), False),
+        StructField("frame_no", IntegerType(), False),
+        StructField("frame_png", BinaryType(), True),
+    ]
+)
+
+
+def _audio_decode_stub(payload: bytes):
+    """STUB: no audio backend (libsndfile/ffmpeg) in this container.
+    Contract: return (samples: np.ndarray float32 mono, sample_rate: int)."""
+    raise NotImplementedError(
+        "audio decode backend not installed; inject decode_fn (see audio_features)"
+    )
+
+
+def _video_decode_stub(payload: bytes, every_n: int):
+    """STUB: no video backend in this container. Contract: yield
+    (frame_no: int, frame: np.ndarray HxW or HxWx3 uint8)."""
+    raise NotImplementedError(
+        "video decode backend not installed; inject decode_fn (see video_frame_sample)"
+    )
+
+
+def audio_features(
+    media: DataFrame, decode_fn: Callable | None = None
+) -> DataFrame:
+    """Audio feature extraction over opaque payloads. The decode step is
+    injectable; the default stub raises (error-as-row)."""
+    decode = decode_fn or _audio_decode_stub
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            durs, rates, rmss = [], [], []
+            for payload in pdf["payload"]:
+                try:
+                    samples, rate = decode(bytes(payload))
+                    durs.append(len(samples) / rate)
+                    rates.append(rate)
+                    rmss.append(float((samples.astype("float64") ** 2).mean() ** 0.5))
+                except Exception:
+                    durs.append(None)
+                    rates.append(None)
+                    rmss.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "duration_s": durs,
+                    "sample_rate": pd.array(rates, dtype="Int32"),
+                    "rms": rmss,
+                }
+            )
+
+    return media.mapInPandas(kernel, schema=AUDIO_FEATURES_SCHEMA)
+
+
+def video_frame_sample(
+    media: DataFrame, every_n: int = 10, decode_fn: Callable | None = None
+) -> DataFrame:
+    """1 input row -> N frame rows (UDTF-shaped fan-out). Frames are
+    re-encoded PNG so downstream ops (OCR, features) compose."""
+    decode = decode_fn or _video_decode_stub
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_ocr_spark.sources.pngcodec import encode_png
+
+        for pdf in batches:
+            refs, nos, frames = [], [], []
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                try:
+                    for frame_no, frame in decode(bytes(payload), every_n):
+                        refs.append(ref)
+                        nos.append(frame_no)
+                        frames.append(encode_png(frame))
+                except Exception:
+                    refs.append(ref)
+                    nos.append(-1)
+                    frames.append(None)
+            yield pd.DataFrame({"media_ref": refs, "frame_no": nos, "frame_png": frames})
+
+    return media.mapInPandas(kernel, schema=VIDEO_FRAMES_SCHEMA)
