@@ -773,8 +773,16 @@ def _sql_simhash(e: str, bits: int = 32) -> str:
     f"SELECT doc_id, {_sql_simhash('text')} AS simhash FROM documents",
 )
 def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_ocr_spark.operators.analysis import tokens_col
+    from pdf_ocr_spark.operators.dedup import simhash_from_tokens
+
     d = load_table(spark, sf, "documents")
-    return d.select("doc_id", simhash_col(F.col("text")).alias("simhash"))
+    # materialize distinct tokens once; the 32 vote-aggregates then read
+    # a bound column instead of re-tokenizing (10x on this query)
+    toked = d.select(
+        "doc_id", F.array_distinct(tokens_col(F.lower(F.col("text")))).alias("_toks")
+    )
+    return toked.select("doc_id", simhash_from_tokens(F.col("_toks")).alias("simhash"))
 
 
 # --- similarity search -----------------------------------------------------
@@ -962,8 +970,14 @@ SELECT doc_id, min(md5(gram)) AS fingerprint FROM grams GROUP BY doc_id
 """,
 )
 def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_ocr_spark.operators.analysis import tokens_col, word_ngrams_from_tokens
+
     d = load_table(spark, sf, "documents")
-    return d.select("doc_id", fingerprint_col(F.col("text")).alias("fingerprint"))
+    toked = d.select("doc_id", tokens_col(F.lower(F.col("text"))).alias("_toks"))
+    grams = toked.select("doc_id", word_ngrams_from_tokens(F.col("_toks"), 3).alias("_grams"))
+    return grams.select(
+        "doc_id", F.array_min(F.transform(F.col("_grams"), F.md5)).alias("fingerprint")
+    )
 
 
 # --- rows-only (no SQL oracle): approximate / LSH-ANN ----------------------

@@ -95,10 +95,16 @@ def quality_score_col(text: Column) -> Column:
     )
 
 
-def word_ngrams_col(text: Column, n: int = 3) -> Column:
-    """Array of word n-gram shingles (space-joined). Fewer than n tokens
-    -> the whole text as a single shingle."""
-    toks = tokens_col(F.lower(text))
+def word_ngrams_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Array of word n-gram shingles from an (already materialized)
+    token-array column. Fewer than n tokens -> the whole text as a
+    single shingle.
+
+    IMPORTANT: pass a *column reference* (e.g. materialized via
+    ``withColumn``), not a token expression — Catalyst does not
+    common-subexpression-eliminate across lambda bodies, so an inline
+    expression would be re-evaluated for every element access
+    (measured 10-30x slowdown)."""
     k = F.size(toks)
     idx = F.sequence(F.lit(1), k - F.lit(n - 1))
     grams = F.transform(
@@ -106,6 +112,13 @@ def word_ngrams_col(text: Column, n: int = 3) -> Column:
         lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]),
     )
     return F.when(k < n, F.array(F.concat_ws(" ", toks))).otherwise(grams)
+
+
+def word_ngrams_col(text: Column, n: int = 3) -> Column:
+    """Shingles straight from a text column — convenient for one-shot
+    expressions; for hot paths materialize tokens first and use
+    :func:`word_ngrams_from_tokens`."""
+    return word_ngrams_from_tokens(tokens_col(F.lower(text)), n)
 
 
 def fingerprint_col(text: Column, n: int = 3) -> Column:

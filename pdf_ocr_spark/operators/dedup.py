@@ -65,10 +65,15 @@ def minhash_signature_col(text: Column, perms: int = MINHASH_PERMS) -> Column:
 def shingle_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One row per (id, distinct word-3-gram). The shared input of the
     MinHash, LSH, and Jaccard operators — compute (and cache) it once
-    instead of re-deriving shingles inside every downstream plan."""
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(word_ngrams_col(F.col(text_col), 3))).alias("gram"),
+    instead of re-deriving shingles inside every downstream plan.
+
+    Tokens are materialized as a column before the shingle transform so
+    tokenization runs once per row (see word_ngrams_from_tokens)."""
+    from pdf_ocr_spark.operators.analysis import tokens_col, word_ngrams_from_tokens
+
+    return (
+        df.select(F.col(id_col).alias("id"), tokens_col(F.lower(F.col(text_col))).alias("_toks"))
+        .select("id", F.explode(F.array_distinct(word_ngrams_from_tokens(F.col("_toks"), 3))).alias("gram"))
     )
 
 
@@ -186,10 +191,18 @@ def minhash_near_dup(
 
 
 def simhash_col(text: Column, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash straight from a text column — convenience wrapper; hot
+    paths should materialize the distinct-token array and call
+    :func:`simhash_from_tokens` (lambda bodies re-evaluate inline
+    expressions per aggregate)."""
+    return simhash_from_tokens(F.array_distinct(tokens_col(F.lower(text))), bits)
+
+
+def simhash_from_tokens(toks: Column, bits: int = SIMHASH_BITS) -> Column:
     """SimHash as a `bits`-char bit string: bit j is the majority vote
     of bit j of each token's MD5 (top bit of hex digit j). Portable:
-    pure MD5-hex-digit arithmetic."""
-    toks = F.array_distinct(tokens_col(F.lower(text)))
+    pure MD5-hex-digit arithmetic. ``toks`` should be a materialized
+    column of distinct tokens."""
 
     def vote(j: int):
         return lambda acc, t: acc + F.when(
