@@ -605,6 +605,64 @@ def q_asof(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "sessionize_events",
+    """
+SELECT user_id, event_id, session_id FROM (
+    SELECT user_id, event_id,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM (
+        SELECT user_id, event_id, ts,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                            > INTERVAL 600 SECOND
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    )
+)
+""",
+)
+def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Sessionization — the classic training-data/log-pipeline operator:
+    a new session starts after a >10-minute gap; session_id is the
+    running count of session starts per user. Gap compare is interval
+    arithmetic (timestamp-kind agnostic, microsecond exact in both
+    engines)."""
+    e = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(F.col("ts")).over(w)
+    new_session = F.when(
+        prev.isNull() | ((F.col("ts") - prev) > F.expr("INTERVAL '600' SECOND")), 1
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return e.select(
+        "user_id", "event_id", F.sum(new_session).over(run).alias("session_id")
+    )
+
+
+@_register(
+    "lag_lead_values",
+    """
+SELECT user_id, event_id,
+       lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+       lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value
+FROM events
+""",
+)
+def q_lag_lead(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+    )
+
+
+@_register(
     "cube_events",
     """
 SELECT coalesce(event_type, 'ALL') AS etype,

@@ -47,10 +47,18 @@ def normalize_text_col(c: Column) -> Column:
     return fix_ocr_errors_col(sanitize_text_col(c))
 
 
+#: Exactly Python's ``str.strip()`` whitespace set (str.isspace()):
+#: ASCII \s plus the C1 separators \x1c-\x1f, NEL, NBSP, and the
+#: Unicode Zs/line/paragraph separators. Java's \s alone misses the
+#: \x1c-\x1f range (found by hypothesis against the oracle).
+_PY_WHITESPACE_CLASS = (
+    "[\\s\\x1C-\\x1F\\x85\\xA0\\u1680\\u2000-\\u200A\\u2028\\u2029\\u202F\\u205F\\u3000]"
+)
+
+
 def strip_col(c: Column) -> Column:
-    """Python ``str.strip()`` for the ASCII-whitespace range the engine
-    can produce post-sanitize (space, \\t, \\n, \\r, \\x0B, \\f)."""
-    return F.regexp_replace(c, r"^\s+|\s+$", "")
+    """Python ``str.strip()`` semantics as a column expression."""
+    return F.regexp_replace(c, f"^{_PY_WHITESPACE_CLASS}+|{_PY_WHITESPACE_CLASS}+$", "")
 
 
 def html_escape_col(c: Column) -> Column:

@@ -110,11 +110,26 @@ def extract_documents(
     media: DataFrame,
     config: ExtractionConfig | None = None,
     serialize: bool = True,
+    observation=None,
 ) -> DataFrame:
     """Full pipeline: returns one row per document with ordered spans,
-    metrics, and (optionally) serialized txt/md/html columns."""
+    metrics, and (optionally) serialized txt/md/html columns.
+
+    Pass a ``pyspark.sql.Observation`` to collect job-level metrics
+    (docs/pages/errors/mean confidence) at action time with zero extra
+    passes — the Spark-native replacement for the reference's polled
+    TASK_STATUS progress dict (/root/reference/app.py:518-522).
+    """
     cfg = config or ExtractionConfig()
     docs = reassemble_with_metrics(extract_pages(documents, media, cfg))
+    if observation is not None:
+        docs = docs.observe(
+            observation,
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_pages").alias("n_pages"),
+            F.sum("n_errors").alias("n_errors"),
+            F.avg("mean_confidence").alias("mean_confidence"),
+        )
     if serialize:
         docs = serialize_documents(docs, formats=cfg.output_formats)
     return docs
