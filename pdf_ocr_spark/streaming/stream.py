@@ -50,6 +50,102 @@ def stream_normalize(
     return writer.start()
 
 
+def stream_windowed_event_counts(
+    spark: SparkSession,
+    input_path: str,
+    schema,
+    query_name: str = "event_counts",
+    window_duration: str = "1 hour",
+    watermark: str = "10 minutes",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Event-time windowed aggregation with a watermark for late data —
+    the standard streaming-rollup shape (counts + value sum per
+    (window, event_type)). Results land in an in-memory table named
+    ``query_name`` (complete mode) for inspection/tests; swap the sink
+    for parquet/Kafka in production."""
+    from pyspark.sql import functions as F
+
+    stream = spark.readStream.schema(schema).parquet(input_path)
+    # watermarks require TIMESTAMP (ltz); parquet timestamps read as NTZ
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agged = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+    )
+    writer = (
+        agged.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+#: Output schema of the stateful assembler.
+_ASSEMBLED_SCHEMA = (
+    "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, "
+    "complete boolean"
+)
+#: State: accumulated spans as JSON + the expected page count.
+_STATE_SCHEMA = "collected string, n_total int"
+
+
+def assemble_pages_stateful(pages_stream, timeout_ms: int = 60000):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    pages of a document arrive **out of order across micro-batches**;
+    per-doc state accumulates them until all ``n_total`` pages are seen,
+    then the assembled ordered document is emitted and state cleared.
+    On processing-time timeout, a partial document is emitted with
+    ``complete=false`` (the reference's task-TTL analogue,
+    /root/reference/app.py:95-102).
+
+    Input stream columns: doc_id, offset, kind, text, media_ref, n_total.
+    """
+    import json
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def assemble(key, pdfs, state):
+        doc_id = key[0]
+        if state.hasTimedOut:
+            collected, _ = state.get
+            spans = sorted(json.loads(collected), key=lambda s: s["offset"])
+            state.remove()
+            yield pd.DataFrame({"doc_id": [doc_id], "spans": [spans], "complete": [False]})
+            return
+        if state.exists:
+            collected, n_total = state.get
+            spans = json.loads(collected)
+        else:
+            spans, n_total = [], None
+        for pdf in pdfs:
+            for k, t, m, o, n in zip(
+                pdf["kind"], pdf["text"], pdf["media_ref"], pdf["offset"], pdf["n_total"]
+            ):
+                spans.append({"kind": k, "text": t, "media_ref": m, "offset": int(o)})
+                n_total = int(n)
+        if n_total is not None and len(spans) >= n_total:
+            state.remove()
+            spans.sort(key=lambda s: s["offset"])
+            yield pd.DataFrame({"doc_id": [doc_id], "spans": [spans], "complete": [True]})
+        else:
+            state.update((json.dumps(spans), n_total))
+            state.setTimeoutDuration(timeout_ms)
+
+    return pages_stream.groupBy("doc_id").applyInPandasWithState(
+        assemble,
+        outputStructType=_ASSEMBLED_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def stream_extract(
     spark: SparkSession,
     input_path: str,
