@@ -20,6 +20,64 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def reassemble_spans_auto_salted(
+    pages: DataFrame, hot_threshold: int = 10_000, target_per_group: int = 5_000
+) -> DataFrame:
+    """Skew-adaptive reassembly: salt counts derive from the measured
+    per-document span histogram (SURVEY §4 — 'salt count derives from
+    size(spans) histogram').
+
+    1. one cheap count-agg finds hot documents (> hot_threshold spans)
+       and assigns each ``salt_n = ceil(count / target_per_group)``;
+    2. the (tiny) hot map is **broadcast**-joined onto pages; cold docs
+       get salt 0 and flow through the plain single-stage aggregate,
+       hot docs are split into salt_n partial lists and re-merged.
+
+    Cost: one extra scan for the histogram + a broadcast join — no
+    extra shuffle for the (overwhelmingly common) cold documents.
+    Output identical to :func:`reassemble_spans_salted` / the plain
+    aggregate (equivalence-tested).
+    """
+    hot = (
+        pages.groupBy("doc_id")
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") > hot_threshold)
+        .select(
+            "doc_id",
+            F.ceil(F.col("_n") / F.lit(target_per_group)).cast("int").alias("_salt_n"),
+        )
+    )
+    salted = pages.join(F.broadcast(hot), "doc_id", "left").withColumn(
+        "_salt",
+        F.when(
+            F.col("_salt_n").isNotNull(),
+            F.pmod(F.xxhash64("offset"), F.col("_salt_n")),
+        ).otherwise(F.lit(0)),
+    )
+    ordered_struct = F.struct(
+        F.col("offset").alias("offset"),
+        F.col("kind").alias("kind"),
+        F.col("text").alias("text"),
+        F.col("media_ref").alias("media_ref"),
+    )
+    partials = salted.groupBy("doc_id", "_salt").agg(
+        F.array_sort(F.collect_list(ordered_struct)).alias("_partial")
+    )
+    merged = partials.groupBy("doc_id").agg(
+        F.array_sort(F.flatten(F.collect_list("_partial"))).alias("_ordered")
+    )
+    canonical = F.transform(
+        F.col("_ordered"),
+        lambda s: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            s["offset"].alias("offset"),
+        ),
+    )
+    return merged.select("doc_id", canonical.alias("spans"))
+
+
 def reassemble_spans_salted(pages: DataFrame, n_salt: int = 16) -> DataFrame:
     """Salted inverse of explode_spans. Output matches
     :func:`pdf_ocr_spark.operators.spans.reassemble_spans` exactly."""

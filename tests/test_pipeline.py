@@ -130,3 +130,17 @@ def test_resume_is_idempotent(spark, corpus, tmp_path):
     a = spark.read.parquet(f"{interrupted}/documents").select("doc_id", "txt").orderBy("doc_id")
     b = spark.read.parquet(f"{clean}/documents").select("doc_id", "txt").orderBy("doc_id")
     assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+
+
+def test_auto_salted_reassembly_equivalent(spark, corpus):
+    from pdf_ocr_spark.plans.salting import reassemble_spans_auto_salted
+
+    docs, _ = corpus
+    pages = explode_spans(docs)
+    plain = {r["doc_id"]: r["spans"] for r in reassemble_spans(pages).collect()}
+    # low thresholds so the hot path actually engages on the 50-200-span docs
+    auto = {
+        r["doc_id"]: r["spans"]
+        for r in reassemble_spans_auto_salted(pages, hot_threshold=40, target_per_group=25).collect()
+    }
+    assert plain == auto
