@@ -48,6 +48,15 @@ BENCH_QUERIES = [
     "anti_join_unprocessed",
     "region_rollup",
     "asof_prev_error",
+    "sessionize_events",
+    "lag_lead_values",
+    "cube_events",
+    "bpe_token_count",
+    "dedup_embedding_cosine",
+    "semi_join_active_customers",
+    "range_join_quantity_buckets",
+    "set_except",
+    "deterministic_sample",
 ]
 
 

@@ -883,8 +883,10 @@ SELECT id_a, id_b FROM pairs WHERE cos >= 0.99
 def q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-dup: exact duplicates injected (vec_id+10000
     for every 10th vector), pairs above 0.99 cosine reported by id only
-    (score excluded from the contract — ULP-robust)."""
-    from pdf_ocr_spark.operators.similarity import cosine_col
+    (score excluded from the contract — ULP-robust). Physical plan:
+    broadcast-matrix block similarity (one BLAS matmul per Arrow batch),
+    not a cross join."""
+    from pdf_ocr_spark.operators.similarity import embedding_near_dup_pairs
 
     e = load_table(spark, sf, "embeddings")
     base = e.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
@@ -892,13 +894,7 @@ def q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("vec_id") + 10000).alias("id"), F.col("embedding").alias("v")
     )
     corpus = base.unionByName(dup)
-    a = corpus.alias("a")
-    b = corpus.alias("b")
-    return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
-        .where(cosine_col(F.col("a.v"), F.col("b.v")) >= 0.99)
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-    )
+    return embedding_near_dup_pairs(corpus, threshold=0.99)
 
 
 #: BPE-ish pre-tokenizer regex (GPT-2 style, lookaround-free so it runs

