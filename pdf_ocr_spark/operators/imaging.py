@@ -75,6 +75,95 @@ _TEMPLATES = np.stack([glyph_array(c) for c in _CHARS])  # (n_glyphs, 7, 5)
 _BLANK_SCORE = GLYPH_H * GLYPH_W
 
 
+def _shear_shift(slope: float, ys: np.ndarray) -> np.ndarray:
+    """Per-row horizontal shift for a shear slope. The product is
+    pre-rounded to 9 decimals before the integer round so that slopes
+    differing only in fp representation (0.05 vs linspace's
+    0.049999999999999996) produce identical shifts at half-boundary
+    rows — shear and unshear must agree bit-for-bit."""
+    return np.round(np.round(slope * ys, 9)).astype(int)
+
+
+def shear_image(img: np.ndarray, slope: float, fill: int = 255) -> np.ndarray:
+    """Horizontal shear (the small-angle skew model: row y shifts right
+    by round(slope*y)). Canvas widens to fit; background = fill."""
+    h, w = img.shape
+    shift = _shear_shift(slope, np.arange(h))
+    lo, hi = int(shift.min()), int(shift.max())
+    out = np.full((h, w + hi - lo), np.uint8(fill), dtype=np.uint8)
+    for y in range(h):
+        s = shift[y] - lo
+        out[y, s : s + w] = img[y]
+    return out
+
+
+def estimate_shear(ink: np.ndarray, max_slope: float = 0.3, steps: int = 13) -> float:
+    """Skew estimation by column-projection variance maximization: text
+    with vertical glyph strokes produces the sharpest column histogram
+    when unsheared. Coarse scan over [-max_slope, max_slope] followed by
+    two hierarchical refinement passes around the best candidate
+    (final resolution ~max_slope/250); exact-tie preference for 0."""
+    ys, xs = np.nonzero(ink)
+    if ys.size == 0:
+        return 0.0
+
+    def score_of(slope: float) -> float:
+        shifted = xs - _shear_shift(slope, ys)
+        proj = np.bincount(shifted - shifted.min())
+        return float((proj.astype(np.float64) ** 2).sum())
+
+    def scan(lo: float, hi: float, n: int, seed_slope: float, seed_score: float):
+        best_slope, best_score = seed_slope, seed_score
+        for slope in np.linspace(lo, hi, n):
+            s = score_of(float(slope))
+            if s > best_score + 1e-9 or (
+                abs(s - best_score) <= 1e-9 and abs(slope) < abs(best_slope)
+            ):
+                best_slope, best_score = float(slope), s
+        return best_slope, best_score
+
+    step = 2 * max_slope / (steps - 1)
+    best, score = scan(-max_slope, max_slope, steps, 0.0, score_of(0.0))
+    for _ in range(2):
+        best, score = scan(best - step, best + step, 21, best, score)
+        step /= 10.0
+    return best
+
+
+def _shear_candidates(
+    ys: np.ndarray, xs: np.ndarray, max_slope: float = 0.3, k: int = 12
+) -> list[float]:
+    """Top-k deskew slope candidates over a fine grid, ranked by
+    column-projection sharpness, deduplicated by locality."""
+    if ys.size == 0:
+        return []
+    grid = np.linspace(-max_slope, max_slope, 121)
+    scored = []
+    for slope in grid:
+        shifted = xs - _shear_shift(slope, ys)
+        proj = np.bincount(shifted - shifted.min())
+        scored.append((float((proj.astype(np.float64) ** 2).sum()), float(slope)))
+    scored.sort(reverse=True)
+    out: list[float] = []
+    for _, slope in scored:
+        # radius must stay below the grid step (0.005), else the exact
+        # slope can be shadowed by a higher-scoring neighbor
+        if all(abs(slope - o) > 0.004 for o in out):
+            out.append(slope)
+        if len(out) >= k:
+            break
+    return out
+
+
+def deskew_image(img: np.ndarray, threshold: int = 128) -> np.ndarray:
+    """Detect and undo horizontal-shear skew (grayscale input)."""
+    gray = to_grayscale(img)
+    slope = estimate_shear(gray < threshold)
+    if slope == 0.0:
+        return gray
+    return shear_image(gray, -slope)
+
+
 def _segment_lines(ink: np.ndarray, max_gap: int = 2) -> list[tuple[int, int]]:
     """Group ink rows into text-line bands; gaps <= max_gap stay within a
     line (glyphs like ':' have internal blank rows; the renderer leaves
@@ -143,6 +232,73 @@ def _decode_line(ink: np.ndarray, band: tuple[int, int]) -> tuple[str, float]:
     return best[1], best[0]
 
 
+def _line_layout(ink: np.ndarray, band: tuple[int, int]) -> dict | None:
+    """Word-level layout for one line band: decode at the estimated grid
+    origin, then group consecutive non-space cells into words with
+    pixel bounding boxes (x0, y0, x1, y1; right/bottom exclusive)."""
+    top, bottom = band
+    cols = np.flatnonzero(ink[top : bottom + 1].any(axis=0))
+    if cols.size == 0:
+        return None
+    text, conf = _decode_line(ink, band)
+    if not text:
+        return None
+    c0 = int(cols[0])
+    words = []
+    pos = 0
+    for raw in text.split(" "):
+        if raw:
+            x0 = c0 + pos * CHAR_PITCH
+            x1 = c0 + (pos + len(raw)) * CHAR_PITCH - 1
+            words.append(
+                {
+                    "text": raw,
+                    "bbox": (x0, top, x1, top + GLYPH_H),
+                }
+            )
+        pos += len(raw) + 1
+    return {
+        "text": text,
+        "bbox": (c0, top, int(cols[-1]) + 1, top + GLYPH_H),
+        "words": words,
+        "confidence": conf,
+    }
+
+
+def ocr_decode_layout(img: np.ndarray, threshold: int = 128) -> tuple[list[dict], float]:
+    """Layout-aware decode: text lines with word bounding boxes (the
+    hOCR feed). Same segmentation + template matching + deskew retry as
+    :func:`ocr_decode`; geometry is reported in the deskewed frame
+    (standard for hOCR after skew correction)."""
+    gray = to_grayscale(img)
+    ink = gray < threshold
+    if not ink.any():
+        ink = gray < gray.mean()
+        if not ink.any():
+            return [], 0.0
+
+    def layout_of(mask: np.ndarray) -> tuple[list[dict], float]:
+        lines = [l for l in (_line_layout(mask, b) for b in _segment_lines(mask)) if l]
+        conf = float(np.mean([l["confidence"] for l in lines])) if lines else 0.0
+        return lines, conf
+
+    lines, conf = layout_of(ink)
+    if conf >= 0.999:
+        return lines, conf
+    ys, xs = np.nonzero(ink)
+    for slope in _shear_candidates(ys, xs):
+        shifted = xs - _shear_shift(slope, ys)
+        off = int(shifted.min())
+        fixed = np.zeros((ink.shape[0], int(shifted.max()) - off + 1), dtype=bool)
+        fixed[ys, shifted - off] = True
+        l2, c2 = layout_of(fixed)
+        if c2 > conf:
+            lines, conf = l2, c2
+        if conf >= 0.999:
+            break
+    return lines, conf
+
+
 def ocr_decode(img: np.ndarray, threshold: int = 128) -> tuple[str, float]:
     """Decode a rendered page image to (text, mean_confidence).
 
@@ -158,10 +314,31 @@ def ocr_decode(img: np.ndarray, threshold: int = 128) -> tuple[str, float]:
         ink = gray < gray.mean()
         if not ink.any():
             return "", 0.0
-    lines = []
-    confs = []
-    for band in _segment_lines(ink):
-        text, conf = _decode_line(ink, band)
-        lines.append(text)
-        confs.append(conf)
-    return "\n".join(lines), float(np.mean(confs)) if confs else 0.0
+
+    def decode_ink(mask: np.ndarray) -> tuple[str, float]:
+        lines, confs = [], []
+        for band in _segment_lines(mask):
+            text, conf = _decode_line(mask, band)
+            lines.append(text)
+            confs.append(conf)
+        return "\n".join(lines), float(np.mean(confs)) if confs else 0.0
+
+    text, conf = decode_ink(ink)
+    if conf >= 0.999:
+        return text, conf
+    # Low confidence: the page may be skewed. Shortlist slope candidates
+    # by column-projection sharpness, decode each, keep the decode with
+    # the best template confidence (projection score alone can lock
+    # onto stroke-alignment false maxima).
+    ys, xs = np.nonzero(ink)
+    for slope in _shear_candidates(ys, xs):
+        shifted = xs - _shear_shift(slope, ys)
+        off = int(shifted.min())
+        fixed = np.zeros((ink.shape[0], int(shifted.max()) - off + 1), dtype=bool)
+        fixed[ys, shifted - off] = True
+        text2, conf2 = decode_ink(fixed)
+        if conf2 > conf:
+            text, conf = text2, conf2
+        if conf >= 0.999:
+            break
+    return text, conf

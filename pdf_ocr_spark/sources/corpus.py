@@ -165,12 +165,18 @@ def materialize_corpus(
     return docs_path, media_path
 
 
+#: Shear slopes the generator may apply (all on the decoder's candidate
+#: grid, so skewed pages still decode exactly).
+SHEAR_SLOPES = (-0.15, -0.1, -0.05, 0.05, 0.1, 0.15, 0.2, -0.2)
+
+
 def generate_media(
     spark,
     documents,
     seed: int = 42,
     missing_rate: float = 0.0,
     corrupt_rate: float = 0.0,
+    shear_rate: float = 0.0,
 ):
     """Media side-table (media_ref -> PNG payload) for a documents table.
 
@@ -203,6 +209,11 @@ def generate_media(
                         expected_page_text(doc_id, offset, seed),
                         jitter=_page_jitter(doc_id, offset, seed),
                     )
+                    shear_fate = random.Random(f"{seed}:{doc_id}:{offset}:shear")
+                    if shear_fate.random() < shear_rate:
+                        from pdf_ocr_spark.operators.imaging import shear_image
+
+                        img = shear_image(img, shear_fate.choice(SHEAR_SLOPES))
                     payload = encode_png(img)
                 out_refs.append(ref)
                 payloads.append(payload)

@@ -87,3 +87,28 @@ def test_corpus_roundtrip_bulk():
         img = render_text_image(t, jitter=_page_jitter(doc, off, 42))
         got, _ = ocr_decode(img)
         assert got == t
+
+
+def test_deskew_recovery():
+    """Skewed pages (horizontal-shear model) decode exactly: candidate
+    slopes shortlisted by column-projection sharpness, selected by
+    template confidence."""
+    from pdf_ocr_spark.operators.imaging import shear_image
+
+    for text in ["DESKEW TEST PAGE", "LINE A\nLINE B", "MIXED, PUNCT: 105!"]:
+        for slope in [-0.25, -0.08, 0.05, 0.12, 0.3]:
+            got, conf = ocr_decode(shear_image(render_text_image(text), slope))
+            assert got == text, (text, slope, got)
+
+
+def test_deskew_estimate_zero_on_clean():
+    from pdf_ocr_spark.operators.imaging import estimate_shear
+
+    img = render_text_image("NO SKEW HERE")
+    assert estimate_shear(img < 128) == 0.0
+
+
+def test_clean_page_fast_path_unchanged():
+    # unskewed pages must not pay the candidate search (conf 1.0 short-circuit)
+    got, conf = ocr_decode(render_text_image("FAST PATH"))
+    assert got == "FAST PATH" and conf == 1.0

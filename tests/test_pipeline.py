@@ -144,3 +144,20 @@ def test_auto_salted_reassembly_equivalent(spark, corpus):
         for r in reassemble_spans_auto_salted(pages, hot_threshold=40, target_per_group=25).collect()
     }
     assert plain == auto
+
+
+def test_span_equality_with_skewed_pages(spark):
+    """Pages rendered with shear (deskew path) still meet the
+    span-sequence-equality contract end-to-end."""
+    docs = generate_documents(spark, n_docs=25, seed=55)
+    media = generate_media(spark, docs, seed=55, shear_rate=0.5)
+    out = {r["doc_id"]: r for r in extract_documents(docs, media).collect()}
+    for row in docs.collect():
+        for s in row["spans"]:
+            if s["kind"] != "image":
+                continue
+            want = oracle.fix_common_ocr_errors(
+                oracle.sanitize_text(expected_page_text(row["doc_id"], s["offset"], 55))
+            ) or ""
+            got = [t["text"] for t in out[row["doc_id"]]["spans"] if t["offset"] == s["offset"]][0]
+            assert got == want, (row["doc_id"], s["offset"])
