@@ -929,6 +929,28 @@ def _fixed_media(spark: SparkSession):
     return generate_media(spark, docs, seed=13, corrupt_rate=0.05)
 
 
+@_register("hocr_pages")
+def q_hocr_pages(spark: SparkSession, sf: str) -> DataFrame:
+    """Layout OCR -> hOCR per page over the fixed media corpus
+    (rows-only: no SQL engine parses PNGs). Word geometry from the
+    segmenter; deskew retry engaged for sheared pages."""
+    from pdf_ocr_spark.operators.hocr import ocr_pages_hocr
+    from pdf_ocr_spark.operators.spans import explode_spans
+    from pdf_ocr_spark.sources.corpus import generate_documents, generate_media
+
+    docs = generate_documents(spark, n_docs=50, seed=13)
+    media = generate_media(spark, docs, seed=13, corrupt_rate=0.05, shear_rate=0.3)
+    pages = (
+        explode_spans(docs)
+        .where(F.col("kind") == "image")
+        .select("doc_id", "offset", "media_ref")
+        .join(media, "media_ref", "left")
+    )
+    return ocr_pages_hocr(pages).select(
+        "doc_id", "offset", "media_ref", "text", "hocr", F.round("confidence", 4).alias("confidence"), "error"
+    )
+
+
 @_register("media_metadata")
 def q_media_metadata(spark: SparkSession, sf: str) -> DataFrame:
     """Typed metadata over opaque binary media (PNG header parse;

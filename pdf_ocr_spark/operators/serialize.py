@@ -57,6 +57,10 @@ def serialize_documents(
             from pdf_ocr_spark.operators.docx import docx_udf
 
             out = out.withColumn("docx", docx_udf()(pages))
+        elif fmt == "json":
+            from pdf_ocr_spark.operators.hocr import json_doc_col
+
+            out = out.withColumn("json", json_doc_col(F.col("doc_id"), F.col("spans")))
         else:
             raise ValueError(f"Unsupported output format: {fmt}")
     return out
