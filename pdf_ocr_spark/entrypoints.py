@@ -663,6 +663,62 @@ def q_lag_lead(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "pivot_event_counts",
+    "PIVOT (SELECT user_id % 10 AS bucket, event_type FROM events) "
+    "ON event_type USING count(*) GROUP BY bucket",
+)
+def q_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot (wide aggregation): counts per (user bucket) x event_type.
+    Output column names are the pivoted values in both engines."""
+    e = load_table(spark, sf, "events")
+    return (
+        e.withColumn("bucket", (F.col("user_id") % 10).cast("long"))
+        .groupBy("bucket")
+        .pivot("event_type")
+        .agg(F.count(F.lit(1)))
+    )
+
+
+@_register(
+    "percentiles_exact",
+    "SELECT event_type, quantile_cont(value, 0.5) AS p50, quantile_cont(value, 0.9) AS p90 "
+    "FROM events GROUP BY event_type",
+)
+def q_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` and DuckDB
+    `quantile_cont` share linear-interpolation semantics — verified
+    value-equal; the approximate variant lives in approx_distinct_users)."""
+    e = load_table(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+    )
+
+
+@_register(
+    "argmax_per_user",
+    """
+SELECT user_id, m.value AS max_value, m.event_id AS argmax_event
+FROM (SELECT user_id, max(struct_pack(value := value, event_id := event_id)) AS m
+      FROM events GROUP BY user_id)
+""",
+)
+def q_argmax(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic arg-max via struct max (lexicographic on (value,
+    event_id)) — the tie-safe alternative to max_by."""
+    e = load_table(spark, sf, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(F.max(F.struct("value", "event_id")).alias("m"))
+        .select(
+            "user_id",
+            F.col("m.value").alias("max_value"),
+            F.col("m.event_id").alias("argmax_event"),
+        )
+    )
+
+
+@_register(
     "cube_events",
     """
 SELECT coalesce(event_type, 'ALL') AS etype,
