@@ -1139,14 +1139,70 @@ def q_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def flagship(spark: SparkSession) -> DataFrame:
-    """End-to-end span-model extraction over a generated interleaved
-    corpus: generate -> OCR-decode -> normalize -> reassemble ->
-    serialize. Returns per-document results with metrics."""
+def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """Flagship end-to-end extraction, per the driver contract: load the
+    sf0.001 documents parquet, lift it into the interleaved span model
+    (text spans from paragraph-split pages + deterministic image spans
+    whose media payloads are rendered by the corpus generator), run the
+    full pipeline (OCR decode -> normalize -> ordered reassembly ->
+    serialize) and return per-document results with metrics."""
     from pdf_ocr_spark.plans.pipeline import extract_documents
-    from pdf_ocr_spark.sources.corpus import generate_documents, generate_media
+    from pdf_ocr_spark.sources.corpus import generate_media
 
-    docs = generate_documents(spark, n_docs=200, seed=42)
-    media = generate_media(spark, docs, seed=42, missing_rate=0.03, corrupt_rate=0.03)
+    d = load_table(spark, sf_dir, "documents")
+    paged = d.select(
+        F.concat(F.lit("tdoc_"), F.col("doc_id")).alias("doc_id"),
+        F.posexplode(
+            F.split(F.replace(F.col("text"), F.lit(" batch "), F.lit("\n\n")), r"\n\n")
+        ).alias("offset", "text"),
+    ).select(
+        "doc_id",
+        F.col("offset").cast("int").alias("offset"),
+        F.lit("text").alias("kind"),
+        "text",
+        F.lit("").alias("media_ref"),
+    )
+    n_text = paged.groupBy("doc_id").agg(F.max("offset").alias("max_off"))
+    # one image span appended per document, media_ref keyed off doc_id
+    img = n_text.select(
+        "doc_id",
+        (F.col("max_off") + 1).cast("int").alias("offset"),
+        F.lit("image").alias("kind"),
+        F.lit("").alias("text"),
+        F.concat(  # media_ref_for as a pure column expression (no python UDF)
+            F.lit("mem://"), F.col("doc_id"), F.lit("/page_"),
+            (F.col("max_off") + 1).cast("int"), F.lit(".png"),
+        ).alias("media_ref"),
+    )
+    pages = paged.unionByName(img)
+    span_struct = F.struct(
+        F.col("offset").alias("offset"),
+        F.col("kind").alias("kind"),
+        F.col("text").alias("text"),
+        F.col("media_ref").alias("media_ref"),
+    )
+    docs = (
+        pages.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(span_struct)).alias("_o"))
+        .select(
+            "doc_id",
+            F.transform(
+                F.col("_o"),
+                lambda s: F.struct(
+                    s["kind"].alias("kind"),
+                    s["text"].alias("text"),
+                    s["media_ref"].alias("media_ref"),
+                    s["offset"].alias("offset"),
+                ),
+            ).alias("spans"),
+        )
+    )
+    media = generate_media(spark, docs, seed=42, missing_rate=0.02, corrupt_rate=0.02)
     out = extract_documents(docs, media)
-    return out.select("doc_id", "n_pages", "n_errors", F.round("mean_confidence", 6).alias("mean_confidence"), "txt")
+    return out.select(
+        "doc_id",
+        "n_pages",
+        "n_errors",
+        F.round("mean_confidence", 6).alias("mean_confidence"),
+        "txt",
+    )

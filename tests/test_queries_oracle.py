@@ -73,5 +73,7 @@ def test_query_matches_oracle(spark, duck, name):
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()
-    assert len(rows) == 200
+    assert len(rows) == 500  # one output doc per sf0.001 documents row
     assert {"doc_id", "n_pages", "n_errors", "mean_confidence", "txt"} <= set(df.columns)
+    # every document gained exactly one decoded image page
+    assert all(r["n_pages"] >= 2 for r in rows)
