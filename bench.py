@@ -57,6 +57,11 @@ BENCH_QUERIES = [
     "range_join_quantity_buckets",
     "set_except",
     "deterministic_sample",
+    "pivot_event_counts",
+    "percentiles_exact",
+    "argmax_per_user",
+    "json_extract_props",
+    "grouping_sets_customers",
 ]
 
 

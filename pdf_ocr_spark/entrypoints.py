@@ -663,6 +663,38 @@ def q_lag_lead(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "json_extract_props",
+    "SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k FROM events",
+)
+def q_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured access: JSON-path extraction from a string column
+    (the reference's task-status payloads are JSON dicts, SURVEY §1.2)."""
+    e = load_table(spark, sf, "events")
+    return e.select(
+        "event_id", F.get_json_object("props", "$.k").cast("long").alias("k")
+    )
+
+
+@_register(
+    "grouping_sets_customers",
+    "SELECT coalesce(c_mktsegment, 'ALL') AS seg, "
+    "coalesce(c_nationkey::VARCHAR, 'ALL') AS nat, count(*) AS n, "
+    "grouping(c_mktsegment) AS g1 "
+    "FROM customer GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))",
+)
+def q_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind rollup/cube),
+    exercised through the SQL surface."""
+    load_table(spark, sf, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        "SELECT coalesce(c_mktsegment, 'ALL') AS seg, "
+        "coalesce(cast(c_nationkey as string), 'ALL') AS nat, count(*) AS n, "
+        "grouping(c_mktsegment) AS g1 "
+        "FROM customer GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))"
+    )
+
+
+@_register(
     "pivot_event_counts",
     "PIVOT (SELECT user_id % 10 AS bucket, event_type FROM events) "
     "ON event_type USING count(*) GROUP BY bucket",

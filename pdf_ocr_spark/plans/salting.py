@@ -20,6 +20,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_from: str,
+    n_salt: int = 16,
+) -> DataFrame:
+    """Skew-robust equi-join: the dim side is replicated ``n_salt``
+    times with a salt column, each fact row picks a deterministic salt
+    from ``salt_from`` (any high-cardinality fact column), and the join
+    key becomes (key, salt) — a hot key's rows now land on ``n_salt``
+    reducers instead of one. Result identical to ``fact.join(dim, key)``
+    (equivalence-tested). AQE's skew-join split covers sort-merge joins
+    adaptively; this explicit form also works for storage-partitioned
+    joins and fixed plans."""
+    dim_salted = dim.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
+    fact_salted = fact.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(salt_from)), F.lit(n_salt)).cast("int")
+    )
+    return fact_salted.join(dim_salted, [key, "_salt"]).drop("_salt")
+
+
 def reassemble_spans_auto_salted(
     pages: DataFrame, hot_threshold: int = 10_000, target_per_group: int = 5_000
 ) -> DataFrame:

@@ -161,3 +161,19 @@ def test_span_equality_with_skewed_pages(spark):
             ) or ""
             got = [t["text"] for t in out[row["doc_id"]]["spans"] if t["offset"] == s["offset"]][0]
             assert got == want, (row["doc_id"], s["offset"])
+
+
+def test_salted_join_equivalent(spark):
+    from pyspark.sql import functions as F
+
+    from pdf_ocr_spark.plans.salting import salted_join
+
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    dims = (
+        e.groupBy("user_id").agg(F.count("*").alias("user_events"))
+    )
+    plain = e.join(dims, "user_id").select("event_id", "user_events")
+    salted = salted_join(e, dims, key="user_id", salt_from="event_id", n_salt=8).select(
+        "event_id", "user_events"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
