@@ -15,19 +15,47 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
 
 from pdf_ocr_spark import entrypoints  # noqa: E402
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make pdf_ocr_spark importable on executor python workers even
+    when the session's cwd is not the repo root: ship the package zip
+    via addPyFile (idempotent per session)."""
+    try:
+        if getattr(spark, "_pdf_ocr_shipped", False):
+            return
+        zip_path = os.path.join(_REPO, "dist", "pdf_ocr_spark.zip")
+        if not os.path.exists(zip_path):
+            sys.path.insert(0, os.path.join(_REPO, "scripts"))
+            import make_pyfiles
+
+            zip_path = make_pyfiles.main()
+        spark.sparkContext.addPyFile(zip_path)
+        spark._pdf_ocr_shipped = True
+    except Exception:
+        pass  # local cwd==repo still works without shipping
+
+
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: generated interleaved corpus -> OCR decode -> normalize
-    -> ordered reassembly -> txt serialization (+ per-doc metrics)."""
+    """Flagship (driver contract): load the sf0.001 documents parquet,
+    lift into the interleaved span model, run the full extraction."""
+    _ship_package(spark)
     return entrypoints.flagship(spark)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(entrypoints.QUERIES)
+    def wrap(fn):
+        def call(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ship_package(spark)
+            return fn(spark, sf_dir)
+
+        return call
+
+    return {name: wrap(fn) for name, fn in entrypoints.QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
