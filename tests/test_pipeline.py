@@ -177,3 +177,22 @@ def test_salted_join_equivalent(spark):
         "event_id", "user_events"
     )
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_resume_tolerates_duplicate_manifest_rows(spark, corpus, tmp_path):
+    """Concurrent or retried runs can append duplicate manifest rows
+    (e.g. two drivers racing on the same run_id); resume must stay
+    correct: distinct completed buckets, idempotent bucket overwrite."""
+    docs, media = corpus
+    out = str(tmp_path / "dup")
+    run_extraction(spark, docs, media, out, "run1", n_buckets=4, only_buckets=[0, 1])
+    # simulate a racing driver double-appending the same manifest rows
+    n_before = read_manifest(spark, out).count()
+    read_manifest(spark, out).write.mode("append").parquet(f"{out}/_manifest")
+    assert read_manifest(spark, out).count() == 2 * n_before
+    k = run_extraction(spark, docs, media, out, "run1", n_buckets=4)
+    assert k == 2  # only the genuinely missing buckets ran
+    # output has every document exactly once
+    got = spark.read.parquet(f"{out}/documents")
+    assert got.count() == docs.count()
+    assert got.select("doc_id").distinct().count() == docs.count()
