@@ -18,6 +18,10 @@ class ExtractionConfig:
     quality: str = "standard"  # 'high' -> 600 DPI
     preprocess: bool = False
     output_formats: tuple[str, ...] = ("txt", "md", "html")
+    #: >0 routes reassembly through the salted two-stage aggregate
+    #: (pipeline.reassemble_with_metrics_salted) for corpora with
+    #: pathologically many-page documents; 0 = plain single-stage.
+    reassembly_salt: int = 0
 
     @property
     def dpi(self) -> int:

@@ -105,6 +105,50 @@ def reassemble_with_metrics(pages: DataFrame) -> DataFrame:
     )
 
 
+def reassemble_with_metrics_salted(pages: DataFrame, n_salt: int = 16) -> DataFrame:
+    """Salted two-stage variant of :func:`reassemble_with_metrics` for
+    corpora with pathologically many-page documents: stage 1 groups on
+    (doc_id, salt) building sorted partial span lists and *partial*
+    metric sums; stage 2 merges per doc_id (flatten + re-sort, metric
+    sums combined — mean confidence recomputed from sum/count, not
+    averaged partial means). Output identical to the plain version
+    (equivalence-tested)."""
+    ordered_struct = F.struct(
+        F.col("offset").alias("offset"),
+        F.col("kind").alias("kind"),
+        F.col("text").alias("text"),
+        F.col("media_ref").alias("media_ref"),
+    )
+    partials = (
+        pages.withColumn("_salt", F.pmod(F.xxhash64("offset"), F.lit(n_salt)))
+        .groupBy("doc_id", "_salt")
+        .agg(
+            F.array_sort(F.collect_list(ordered_struct)).alias("_partial"),
+            F.count("*").alias("_n"),
+            F.sum("confidence").alias("_conf_sum"),
+            F.sum(F.col("error").cast("long")).alias("_err"),
+        )
+    )
+    merged = partials.groupBy("doc_id").agg(
+        F.array_sort(F.flatten(F.collect_list("_partial"))).alias("_ordered"),
+        F.sum("_n").alias("n_pages"),
+        (F.sum("_conf_sum") / F.sum("_n")).alias("mean_confidence"),
+        F.sum("_err").alias("n_errors"),
+    )
+    canonical = F.transform(
+        F.col("_ordered"),
+        lambda s: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            s["offset"].alias("offset"),
+        ),
+    )
+    return merged.select(
+        "doc_id", canonical.alias("spans"), "n_pages", "mean_confidence", "n_errors"
+    )
+
+
 def extract_documents(
     documents: DataFrame,
     media: DataFrame,
@@ -121,7 +165,11 @@ def extract_documents(
     TASK_STATUS progress dict (/root/reference/app.py:518-522).
     """
     cfg = config or ExtractionConfig()
-    docs = reassemble_with_metrics(extract_pages(documents, media, cfg))
+    pages = extract_pages(documents, media, cfg)
+    if cfg.reassembly_salt:
+        docs = reassemble_with_metrics_salted(pages, n_salt=cfg.reassembly_salt)
+    else:
+        docs = reassemble_with_metrics(pages)
     if observation is not None:
         docs = docs.observe(
             observation,

@@ -196,3 +196,19 @@ def test_resume_tolerates_duplicate_manifest_rows(spark, corpus, tmp_path):
     got = spark.read.parquet(f"{out}/documents")
     assert got.count() == docs.count()
     assert got.select("doc_id").distinct().count() == docs.count()
+
+
+def test_salted_pipeline_equivalent(spark, corpus):
+    """extract_documents with reassembly_salt produces identical spans,
+    serializations, and metrics to the plain single-stage pipeline."""
+    docs, media = corpus
+    plain = {r["doc_id"]: r for r in extract_documents(docs, media).collect()}
+    salted_cfg = ExtractionConfig(reassembly_salt=4)
+    salted = {r["doc_id"]: r for r in extract_documents(docs, media, salted_cfg).collect()}
+    assert plain.keys() == salted.keys()
+    for k in plain:
+        a, b = plain[k], salted[k]
+        assert [tuple(s) for s in a["spans"]] == [tuple(s) for s in b["spans"]]
+        assert a["txt"] == b["txt"] and a["n_pages"] == b["n_pages"]
+        assert a["n_errors"] == b["n_errors"]
+        assert abs(a["mean_confidence"] - b["mean_confidence"]) < 1e-9
