@@ -609,8 +609,9 @@ def q_asof(spark: SparkSession, sf: str) -> DataFrame:
     """
 SELECT user_id, event_id, session_id FROM (
     SELECT user_id, event_id,
-           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS session_id
     FROM (
         SELECT user_id, event_id, ts,
                CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -701,14 +702,22 @@ def q_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q_pivot(spark: SparkSession, sf: str) -> DataFrame:
     """Pivot (wide aggregation): counts per (user bucket) x event_type.
-    Output column names are the pivoted values in both engines."""
+    Output column names are the pivoted values in both engines.
+    Absent (bucket, event_type) cells are coalesced to 0 to match
+    DuckDB PIVOT's zero-fill (Spark's pivot+count leaves NULLs)."""
     e = load_table(spark, sf, "events")
-    return (
+    wide = (
         e.withColumn("bucket", (F.col("user_id") % 10).cast("long"))
         .groupBy("bucket")
         .pivot("event_type")
         .agg(F.count(F.lit(1)))
     )
+    filled = [
+        F.coalesce(F.col(f"`{c}`"), F.lit(0)).alias(c)
+        for c in wide.columns
+        if c != "bucket"
+    ]
+    return wide.select("bucket", *filled)
 
 
 @_register(
@@ -1070,10 +1079,10 @@ SELECT doc_id,
        round(CASE WHEN len({sql_tokens('text')}) = 0 THEN 0.0
              ELSE list_sum(list_transform({sql_tokens('text')}, t -> len(t)))::DOUBLE
                   / len({sql_tokens('text')}) END, 6) AS avg_token_len,
-       round(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
-             / nullif(len(text), 0), 6) AS punct_ratio,
-       round(len(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
-             / nullif(len(text), 0), 6) AS digit_ratio
+       round(coalesce(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+             / nullif(len(text), 0), 0.0), 6) AS punct_ratio,
+       round(coalesce(len(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+             / nullif(len(text), 0), 0.0), 6) AS digit_ratio
 FROM documents
 """,
 )
@@ -1094,7 +1103,7 @@ def q_token_stats(spark: SparkSession, sf: str) -> DataFrame:
     f"""
 SELECT doc_id,
        round(0.4 * least(len(text)::DOUBLE / 200.0, 1.0)
-           + 0.3 * (1.0 - len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / nullif(len(text), 0))
+           + 0.3 * (1.0 - coalesce(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / nullif(len(text), 0), 0.0))
            + 0.3 * (CASE WHEN len({sql_tokens('text')}) = 0 THEN 0.0
                     ELSE {sql_stop_hits('text', 'en')}::DOUBLE / len({sql_tokens('lower(text)')}) END),
            6) AS quality,

@@ -141,15 +141,32 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     shingles: DataFrame | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """All pairs with word-3-gram Jaccard >= threshold, via a shared-
     shingle equi-join (no cross join): |A∩B| from the join, |A|,|B|
     from per-doc distinct counts. Returns (id_a, id_b, jaccard).
 
     Pass a cached ``shingles`` table when composing with the LSH
-    operators so the shingle derivation runs once."""
+    operators so the shingle derivation runs once.
+
+    ``max_df`` is the 100-TB guard: high-document-frequency shingles
+    ("of the …") pair documents quadratically in the self-join, so at
+    scale pass a cap and grams appearing in more than ``max_df``
+    documents are dropped *before* the join; Jaccard is then computed
+    over the capped shingle space (both intersection and sizes — a
+    standard scale heuristic, deterministic and oracle-mirrorable).
+    ``None`` (default) keeps exact semantics."""
     if shingles is None:
         shingles = shingle_table(df, text_col, id_col)
+    if max_df is not None:
+        rare = (
+            shingles.groupBy("gram")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_df)
+            .select("gram")
+        )
+        shingles = shingles.join(rare, "gram", "left_semi")
     sizes = shingles.groupBy("id").agg(F.count("*").alias("n"))
     a, b = shingles.alias("a"), shingles.alias("b")
     inter = (
@@ -175,6 +192,41 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_for_pairs(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
+    """Exact word-3-gram Jaccard computed ONLY for the given candidate
+    pairs — no shingle self-join anywhere in the plan. ``pairs`` has
+    (id_a, id_b); ``shingles`` has (id, gram). |A∩B| comes from joining
+    the pair table to side A's shingles (fan-out bounded by shingles per
+    doc), then equi-joining side B on (id_b, gram); |A|,|B| from per-doc
+    counts. Cost is O(|candidates| x shingles/doc) — the property that
+    keeps verification linear at 100 TB regardless of hot shingles.
+    Candidate pairs sharing zero grams drop out (jaccard would be 0)."""
+    sizes = shingles.groupBy("id").agg(F.count("*").alias("n"))
+    a = shingles.select(F.col("id").alias("id_a"), "gram")
+    b = shingles.select(F.col("id").alias("id_b"), "gram")
+    inter = (
+        pairs.join(a, "id_a")
+        .join(b, ["id_b", "gram"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 def minhash_near_dup(
     df: DataFrame,
     text_col: str = "text",
@@ -183,11 +235,12 @@ def minhash_near_dup(
 ) -> DataFrame:
     """The composed scale-path near-dup operator: shingles computed once
     (cached), LSH candidates, exact-Jaccard verification restricted to
-    the candidate set. Returns (id_a, id_b)."""
+    the candidate set via :func:`jaccard_for_pairs` — the executed plan
+    contains NO full shingle self-join. Returns (id_a, id_b)."""
     shingles = shingle_table(df, text_col, id_col).cache()
     cand = lsh_candidate_pairs(df, text_col, id_col, shingles=shingles)
-    verified = ngram_jaccard_pairs(df, text_col, id_col, threshold, shingles=shingles)
-    return cand.join(verified, ["id_a", "id_b"]).select("id_a", "id_b")
+    verified = jaccard_for_pairs(cand, shingles)
+    return verified.where(F.col("jaccard") >= threshold).select("id_a", "id_b")
 
 
 def simhash_col(text: Column, bits: int = SIMHASH_BITS) -> Column:

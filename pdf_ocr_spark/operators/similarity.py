@@ -69,44 +69,86 @@ def embedding_near_dup_pairs(
     threshold: float,
     id_col: str = "id",
     vec_col: str = "v",
+    n_blocks: int = 8,
 ) -> DataFrame:
-    """Block-matrix cosine near-dup join: the scale path for pairwise
-    similarity.
+    """Blocked all-pairs cosine near-dup join: the scale path for
+    pairwise similarity, fully distributed — **nothing is collected to
+    the driver**.
 
-    One side is collected + broadcast as a row-normalized numpy matrix
-    (fine while it fits executor memory — at 100 TB you block *both*
-    sides and cross the blocks); each Arrow batch of the other side
-    does a single BLAS matmul against it and emits (id_a < id_b) pairs
-    above the threshold. Replaces a cross-join carrying two float
-    arrays per row with one matmul per batch — measured 99 s -> <1 s on
-    2.2k x 64 at sf0.1.
-    """
+    Every row is hashed into one of ``n_blocks`` blocks; each unordered
+    block pair (i <= j) becomes one ``applyInPandas`` group whose kernel
+    does a single BLAS matmul between the two blocks' row-normalized
+    matrices and emits (id_a < id_b) pairs above the threshold. All
+    N^2 pairs are covered exactly once: diagonal groups (i == j)
+    self-multiply, off-diagonal groups multiply side 0 x side 1.
+
+    Cost model at scale: one shuffle keyed by (block_i, block_j), data
+    replicated ``n_blocks`` times (each row joins n_blocks block-pairs),
+    per-task memory = 2 blocks — size n_blocks so a block
+    (~rows/n_blocks x dim x 8 B) fits an executor; replication grows
+    O(sqrt(pairs per task)), the standard all-pairs blocking tradeoff.
+    The matmul-per-group replaces a cross-join carrying two float
+    arrays per row — measured 99 s -> <1 s on 2.2k x 64 at sf0.1."""
     import numpy as np
     import pandas as pd
 
-    rows = df.select(id_col, vec_col).collect()
-    ids = np.array([r[id_col] for r in rows], dtype="int64")
-    mat = np.array([r[vec_col] for r in rows], dtype="float64")
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    spark = df.sparkSession
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
+    )
+    # sequence(a, b) with a > b is DESCENDING in Spark, not empty — guard
+    empty = F.array().cast("array<int>")
+    up = F.when(
+        F.col("blk") + 1 <= n_blocks - 1,
+        F.sequence(F.col("blk") + 1, F.lit(n_blocks - 1)),
+    ).otherwise(empty)
+    down = F.when(F.col("blk") >= 1, F.sequence(F.lit(0), F.col("blk") - 1)).otherwise(empty)
+    diag = base.select(
+        F.col("blk").alias("bi"), F.col("blk").alias("bj"), "id", "v", F.lit(0).alias("side")
+    )
+    as_left = base.withColumn("bj", F.explode(up)).select(
+        F.col("blk").alias("bi"), "bj", "id", "v", F.lit(0).alias("side")
+    )
+    as_right = base.withColumn("bi", F.explode(down)).select(
+        "bi", F.col("blk").alias("bj"), "id", "v", F.lit(1).alias("side")
+    )
+    tagged = diag.unionByName(as_left).unionByName(as_right)
 
-    def kernel(batches):
-        all_ids, all_mat = b_ids.value, b_mat.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            block = np.array(list(pdf[vec_col]), dtype="float64")
-            block /= np.linalg.norm(block, axis=1, keepdims=True)
-            scores = block @ all_mat.T
-            bi, bj = np.nonzero(scores >= threshold)
-            left = pdf[id_col].to_numpy()[bi]
-            right = all_ids[bj]
-            keep = left < right
-            yield pd.DataFrame({"id_a": left[keep], "id_b": right[keep]})
+    def kernel(key, pdf):
+        bi, bj = int(key[0]), int(key[1])
+        nothing = pd.DataFrame(
+            {"id_a": np.array([], dtype="int64"), "id_b": np.array([], dtype="int64")}
+        )
+        if len(pdf) == 0:
+            return nothing
 
-    return df.select(id_col, vec_col).mapInPandas(kernel, schema="id_a long, id_b long")
+        def matrix(part):
+            ids = part["id"].to_numpy(dtype="int64")
+            mat = np.array(list(part["v"]), dtype="float64")
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            return ids, mat
+
+        if bi == bj:
+            # symmetric self-matmul: keep the upper triangle only
+            # (min/max folding would emit both orientations of a pair)
+            ids, mat = matrix(pdf)
+            ii, jj = np.nonzero(mat @ mat.T >= threshold)
+            a, b = ids[ii], ids[jj]
+            keep = a < b
+            return pd.DataFrame({"id_a": a[keep], "id_b": b[keep]})
+        left, right = pdf[pdf["side"] == 0], pdf[pdf["side"] == 1]
+        if len(left) == 0 or len(right) == 0:
+            return nothing
+        lids, lmat = matrix(left)
+        rids, rmat = matrix(right)
+        ii, jj = np.nonzero(lmat @ rmat.T >= threshold)
+        a, b = lids[ii], rids[jj]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        keep = lo < hi
+        return pd.DataFrame({"id_a": lo[keep], "id_b": hi[keep]})
+
+    return tagged.groupBy("bi", "bj").applyInPandas(kernel, schema="id_a long, id_b long")
 
 
 def hyperplane_sign_col(vec: Column, plane: int, dim: int) -> Column:

@@ -120,21 +120,24 @@ def assemble_pages_stateful(pages_stream, timeout_ms: int = 60000):
             return
         if state.exists:
             collected, n_total = state.get
-            spans = json.loads(collected)
+            # keyed by offset: redelivered pages (at-least-once upstream)
+            # overwrite rather than double-count toward completeness
+            by_offset = {s["offset"]: s for s in json.loads(collected)}
         else:
-            spans, n_total = [], None
+            by_offset, n_total = {}, None
         for pdf in pdfs:
             for k, t, m, o, n in zip(
                 pdf["kind"], pdf["text"], pdf["media_ref"], pdf["offset"], pdf["n_total"]
             ):
-                spans.append({"kind": k, "text": t, "media_ref": m, "offset": int(o)})
+                o = int(o)
+                by_offset[o] = {"kind": k, "text": t, "media_ref": m, "offset": o}
                 n_total = int(n)
-        if n_total is not None and len(spans) >= n_total:
+        if n_total is not None and len(by_offset) >= n_total:
             state.remove()
-            spans.sort(key=lambda s: s["offset"])
+            spans = [by_offset[o] for o in sorted(by_offset)]
             yield pd.DataFrame({"doc_id": [doc_id], "spans": [spans], "complete": [True]})
         else:
-            state.update((json.dumps(spans), n_total))
+            state.update((json.dumps(list(by_offset.values())), n_total))
             state.setTimeoutDuration(timeout_ms)
 
     return pages_stream.groupBy("doc_id").applyInPandasWithState(
@@ -143,6 +146,31 @@ def assemble_pages_stateful(pages_stream, timeout_ms: int = 60000):
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def write_extract_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    media: DataFrame,
+    out_path: str,
+    config: ExtractionConfig | None = None,
+) -> None:
+    """Idempotent per-micro-batch write used by :func:`stream_extract`:
+    the extracted rows land in partition ``batch_id=<id>`` via dynamic
+    partition overwrite, so a replayed batch (foreachBatch is
+    at-least-once) rewrites its own partition instead of appending
+    duplicates. Exposed at module level so the replay path is directly
+    testable."""
+    from pyspark.sql import functions as F
+
+    (
+        extract_documents(batch_df, media, config or ExtractionConfig())
+        .withColumn("batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(out_path)
     )
 
 
@@ -157,15 +185,22 @@ def stream_extract(
 ) -> StreamingQuery:
     """Full incremental extraction via foreachBatch: every micro-batch
     of arriving documents runs the identical batch pipeline (OCR decode
-    -> normalize -> reassemble -> serialize) and appends to the output
-    table. Exactly-once per micro-batch via the streaming checkpoint."""
+    -> normalize -> reassemble -> serialize).
+
+    foreachBatch is at-least-once — a micro-batch that fails between a
+    partial write and the checkpoint commit is replayed — so a blind
+    ``mode("append")`` would duplicate rows. Output is therefore
+    partitioned by ``batch_id`` and written with **dynamic partition
+    overwrite**: a replayed batch rewrites its own partition atomically
+    and the sink stays effectively exactly-once (same idempotency trick
+    as :mod:`pdf_ocr_spark.plans.manifest` bucket writes)."""
     cfg = config or ExtractionConfig()
     stream = spark.readStream.schema(DOCUMENTS_SCHEMA).parquet(input_path)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        extract_documents(batch_df, media, cfg).write.mode("append").parquet(out_path)
+        write_extract_batch(batch_df, batch_id, media, out_path, cfg)
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)

@@ -70,3 +70,24 @@ def test_stream_is_incremental(spark, staged):
     # 40 originals exactly once + 10 late docs
     assert out.count() == 50
     assert out.where("doc_id like 'late_%'").count() == 10
+
+
+def test_stream_extract_replay_is_idempotent(spark, staged):
+    """foreachBatch is at-least-once: a micro-batch that fails between a
+    partial write and the checkpoint commit is replayed with the SAME
+    batch_id. The dynamic-partition-overwrite sink must make the replay
+    a no-op (no duplicate rows)."""
+    from pdf_ocr_spark.streaming.stream import write_extract_batch
+
+    root, media = staged
+    out = str(root / "replay_out")
+    q = stream_extract(spark, str(root / "in"), media, out, str(root / "replay_ckpt"))
+    q.awaitTermination(180)
+    n_before = spark.read.parquet(out).count()
+    # replay batch 0 verbatim: re-run the exact per-batch write with the
+    # original input and the original batch_id
+    batch0 = spark.read.parquet(str(root / "in"))
+    write_extract_batch(batch0, 0, media, out)
+    after = spark.read.parquet(out)
+    assert after.count() == n_before
+    assert after.select("doc_id").distinct().count() == n_before
