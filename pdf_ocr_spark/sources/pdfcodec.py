@@ -1,0 +1,212 @@
+"""Minimal from-scratch PDF writer + parser for the scanned-page shape.
+
+The reference ingests real scanned PDFs and rasterizes them with
+Poppler (/root/reference/app.py:447-482); its own test suite *synthesizes*
+a one-page fixture PDF and round-trips it (/root/reference/ocr_test.py:186-265).
+Poppler does not exist in this container, so this module plays both
+roles for the engine's real-PDF path:
+
+* :func:`encode_pdf` writes a valid PDF 1.4 file where each page is one
+  full-page **uncompressed 8-bit DeviceGray Image XObject** — the
+  canonical "scanned document" structure (one raster per page, no text
+  layer), byte-stable for a given page list.
+* :func:`decode_pdf` parses that structure back into page images
+  **in page order** by walking trailer -> /Root -> /Pages -> /Kids,
+  i.e. a genuine (subset) PDF parser, not a reverse of the writer's
+  byte layout. Anything outside the subset (compressed streams,
+  non-gray color spaces) raises ``ValueError`` so callers can surface
+  it as an error row, never a crash.
+
+Both functions are pure bytes<->numpy; the Spark-facing source lives in
+:mod:`pdf_ocr_spark.sources.pdfsource`.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+_HEADER = b"%PDF-1.4\n"
+
+
+def _obj(num: int, body: bytes) -> bytes:
+    return b"%d 0 obj\n%s\nendobj\n" % (num, body)
+
+
+def encode_pdf(pages: list[np.ndarray]) -> bytes:
+    """Serialize grayscale page images (H x W uint8 arrays) into a PDF.
+
+    Object layout: 1 = catalog, 2 = pages tree, then per page i:
+    (3+3i) = page, (4+3i) = content stream, (5+3i) = image XObject.
+    A correct xref table + trailer is emitted, so the output is a real
+    PDF any conforming reader can open, not just :func:`decode_pdf`.
+    """
+    if not pages:
+        raise ValueError("a PDF needs at least one page")
+    objects: dict[int, bytes] = {}
+    kids = []
+    for i, img in enumerate(pages):
+        if img.dtype != np.uint8 or img.ndim != 2:
+            raise ValueError("pages must be 2-D uint8 grayscale arrays")
+        h, w = img.shape
+        page_num, content_num, image_num = 3 + 3 * i, 4 + 3 * i, 5 + 3 * i
+        kids.append(f"{page_num} 0 R")
+        objects[page_num] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {w} {h}] "
+            f"/Resources << /XObject << /Im0 {image_num} 0 R >> >> "
+            f"/Contents {content_num} 0 R >>"
+        ).encode()
+        draw = f"q {w} 0 0 {h} 0 0 cm /Im0 Do Q".encode()
+        objects[content_num] = (
+            b"<< /Length %d >>\nstream\n%s\nendstream" % (len(draw), draw)
+        )
+        raw = img.tobytes()
+        objects[image_num] = (
+            f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
+            f"/ColorSpace /DeviceGray /BitsPerComponent 8 /Length {len(raw)} >>\n"
+        ).encode() + b"stream\n" + raw + b"\nendstream"
+    objects[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objects[2] = (
+        f"<< /Type /Pages /Kids [{' '.join(kids)}] /Count {len(pages)} >>"
+    ).encode()
+
+    out = bytearray(_HEADER)
+    offsets: dict[int, int] = {}
+    for num in sorted(objects):
+        offsets[num] = len(out)
+        out += _obj(num, objects[num])
+    xref_at = len(out)
+    n = max(objects) + 1
+    out += b"xref\n0 %d\n" % n
+    out += b"0000000000 65535 f \n"
+    for num in range(1, n):
+        out += b"%010d 00000 n \n" % offsets[num]
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (n, xref_at)
+    )
+    return bytes(out)
+
+
+_OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj\b")
+
+
+def _objects(data: bytes) -> dict[int, tuple[int, int]]:
+    """Map object number -> (body_start, body_end) byte spans.
+
+    Scans ``N 0 obj`` markers rather than trusting the xref table —
+    tolerant of the off-spec offsets real-world tools emit, while the
+    dict/stream parsing below stays strict about the image subset."""
+    spans: dict[int, tuple[int, int]] = {}
+    for m in _OBJ_RE.finditer(data):
+        end = data.find(b"endobj", m.end())
+        if end == -1:
+            raise ValueError("unterminated object %d" % int(m.group(1)))
+        spans[int(m.group(1))] = (m.end(), end)
+    return spans
+
+
+def _dict_of(body: bytes) -> bytes:
+    start = body.find(b"<<")
+    if start == -1:
+        raise ValueError("object has no dictionary")
+    depth, i = 0, start
+    while i < len(body) - 1:
+        pair = body[i : i + 2]
+        if pair == b"<<":
+            depth, i = depth + 1, i + 2
+        elif pair == b">>":
+            depth, i = depth - 1, i + 2
+            if depth == 0:
+                return body[start:i]
+        else:
+            i += 1
+    raise ValueError("unbalanced dictionary")
+
+
+def _stream_of(body: bytes, length: int) -> bytes:
+    """Extract exactly ``length`` stream bytes (per /Length) — raster
+    bytes may themselves end in CR/LF, so newline-stripping heuristics
+    would corrupt them; the spec's byte count is the only safe cut."""
+    m = re.search(rb"stream\r?\n", body)
+    if m is None:
+        raise ValueError("object has no stream")
+    raw = body[m.end() : m.end() + length]
+    if len(raw) != length:
+        raise ValueError("stream shorter than /Length %d" % length)
+    return raw
+
+
+def _ref(d: bytes, key: bytes) -> int:
+    m = re.search(rb"/" + key + rb"\s+(\d+)\s+0\s+R", d)
+    if m is None:
+        raise ValueError("missing /%s reference" % key.decode())
+    return int(m.group(1))
+
+
+def _int(d: bytes, key: bytes) -> int:
+    m = re.search(rb"/" + key + rb"\s+(\d+)", d)
+    if m is None:
+        raise ValueError("missing /%s" % key.decode())
+    return int(m.group(1))
+
+
+def decode_pdf(data: bytes) -> list[np.ndarray]:
+    """Parse a scanned-page-subset PDF into its page images, in order."""
+    if not data.startswith(b"%PDF-"):
+        raise ValueError("not a PDF (missing %PDF- header)")
+    spans = _objects(data)
+
+    def body(num: int) -> bytes:
+        if num not in spans:
+            raise ValueError("dangling reference to object %d" % num)
+        s, e = spans[num]
+        return data[s:e]
+
+    troot = data.rfind(b"trailer")
+    if troot == -1:
+        raise ValueError("missing trailer")
+    catalog = _dict_of(body(_ref(data[troot:], b"Root")))
+    pages_dict = _dict_of(body(_ref(catalog, b"Pages")))
+    kids_m = re.search(rb"/Kids\s*\[([^\]]*)\]", pages_dict)
+    if kids_m is None:
+        raise ValueError("missing /Kids")
+    kid_nums = [int(n) for n in re.findall(rb"(\d+)\s+0\s+R", kids_m.group(1))]
+    if not kid_nums:
+        raise ValueError("empty /Kids")
+
+    images: list[np.ndarray] = []
+    for kid in kid_nums:
+        page = _dict_of(body(kid))
+        xobj_m = re.search(rb"/XObject\s*<<([^>]*)>>", page)
+        if xobj_m is None:
+            raise ValueError("page %d has no image XObject" % kid)
+        img_body = body(_ref(xobj_m.group(1), b"Im0"))
+        d = _dict_of(img_body)
+        if b"/Filter" in d:
+            raise ValueError("compressed image streams are outside the subset")
+        if b"/DeviceGray" not in d:
+            raise ValueError("only /DeviceGray images are in the subset")
+        w, h = _int(d, b"Width"), _int(d, b"Height")
+        if _int(d, b"Length") != w * h:
+            raise ValueError("/Length disagrees with %dx%d raster" % (w, h))
+        raw = _stream_of(img_body, w * h)
+        images.append(np.frombuffer(raw, dtype=np.uint8).reshape(h, w))
+    return images
+
+
+def page_count(data: bytes) -> int:
+    """Page count straight from the pages tree (no raster decode) —
+    the cheap metadata scan (reference: pdfinfo-style count,
+    app.py:415-430 uses the rasterizer's page list length)."""
+    if not data.startswith(b"%PDF-"):
+        raise ValueError("not a PDF (missing %PDF- header)")
+    spans = _objects(data)
+    troot = data.rfind(b"trailer")
+    if troot == -1:
+        raise ValueError("missing trailer")
+    s, e = spans[_ref(data[troot:], b"Root")]
+    catalog = _dict_of(data[s:e])
+    s, e = spans[_ref(catalog, b"Pages")]
+    return _int(_dict_of(data[s:e]), b"Count")

@@ -1,0 +1,190 @@
+"""Real-PDF ingestion: ``binaryFile`` source -> page explode -> OCR.
+
+This is the engine's counterpart of the reference's upload path:
+``convert_from_path`` rasterizes each PDF into page images which the
+OCR worker consumes (/root/reference/app.py:447-482). Here the PDFs are
+read distributed via ``spark.read.format("binaryFile")``, parsed by the
+from-scratch subset parser (:mod:`pdf_ocr_spark.sources.pdfcodec`), and
+each page is re-encoded as a PNG payload so the existing Arrow-batched
+OCR kernel (:mod:`pdf_ocr_spark.operators.ocr`) runs unchanged.
+
+Scale shape: binaryFile gives one row per file (whole-file bytes — the
+right granularity for scanned PDFs, which are page-image containers a
+few MB each); page explode happens inside ``mapInPandas`` so a
+1000-executor cluster fans pages out without any driver involvement.
+Malformed PDFs become error rows, never exceptions (the reference's
+error-as-row discipline, app.py:335-337).
+
+The fixture writer (:func:`write_pdf_corpus`) is likewise distributed —
+executors render and write their partition's PDFs — and deterministic:
+page k of a document holds words [20k, 20k+20) of its text rendered in
+the 5x7 font, so expected page text (and therefore page counts and
+reassembled text) is derivable in pure SQL for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Words rendered per PDF page by the fixture writer. Shared constant
+#: with the SQL oracles in entrypoints (n_pages = ceil(n_words / this)).
+WORDS_PER_PAGE = 20
+
+_DOC_RE = re.compile(r"doc_([^/]+)\.pdf$")
+
+PDF_PAGES_SCHEMA = (
+    "doc_id string, offset int, media_ref string, payload binary, parse_error string"
+)
+
+
+def page_texts(text: str, words_per_page: int = WORDS_PER_PAGE) -> list[str]:
+    """Deterministic page chunking: whitespace words, ``words_per_page``
+    per page, at least one (possibly empty) page."""
+    words = text.split()
+    if not words:
+        return [""]
+    return [
+        " ".join(words[i : i + words_per_page])
+        for i in range(0, len(words), words_per_page)
+    ]
+
+
+def write_pdf_corpus(
+    docs: DataFrame, out_dir: str, words_per_page: int = WORDS_PER_PAGE
+) -> DataFrame:
+    """Render one scanned-style PDF per (doc_id, text) row into
+    ``out_dir`` (executor-side writes, driver never sees a page) and
+    return the manifest (doc_id, path, n_pages). Triggering an action
+    on the manifest performs the writes."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np  # noqa: F401  (renderer dependency, worker-side)
+
+        from pdf_ocr_spark.sources.glyphs import render_text_image
+        from pdf_ocr_spark.sources.pdfcodec import encode_pdf
+
+        os.makedirs(out_dir, exist_ok=True)
+        for pdf in batches:
+            paths, n_pages = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                pages = page_texts(text or "", words_per_page)
+                images = [render_text_image(p) for p in pages]
+                path = os.path.join(out_dir, f"doc_{doc_id}.pdf")
+                tmp = path + ".tmp"
+                with open(tmp, "wb") as f:
+                    f.write(encode_pdf(images))
+                os.replace(tmp, path)  # atomic: readers never see partials
+                paths.append(path)
+                n_pages.append(len(images))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "path": paths, "n_pages": n_pages}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        kernel, schema="doc_id string, path string, n_pages int"
+    )
+
+
+def read_pdf_pages(spark: SparkSession, pdf_dir: str) -> DataFrame:
+    """``binaryFile`` scan -> one row per page: (doc_id, offset,
+    media_ref, payload=PNG bytes, parse_error). A file the subset
+    parser rejects yields a single row with ``parse_error`` set and a
+    null payload (which the OCR kernel already turns into an error
+    row)."""
+    bf = spark.read.format("binaryFile").load(
+        os.path.join(pdf_dir, "*.pdf")
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_ocr_spark.sources.pdfcodec import decode_pdf
+        from pdf_ocr_spark.sources.pngcodec import encode_png
+
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "offset", "media_ref", "payload", "parse_error")}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                m = _DOC_RE.search(path)
+                doc_id = m.group(1) if m else path
+                try:
+                    images = decode_pdf(bytes(content))
+                except ValueError as e:
+                    rows["doc_id"].append(doc_id)
+                    rows["offset"].append(0)
+                    rows["media_ref"].append(path)
+                    rows["payload"].append(None)
+                    rows["parse_error"].append(str(e))
+                    continue
+                for i, img in enumerate(images):
+                    rows["doc_id"].append(doc_id)
+                    rows["offset"].append(i)
+                    rows["media_ref"].append(f"{path}#page={i}")
+                    rows["payload"].append(encode_png(img))
+                    rows["parse_error"].append(None)
+            yield pd.DataFrame(rows)
+
+    return bf.select("path", "content").mapInPandas(kernel, schema=PDF_PAGES_SCHEMA)
+
+
+def pdf_page_counts(spark: SparkSession, pdf_dir: str) -> DataFrame:
+    """Metadata-only page counting: reads /Count from the pages tree,
+    no raster decode — the cheap scan (reference app.py:415-430)."""
+    bf = spark.read.format("binaryFile").load(os.path.join(pdf_dir, "*.pdf"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_ocr_spark.sources.pdfcodec import page_count
+
+        for pdf in batches:
+            ids, counts = [], []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                m = _DOC_RE.search(path)
+                ids.append(m.group(1) if m else path)
+                try:
+                    counts.append(page_count(bytes(content)))
+                except ValueError:
+                    counts.append(-1)
+            yield pd.DataFrame({"doc_id": ids, "n_pages": counts})
+
+    return bf.select("path", "content").mapInPandas(
+        kernel, schema="doc_id string, n_pages int"
+    )
+
+
+def extract_pdf_documents(spark: SparkSession, pdf_dir: str, config=None) -> DataFrame:
+    """End-to-end real-PDF extraction: binaryFile -> parse -> OCR ->
+    ordered per-document reassembly. Output: (doc_id, txt, n_pages,
+    mean_confidence, n_errors) — raw OCR text, pages joined with a
+    blank line, byte-stable for the fixture corpus."""
+    from pyspark.sql import functions as F
+
+    from pdf_ocr_spark.config import ExtractionConfig
+    from pdf_ocr_spark.operators.ocr import ocr_pages
+
+    pages = read_pdf_pages(spark, pdf_dir)
+    decoded = ocr_pages(
+        pages.select("doc_id", "offset", "media_ref", "payload"),
+        config or ExtractionConfig(),
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("offset"), F.col("text")))
+    )
+    return (
+        decoded.groupBy("doc_id")
+        .agg(
+            ordered.alias("_pages"),
+            F.count("*").alias("n_pages"),
+            F.avg("confidence").alias("mean_confidence"),
+            F.sum(F.col("error").cast("long")).alias("n_errors"),
+        )
+        .select(
+            "doc_id",
+            F.array_join(F.transform("_pages", lambda s: s["text"]), "\n\n").alias("txt"),
+            "n_pages",
+            "mean_confidence",
+            "n_errors",
+        )
+    )

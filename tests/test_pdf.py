@@ -1,0 +1,124 @@
+"""Real-PDF ingestion tests: codec round-trip, binaryFile source,
+OCR span equality, and error-as-row on malformed files.
+
+Mirrors the reference's own synthesized-PDF round-trip test
+(/root/reference/ocr_test.py:186-265): build a PDF, push it through the
+whole pipeline, assert the extracted text equals what was rendered.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pdf_ocr_spark.sources.glyphs import render_text_image
+from pdf_ocr_spark.sources.pdfcodec import decode_pdf, encode_pdf, page_count
+from pdf_ocr_spark.sources.pdfsource import (
+    extract_pdf_documents,
+    page_texts,
+    pdf_page_counts,
+    read_pdf_pages,
+    write_pdf_corpus,
+)
+
+
+def test_codec_round_trip_bytes_exact():
+    rng = np.random.RandomState(3)
+    pages = [rng.randint(0, 256, (h, w)).astype(np.uint8) for h, w in [(40, 30), (13, 99), (1, 1)]]
+    pages[0][-1, -1] = 0x0A  # raster ending in LF must survive
+    pages[1][-1, -1] = 0x0D  # raster ending in CR must survive
+    data = encode_pdf(pages)
+    back = decode_pdf(data)
+    assert len(back) == 3
+    for a, b in zip(pages, back):
+        assert (a == b).all()
+    assert page_count(data) == 3
+    assert encode_pdf(pages) == data  # byte-stable
+
+
+def test_codec_rejects_non_subset():
+    data = encode_pdf([np.zeros((4, 4), dtype=np.uint8)])
+    with pytest.raises(ValueError):
+        decode_pdf(b"not a pdf")
+    with pytest.raises(ValueError):
+        decode_pdf(data.replace(b"/DeviceGray", b"/DeviceRGBx"))
+    with pytest.raises(ValueError):
+        decode_pdf(
+            data.replace(b"/BitsPerComponent", b"/Filter /FlateDecode /BitsPerComponent")
+        )
+
+
+def test_page_texts_chunking():
+    assert page_texts("", 3) == [""]
+    assert page_texts("a b c d", 3) == ["a b c", "d"]
+    assert page_texts("a b c", 3) == ["a b c"]
+
+
+@pytest.fixture(scope="module")
+def pdf_dir(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("pdfs"))
+    docs = spark.createDataFrame(
+        [
+            ("0", "the quick brown fox jumps over the lazy dog " * 6),
+            ("1", "hello world"),
+            ("2", "lorem ipsum dolor sit amet " * 9),
+        ],
+        "doc_id string, text string",
+    )
+    manifest = {r.doc_id: r.n_pages for r in write_pdf_corpus(docs, root).collect()}
+    return root, manifest
+
+
+def test_binaryfile_page_counts_match_manifest(spark, pdf_dir):
+    root, manifest = pdf_dir
+    got = {r.doc_id: r.n_pages for r in pdf_page_counts(spark, root).collect()}
+    assert got == manifest
+
+
+def test_extract_spans_equal_rendered_text(spark, pdf_dir):
+    """Span-sequence equality for the PDF path: OCR'd page text must
+    equal the rendered chunk, uppercased, in page order."""
+    root, _ = pdf_dir
+    pages = read_pdf_pages(spark, root)
+    from pdf_ocr_spark.operators.ocr import ocr_pages
+
+    decoded = ocr_pages(pages.select("doc_id", "offset", "media_ref", "payload"))
+    got = {
+        (r.doc_id, r.offset): (r.text, r.error) for r in decoded.collect()
+    }
+    texts = {
+        "0": "the quick brown fox jumps over the lazy dog " * 6,
+        "1": "hello world",
+        "2": "lorem ipsum dolor sit amet " * 9,
+    }
+    for doc_id, text in texts.items():
+        for i, chunk in enumerate(page_texts(text)):
+            assert got[(doc_id, i)] == (chunk.upper(), False)
+    assert len(got) == sum(len(page_texts(t)) for t in texts.values())
+
+
+def test_corrupt_pdf_is_error_row_not_crash(spark, pdf_dir, tmp_path):
+    import shutil
+
+    root, _ = pdf_dir
+    alt = str(tmp_path / "withbad")
+    shutil.copytree(root, alt)
+    with open(f"{alt}/doc_bad.pdf", "wb") as f:
+        f.write(b"%PDF-1.4 but truncated garbage")
+    rows = read_pdf_pages(spark, alt).where("doc_id = 'bad'").collect()
+    assert len(rows) == 1
+    assert rows[0].parse_error is not None and rows[0].payload is None
+    out = {r.doc_id: r for r in extract_pdf_documents(spark, alt).collect()}
+    assert out["bad"].n_errors == 1
+    assert out["bad"].txt.startswith("[Error")
+    assert out["1"].txt == "HELLO WORLD"
+
+
+def test_extract_documents_reassembles_in_page_order(spark, pdf_dir):
+    root, _ = pdf_dir
+    out = {r.doc_id: r for r in extract_pdf_documents(spark, root).collect()}
+    text0 = "the quick brown fox jumps over the lazy dog " * 6
+    expected = "\n\n".join(p.upper() for p in page_texts(text0))
+    assert out["0"].txt == expected
+    assert out["0"].n_pages == len(page_texts(text0))
+    assert out["0"].n_errors == 0
