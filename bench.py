@@ -62,6 +62,9 @@ BENCH_QUERIES = [
     "argmax_per_user",
     "json_extract_props",
     "grouping_sets_customers",
+    "simhash_hamming_pairs",
+    "pdf_page_count",
+    "pdf_extract_text",
 ]
 
 
@@ -133,6 +136,12 @@ def main() -> None:
 
     spark = build_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
+
+    # Warmup outside the timed region: JVM/session spin-up (otherwise
+    # charged to the first query) and the one-time PDF fixture render
+    # (cached under /tmp by a marker; timed runs measure scan+parse).
+    _exec(ep.QUERIES["normalize_chain"](spark, sf_dir))
+    ep._pdf_fixture_dir(spark, sf_dir)
 
     timings: dict[str, float] = {}
     total0 = time.time()

@@ -897,6 +897,40 @@ def q_dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "dedup_ngram_jaccard_capped",
+    f"""
+WITH {CORPUS_CTE.strip()},
+{_SHINGLES_CTE},
+rare AS (SELECT gram FROM shingles GROUP BY gram HAVING count(*) <= 20),
+capped AS (SELECT s.id, s.gram FROM shingles s JOIN rare USING (gram)),
+sizes AS (SELECT id, count(*) AS n FROM capped GROUP BY id),
+inter AS (
+    SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+    FROM capped a JOIN capped b ON a.gram = b.gram AND a.id < b.id
+    GROUP BY a.id, b.id
+),
+jacc AS (
+    SELECT id_a, id_b,
+           round(n_shared::DOUBLE / (sa.n + sb.n - n_shared), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = inter.id_a
+    JOIN sizes sb ON sb.id = inter.id_b
+)
+SELECT id_a, id_b, jaccard FROM jacc WHERE jaccard >= 0.5
+""",
+)
+def q_dedup_jaccard_capped(spark: SparkSession, sf: str) -> DataFrame:
+    """The 100 TB form of the Jaccard verifier: shingles appearing in
+    more than 20 documents are dropped before the pairing join (hot
+    shingles pair documents quadratically), Jaccard computed over the
+    capped shingle space — deterministic and exactly mirrored by the
+    oracle's rare/capped CTEs."""
+    return ngram_jaccard_pairs(
+        _corpus_df(spark, sf), text_col="text", id_col="id", threshold=0.5, max_df=20
+    )
+
+
+@_register(
     "dedup_minhash_lsh",
     f"""
 WITH {CORPUS_CTE.strip()},
@@ -940,6 +974,50 @@ def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return toked.select("doc_id", simhash_from_tokens(F.col("_toks")).alias("simhash"))
 
 
+def _sql_hamming(a: str, b: str, bits: int = 32) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN substr({a}, {j + 1}, 1) <> substr({b}, {j + 1}, 1) THEN 1 ELSE 0 END)"
+        for j in range(bits)
+    )
+    return f"({terms})"
+
+
+def _sql_simhash_blocks(n_blocks: int = 4, bits: int = 32) -> str:
+    width = bits // n_blocks
+    selects = " UNION ALL ".join(
+        f"SELECT id, sig, {b} AS block_idx, substr(sig, {b * width + 1}, {width}) AS block FROM sigs"
+        for b in range(n_blocks)
+    )
+    return f"blocks AS ({selects})"
+
+
+@_register(
+    "simhash_hamming_pairs",
+    f"""
+WITH {CORPUS_CTE.strip()},
+sigs AS (SELECT id, {_sql_simhash('text')} AS sig FROM corpus),
+{_sql_simhash_blocks()},
+cand AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+    FROM blocks a JOIN blocks b
+      ON a.block_idx = b.block_idx AND a.block = b.block AND a.id < b.id
+)
+SELECT id_a, id_b, {_sql_hamming('sig_a', 'sig_b')}::BIGINT AS hamming
+FROM cand WHERE {_sql_hamming('sig_a', 'sig_b')} <= 3
+""",
+)
+def q_simhash_hamming(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash Hamming<=3 pair join via byte-block LSH (pigeonhole over
+    4 blocks of 8 bits — zero false negatives for Hamming<=3, no
+    all-pairs scan). Completes the dedup family's scale story: the
+    signature table is 0-exchange, candidates meet in one equi-join."""
+    from pdf_ocr_spark.operators.dedup import simhash_hamming_pairs
+
+    return simhash_hamming_pairs(
+        _corpus_df(spark, sf), text_col="text", id_col="id", max_hamming=3
+    ).select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
 # --- similarity search -----------------------------------------------------
 
 
@@ -962,6 +1040,18 @@ SELECT query_id, rank, neighbor_id, score FROM (
 def q_knn(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     return cosine_topk(emb.where(F.col("vec_id") < 5), emb, k=3)
+
+
+@_register("knn_ivf_topk")
+def q_knn_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-style ANN (rows-only like the LSH variant: recall is
+    engine-defined): inverted-file assignment via one matmul per Arrow
+    batch against a deterministic md5-seeded codebook, n_probe nearest
+    lists probed per query, exact ranking within them."""
+    from pdf_ocr_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    return ivf_topk(emb.where(F.col("vec_id") < 5), emb, k=3, n_lists=16, n_probe=4)
 
 
 @_register(
@@ -1048,20 +1138,58 @@ def q_hocr_pages(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@_register("media_metadata")
+#: Expected-output manifest for the fixed media corpus: rows computed
+#: from the generator's deterministic geometry (render->stats), written
+#: once as parquet so DuckDB can oracle-check the payload-parsing
+#: queries (no SQL engine parses PNGs, but SQL can read the renderer's
+#: ground truth).
+_MEDIA_MANIFEST_DIR = "/tmp/pdf_ocr_spark_cache/media_manifest"
+
+
+def _media_manifest(spark: SparkSession) -> None:
+    import os
+
+    if os.path.exists(os.path.join(_MEDIA_MANIFEST_DIR, "_SUCCESS")):
+        return
+    from pdf_ocr_spark.sources.corpus import (
+        generate_documents,
+        media_expectation_manifest,
+    )
+
+    docs = generate_documents(spark, n_docs=50, seed=13)
+    media_expectation_manifest(docs.sparkSession, docs, seed=13, corrupt_rate=0.05).write.mode(
+        "overwrite"
+    ).parquet(_MEDIA_MANIFEST_DIR)
+
+
+@_register(
+    "media_metadata",
+    f"SELECT media_ref, format, width, height, n_bytes, valid "
+    f"FROM read_parquet('{_MEDIA_MANIFEST_DIR}/*.parquet')",
+)
 def q_media_metadata(spark: SparkSession, sf: str) -> DataFrame:
     """Typed metadata over opaque binary media (PNG header parse;
-    malformed payloads as error rows)."""
+    malformed payloads as error rows). Oracle: the generator's geometry
+    manifest — header parse must agree with what the renderer wrote."""
     from pdf_ocr_spark.operators.multimodal import media_metadata
 
+    _media_manifest(spark)
     return media_metadata(_fixed_media(spark))
 
 
-@_register("image_features")
+@_register(
+    "image_features",
+    f"SELECT media_ref, width, height, round(mean_intensity, 4) AS mean_intensity, "
+    f"round(ink_ratio, 4) AS ink_ratio "
+    f"FROM read_parquet('{_MEDIA_MANIFEST_DIR}/*.parquet')",
+)
 def q_image_features(spark: SparkSession, sf: str) -> DataFrame:
-    """Decode + downsample-grid visual embedding over media payloads."""
+    """Decode + downsample-grid visual embedding over media payloads.
+    Oracle: decode->stats must reproduce the renderer's ground-truth
+    stats through the full PNG round-trip."""
     from pdf_ocr_spark.operators.multimodal import image_features
 
+    _media_manifest(spark)
     return image_features(_fixed_media(spark)).select(
         "media_ref", "width", "height", F.round("mean_intensity", 4).alias("mean_intensity"),
         F.round("ink_ratio", 4).alias("ink_ratio"),

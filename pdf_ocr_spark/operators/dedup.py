@@ -251,6 +251,93 @@ def simhash_col(text: Column, bits: int = SIMHASH_BITS) -> Column:
     return simhash_from_tokens(F.array_distinct(tokens_col(F.lower(text))), bits)
 
 
+def hamming_col(a: Column, b: Column, bits: int = SIMHASH_BITS) -> Column:
+    """Hamming distance between two ``bits``-char bit strings as a sum
+    of per-position inequality terms — pure JVM column arithmetic,
+    identical in DuckDB (the oracle generates the same sum)."""
+    total: Column = F.lit(0)
+    for j in range(bits):
+        total = total + F.when(
+            F.substring(a, j + 1, 1) != F.substring(b, j + 1, 1), 1
+        ).otherwise(0)
+    return total
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Hamming <= k near-dup pairs over SimHash signatures — the
+    operator a 100 TB SimHash pass actually runs.
+
+    Candidate generation is byte-block LSH (pigeonhole): the ``bits``
+    signature splits into ``n_blocks`` contiguous blocks; any pair at
+    Hamming <= n_blocks - 1 must agree exactly on at least one block,
+    so the (block_idx, block_bits) equi-join finds every such pair with
+    zero false negatives and no all-pairs comparison. Exact Hamming is
+    then verified per candidate. Requires ``max_hamming < n_blocks``.
+    Returns (id_a, id_b, hamming)."""
+    if max_hamming >= n_blocks:
+        raise ValueError("pigeonhole guarantee needs max_hamming < n_blocks")
+    if SIMHASH_BITS % n_blocks:
+        raise ValueError("n_blocks must divide the signature width")
+    width = SIMHASH_BITS // n_blocks
+    # two-step materialization: the distinct-token array must be a bound
+    # column before the 32 vote-aggregates read it (Catalyst re-evaluates
+    # inline expressions per lambda — the measured 10x simhash pitfall),
+    # and the signature itself is cached so the self-join below doesn't
+    # recompute the votes for each side.
+    toked = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(tokens_col(F.lower(F.col(text_col)))).alias("_toks"),
+    )
+    sigs = toked.select(
+        "id", simhash_from_tokens(F.col("_toks")).alias("sig")
+    ).cache()
+    blocks = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block_idx"),
+                        F.substring("sig", b * width + 1, width).alias("block"),
+                    )
+                    for b in range(n_blocks)
+                ]
+            )
+        ).alias("blk"),
+    ).select("id", "sig", "blk.block_idx", "blk.block")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            hamming_col(F.col("sig_a"), F.col("sig_b")).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash_from_tokens(toks: Column, bits: int = SIMHASH_BITS) -> Column:
     """SimHash as a `bits`-char bit string: bit j is the majority vote
     of bit j of each token's MD5 (top bit of hex digit j). Portable:

@@ -211,3 +211,95 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "score")
     )
+
+
+def ivf_centroids(dim: int, n_lists: int, seed: int = 7):
+    """Deterministic coarse-quantizer centroids: unit vectors whose
+    coordinates derive from md5(f"{seed}:{list}:{i}") — run- and
+    engine-stable without a training pass (the sandbox stand-in for a
+    k-means codebook; swap in trained centroids at deployment, the
+    query plan is identical)."""
+    import hashlib
+
+    import numpy as np
+
+    rows = []
+    for lst in range(n_lists):
+        vals = []
+        for i in range(dim):
+            h = hashlib.md5(f"{seed}:{lst}:{i}".encode()).hexdigest()
+            vals.append(int(h[:8], 16) / float(0x7FFFFFFF) - 1.0)
+        rows.append(vals)
+    m = np.array(rows, dtype="float64")
+    return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k — the third ANN variant (exact
+    brute-force and hyperplane-LSH being the others).
+
+    Corpus vectors are assigned to their nearest coarse centroid (one
+    BLAS matmul per Arrow batch against the broadcast codebook — the
+    inverted file); each query probes its ``n_probe`` nearest lists and
+    ranks exactly within them. The (list_id) equi-join replaces the
+    cross join: at 100 TB the corpus shuffles once by list_id (or is
+    written bucketed by it) and each query touches n_probe/n_lists of
+    the data. ``n_probe = n_lists`` degenerates to exact search."""
+    import numpy as np
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    dim = len(queries.select(vec_col).first()[0])
+    cents = ivf_centroids(dim, n_lists)
+    bc = queries.sparkSession.sparkContext.broadcast(cents)
+
+    def tagger(colname: str, n_top: int):
+        def kernel(batches):
+            C = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                M = np.array(list(pdf[colname]), dtype="float64")
+                M /= np.linalg.norm(M, axis=1, keepdims=True)
+                scores = M @ C.T
+                if n_top == 1:
+                    lists = scores.argmax(axis=1)[:, None]
+                else:
+                    lists = np.argsort(-scores, axis=1)[:, :n_top]
+                out = pdf.loc[pdf.index.repeat(n_top)].reset_index(drop=True)
+                out["list_id"] = lists.reshape(-1).astype("int32")
+                yield out
+
+        return kernel
+
+    def with_list(schema) -> StructType:
+        return StructType(list(schema.fields) + [StructField("list_id", IntegerType())])
+
+    cbase = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    probed_c = cbase.mapInPandas(tagger("cvec", 1), schema=with_list(cbase.schema))
+    qbase = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    probed_q = qbase.mapInPandas(tagger("qvec", n_probe), schema=with_list(qbase.schema))
+    scored = (
+        probed_q.join(probed_c, "list_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_col(F.col("qvec"), F.col("cvec")), 6).alias("score"),
+        )
+        .distinct()  # a pair can meet in several probed lists
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )

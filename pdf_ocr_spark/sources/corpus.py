@@ -220,3 +220,77 @@ def generate_media(
             yield pd.DataFrame({"media_ref": out_refs, "payload": payloads})
 
     return refs.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+MEDIA_EXPECTATION_SCHEMA = (
+    "media_ref string, format string, width int, height int, n_bytes long, "
+    "valid string, mean_intensity double, ink_ratio double"
+)
+
+
+def media_expectation_manifest(
+    spark,
+    documents,
+    seed: int = 42,
+    missing_rate: float = 0.0,
+    corrupt_rate: float = 0.0,
+):
+    """Expected media_metadata / image_features rows, computed straight
+    from the generator's deterministic geometry (render -> stats), NOT
+    by parsing payloads — the independent side of the DuckDB oracle for
+    the media queries. Must mirror :func:`generate_media`'s fate logic
+    exactly (same seed => same corrupt/missing set)."""
+    from pyspark.sql import functions as F
+
+    refs = (
+        documents.select(F.explode("spans").alias("s"))
+        .where(F.col("s.kind") == "image")
+        .select(F.col("s.media_ref").alias("media_ref"))
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {
+                k: []
+                for k in (
+                    "media_ref", "format", "width", "height", "n_bytes",
+                    "valid", "mean_intensity", "ink_ratio",
+                )
+            }
+            for ref in pdf["media_ref"]:
+                doc_id, offset = parse_media_ref(ref)
+                fate = _media_fate(doc_id, offset, seed)
+                if fate < missing_rate:
+                    continue
+                rows["media_ref"].append(ref)
+                if fate < missing_rate + corrupt_rate:
+                    # generate_media's corrupt payload is a fixed 19-byte
+                    # non-PNG; png_dimensions raises "not a PNG"
+                    rows["format"].append("unknown")
+                    rows["width"].append(None)
+                    rows["height"].append(None)
+                    rows["n_bytes"].append(len(b"\x89PNG but not really"))
+                    rows["valid"].append("error: not a PNG")
+                    rows["mean_intensity"].append(None)
+                    rows["ink_ratio"].append(None)
+                else:
+                    img = render_text_image(
+                        expected_page_text(doc_id, offset, seed),
+                        jitter=_page_jitter(doc_id, offset, seed),
+                    )
+                    h, w = img.shape
+                    rows["format"].append("png")
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["n_bytes"].append(len(encode_png(img)))
+                    rows["valid"].append("ok")
+                    rows["mean_intensity"].append(float(img.mean()))
+                    rows["ink_ratio"].append(float((img < 128).mean()))
+            out = pd.DataFrame(rows)
+            out["width"] = pd.array(out["width"], dtype="Int32")
+            out["height"] = pd.array(out["height"], dtype="Int32")
+            yield out
+
+    return refs.mapInPandas(gen, schema=MEDIA_EXPECTATION_SCHEMA)

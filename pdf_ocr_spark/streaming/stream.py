@@ -84,6 +84,83 @@ def stream_windowed_event_counts(
     return writer.start()
 
 
+def stream_windowed_to_files(
+    spark: SparkSession,
+    input_path: str,
+    schema,
+    out_path: str,
+    checkpoint: str,
+    window_duration: str = "1 hour",
+    watermark: str = "10 minutes",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Append-mode windowed aggregation to a parquet file sink — the
+    shape production streaming rollups take: a window row is written
+    exactly once, when the event-time watermark passes its end (late
+    data beyond the watermark is dropped rather than re-emitting the
+    window). Columns are flattened (window_start, window_end) for the
+    file sink."""
+    from pyspark.sql import functions as F
+
+    stream = spark.readStream.schema(schema).parquet(input_path)
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agged = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    writer = (
+        agged.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_rate_normalize(
+    spark: SparkSession,
+    query_name: str = "rate_norm",
+    rows_per_second: int = 500,
+) -> StreamingQuery:
+    """Rate-source ingestion smoke: the built-in unbounded ``rate``
+    source (the kafka-shaped stand-in — (timestamp, value) rows at a
+    fixed rate) through a stateless normalize projection into a memory
+    sink. Swap ``format("rate")`` for ``format("kafka")`` + the same
+    projection in production."""
+    from pyspark.sql import functions as F
+
+    from pdf_ocr_spark.functions.text import normalize_text_col
+
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )
+    normed = stream.select(
+        "timestamp",
+        "value",
+        normalize_text_col(
+            F.concat(F.lit("r0w  value:\n"), F.col("value").cast("string"))
+        ).alias("text"),
+    )
+    return (
+        normed.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .start()
+    )
+
+
 #: Output schema of the stateful assembler.
 _ASSEMBLED_SCHEMA = (
     "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, "

@@ -1,0 +1,77 @@
+"""Streaming breadth: append-mode windowed file sink (watermark-driven
+finalization) and rate-source ingestion."""
+
+from __future__ import annotations
+
+import datetime
+import time
+
+from pyspark.sql import functions as F
+
+from pdf_ocr_spark.streaming.stream import stream_rate_normalize, stream_windowed_to_files
+
+EVENTS_SCHEMA = "event_id long, event_type string, ts timestamp, value double"
+
+
+def _events(spark, base: datetime.datetime, n: int, etype: str):
+    rows = [
+        (i, etype, base + datetime.timedelta(minutes=7 * i), float(i))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, EVENTS_SCHEMA)
+
+
+def test_append_mode_windowed_file_sink(spark, tmp_path):
+    """Windows are emitted to the file sink exactly once, when the
+    watermark passes their end; a later batch with far-future events
+    finalizes all earlier windows."""
+    inp, out, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    base = datetime.datetime(2026, 1, 1, 0, 0, 0)
+    early = _events(spark, base, 12, "click")  # spans ~84 min -> 2 windows
+    early.write.mode("append").parquet(inp)
+
+    q = stream_windowed_to_files(spark, inp, EVENTS_SCHEMA, out, ckpt)
+    q.awaitTermination(120)
+    # one availableNow run: watermark starts at -inf, nothing finalized yet
+
+    late = _events(spark, base + datetime.timedelta(days=2), 3, "view")
+    late.write.mode("append").parquet(inp)
+    q = stream_windowed_to_files(spark, inp, EVENTS_SCHEMA, out, ckpt)
+    q.awaitTermination(120)
+
+    got = {
+        (r.window_start, r.event_type): (r.n, r.sum_value)
+        for r in spark.read.parquet(out).collect()
+    }
+    # every early window must now be finalized, exactly once, with the
+    # batch-computed aggregate
+    want = {
+        ((r["w"]["start"]), r["event_type"]): (r["n"], r["sum_value"])
+        for r in early.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .collect()
+    }
+    assert want.items() <= got.items(), (got, want)
+    n_rows = spark.read.parquet(out).count()
+    assert n_rows == len(got)  # no duplicate window emissions
+
+
+def test_rate_source_ingestion(spark):
+    q = stream_rate_normalize(spark, query_name="rate_smoke", rows_per_second=200)
+    try:
+        deadline = time.time() + 30
+        n = 0
+        while time.time() < deadline:
+            q.processAllAvailable()
+            n = spark.sql("SELECT count(*) AS n FROM rate_smoke").first().n
+            if n > 0:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert n > 0
+    row = spark.sql("SELECT text FROM rate_smoke LIMIT 1").first()
+    # the normalize chain ran: 0 -> O (M5 confusion map) and the lone
+    # newline folded to a space
+    assert "\n" not in row.text
+    assert row.text.startswith("rOw")
