@@ -29,7 +29,15 @@ def _ship_package(spark: SparkSession) -> None:
         if getattr(spark, "_pdf_ocr_shipped", False):
             return
         zip_path = os.path.join(_REPO, "dist", "pdf_ocr_spark.zip")
-        if not os.path.exists(zip_path):
+        stale = True
+        if os.path.exists(zip_path):
+            zt = os.path.getmtime(zip_path)
+            stale = any(
+                f.endswith(".py") and os.path.getmtime(os.path.join(d, f)) > zt
+                for d, _, fs in os.walk(os.path.join(_REPO, "pdf_ocr_spark"))
+                for f in fs
+            )
+        if stale:
             sys.path.insert(0, os.path.join(_REPO, "scripts"))
             import make_pyfiles
 

@@ -947,6 +947,14 @@ def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
 
 def _sql_simhash(e: str, bits: int = 32) -> str:
     toks = f"list_distinct({sql_tokens(f'lower({e})')})"
+    return _sql_simhash_votes(toks, bits)
+
+
+def _sql_simhash_votes(toks: str, bits: int = 32) -> str:
+    """The 32 majority-vote bits over a feature-list expression. Pass a
+    bound column name when the feature list is expensive (DuckDB, like
+    Catalyst, re-evaluates an inline list expression per vote — hoist
+    grams into a subquery projection first)."""
     digits = "('8','9','a','b','c','d','e','f')"
     parts = [
         f"(CASE WHEN list_sum(list_transform({toks}, "
@@ -995,7 +1003,8 @@ def _sql_simhash_blocks(n_blocks: int = 4, bits: int = 32) -> str:
     "simhash_hamming_pairs",
     f"""
 WITH {CORPUS_CTE.strip()},
-sigs AS (SELECT id, {_sql_simhash('text')} AS sig FROM corpus),
+gramsrc AS (SELECT id, list_distinct({sql_grams('text')}) AS g FROM corpus),
+sigs AS (SELECT id, {_sql_simhash_votes('g')} AS sig FROM gramsrc),
 {_sql_simhash_blocks()},
 cand AS (
     SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
@@ -1009,8 +1018,11 @@ FROM cand WHERE {_sql_hamming('sig_a', 'sig_b')} <= 3
 def q_simhash_hamming(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash Hamming<=3 pair join via byte-block LSH (pigeonhole over
     4 blocks of 8 bits — zero false negatives for Hamming<=3, no
-    all-pairs scan). Completes the dedup family's scale story: the
-    signature table is 0-exchange, candidates meet in one equi-join."""
+    all-pairs scan). Signatures are over word-3-gram shingles so they
+    stay discriminative on narrow-vocabulary corpora (token-set
+    signatures cluster and the true answer goes quadratic). Completes
+    the dedup family's scale story: the signature table is 0-exchange,
+    candidates meet in one equi-join."""
     from pdf_ocr_spark.operators.dedup import simhash_hamming_pairs
 
     return simhash_hamming_pairs(

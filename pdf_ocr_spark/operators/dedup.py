@@ -273,6 +273,14 @@ def simhash_hamming_pairs(
     """Hamming <= k near-dup pairs over SimHash signatures — the
     operator a 100 TB SimHash pass actually runs.
 
+    Signatures are computed over **word-3-gram shingles**, not unigram
+    token sets: token-set SimHash collapses on narrow-vocabulary
+    corpora (every doc sees most of the vocabulary, so signatures
+    cluster and the Hamming<=k answer itself goes quadratic — measured:
+    27% of ALL pairs matched on the test corpus). Order-sensitive
+    shingles keep signatures discriminative, so the result is the
+    near-dup set, not the cross product.
+
     Candidate generation is byte-block LSH (pigeonhole): the ``bits``
     signature splits into ``n_blocks`` contiguous blocks; any pair at
     Hamming <= n_blocks - 1 must agree exactly on at least one block,
@@ -280,22 +288,27 @@ def simhash_hamming_pairs(
     zero false negatives and no all-pairs comparison. Exact Hamming is
     then verified per candidate. Requires ``max_hamming < n_blocks``.
     Returns (id_a, id_b, hamming)."""
+    from pdf_ocr_spark.operators.analysis import word_ngrams_from_tokens
+
     if max_hamming >= n_blocks:
         raise ValueError("pigeonhole guarantee needs max_hamming < n_blocks")
     if SIMHASH_BITS % n_blocks:
         raise ValueError("n_blocks must divide the signature width")
     width = SIMHASH_BITS // n_blocks
-    # two-step materialization: the distinct-token array must be a bound
-    # column before the 32 vote-aggregates read it (Catalyst re-evaluates
-    # inline expressions per lambda — the measured 10x simhash pitfall),
-    # and the signature itself is cached so the self-join below doesn't
-    # recompute the votes for each side.
+    # two-step materialization: the distinct-shingle array must be a
+    # bound column before the 32 vote-aggregates read it (Catalyst
+    # re-evaluates inline expressions per lambda — the measured 10x
+    # simhash pitfall), and the signature itself is cached so the
+    # self-join below doesn't recompute the votes for each side.
     toked = df.select(
         F.col(id_col).alias("id"),
-        F.array_distinct(tokens_col(F.lower(F.col(text_col)))).alias("_toks"),
+        tokens_col(F.lower(F.col(text_col))).alias("_toks"),
+    ).select(
+        "id",
+        F.array_distinct(word_ngrams_from_tokens(F.col("_toks"), 3)).alias("_grams"),
     )
     sigs = toked.select(
-        "id", simhash_from_tokens(F.col("_toks")).alias("sig")
+        "id", simhash_from_tokens(F.col("_grams")).alias("sig")
     ).cache()
     blocks = sigs.select(
         "id",

@@ -91,15 +91,33 @@ def write_pdf_corpus(
     )
 
 
+def _binary_scan(spark: SparkSession, pattern: str) -> DataFrame:
+    """binaryFile scan with driver-side file listing. Above 32 files
+    Spark launches a parallel-listing job with one task per file —
+    measured seconds of pure scheduling for hundreds of tiny local
+    fixtures. Local/posix listings are cheap on the driver, so raise
+    the threshold around the eager ``load()``; on a real cluster
+    against S3/HDFS at 10^12-file scale, leave the default so listing
+    parallelizes."""
+    key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "100000")
+    try:
+        return spark.read.format("binaryFile").load(pattern)
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
 def read_pdf_pages(spark: SparkSession, pdf_dir: str) -> DataFrame:
     """``binaryFile`` scan -> one row per page: (doc_id, offset,
     media_ref, payload=PNG bytes, parse_error). A file the subset
     parser rejects yields a single row with ``parse_error`` set and a
     null payload (which the OCR kernel already turns into an error
     row)."""
-    bf = spark.read.format("binaryFile").load(
-        os.path.join(pdf_dir, "*.pdf")
-    )
+    bf = _binary_scan(spark, os.path.join(pdf_dir, "*.pdf"))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pdf_ocr_spark.sources.pdfcodec import decode_pdf
@@ -133,7 +151,7 @@ def read_pdf_pages(spark: SparkSession, pdf_dir: str) -> DataFrame:
 def pdf_page_counts(spark: SparkSession, pdf_dir: str) -> DataFrame:
     """Metadata-only page counting: reads /Count from the pages tree,
     no raster decode — the cheap scan (reference app.py:415-430)."""
-    bf = spark.read.format("binaryFile").load(os.path.join(pdf_dir, "*.pdf"))
+    bf = _binary_scan(spark, os.path.join(pdf_dir, "*.pdf"))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pdf_ocr_spark.sources.pdfcodec import page_count

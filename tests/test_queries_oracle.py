@@ -12,7 +12,11 @@ import pytest
 
 import __spark_entry__ as entry_mod
 
-SF_DIR = "/root/testdata/sf0.001"
+import os
+
+# dress-rehearse the driver's sf0.01 comparison with
+#   ORACLE_SF_DIR=/root/testdata/sf0.01 python -m pytest tests/test_queries_oracle.py
+SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings".split()
 )
