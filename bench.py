@@ -150,7 +150,10 @@ def main() -> None:
         _exec(ep.QUERIES[name](spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
 
-    extraction = run_extraction_bench(spark, n_docs=n_docs)
+    # reps=2 -> best of 2 post-warmup runs: local-mode timing noise is
+    # +/-30-50% per repetition, one rep made round-over-round numbers
+    # incomparable
+    extraction = run_extraction_bench(spark, n_docs=n_docs, reps=2)
     timings["flagship_extraction"] = extraction["seconds"]
     total = round(time.time() - total0, 3)
 
