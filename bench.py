@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "json_extract_props",
     "grouping_sets_customers",
     "simhash_hamming_pairs",
+    "contamination_check",
     "pdf_page_count",
     "pdf_extract_text",
 ]

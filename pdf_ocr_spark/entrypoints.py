@@ -96,13 +96,14 @@ def sql_tokens(e: str) -> str:
     return f"(CASE WHEN {sql_strip(e)} = '' THEN [] ELSE string_split_regex({sql_strip(e)}, '\\s+') END)"
 
 
-def sql_grams(e: str) -> str:
-    """Word-3-gram shingles of lowercased text (matches word_ngrams_col)."""
+def sql_grams(e: str, n: int = 3) -> str:
+    """Word-n-gram shingles of lowercased text (matches word_ngrams_col)."""
     t = sql_tokens(f"lower({e})")
+    joined = " || ' ' || ".join(f"{t}[i+{j}]" if j else f"{t}[i]" for j in range(n))
     return (
-        f"(CASE WHEN len({t}) < 3 THEN [array_to_string({t}, ' ')] "
-        f"ELSE list_transform(generate_series(1, len({t}) - 2), "
-        f"i -> {t}[i] || ' ' || {t}[i+1] || ' ' || {t}[i+2]) END)"
+        f"(CASE WHEN len({t}) < {n} THEN [array_to_string({t}, ' ')] "
+        f"ELSE list_transform(generate_series(1, len({t}) - {n - 1}), "
+        f"i -> {joined}) END)"
     )
 
 
@@ -980,6 +981,33 @@ def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", F.array_distinct(tokens_col(F.lower(F.col("text")))).alias("_toks")
     )
     return toked.select("doc_id", simhash_from_tokens(F.col("_toks")).alias("simhash"))
+
+
+@_register(
+    "contamination_check",
+    f"""
+WITH {CORPUS_CTE.strip()},
+bench AS (SELECT DISTINCT unnest(list_distinct({sql_grams('text', 6)})) AS gram
+          FROM corpus WHERE id < 100000),
+cand AS (SELECT id, unnest(list_distinct({sql_grams('text', 6)})) AS gram
+         FROM corpus WHERE id >= 100000)
+SELECT id, count(*) AS n_gram_hits
+FROM cand JOIN bench USING (gram)
+GROUP BY id
+""",
+)
+def q_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark-contamination scan: the injected near/exact duplicates
+    (id >= 100000 in the dedup corpus) are the 'incoming' candidates,
+    the base documents the benchmark set; every candidate sharing a
+    word-6-gram with the benchmark is flagged with its hit count. The
+    benchmark gram set is broadcast; candidates stream once."""
+    from pdf_ocr_spark.operators.dedup import contamination_check
+
+    corpus = _corpus_df(spark, sf)
+    benchmark = corpus.where(F.col("id") < 100000)
+    candidates = corpus.where(F.col("id") >= 100000)
+    return contamination_check(candidates, benchmark, text_col="text", id_col="id", n=6)
 
 
 def _sql_hamming(a: str, b: str, bits: int = 32) -> str:

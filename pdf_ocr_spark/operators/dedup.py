@@ -62,10 +62,13 @@ def minhash_signature_col(text: Column, perms: int = MINHASH_PERMS) -> Column:
     return F.array(*[F.array_min(F.transform(grams, salted(p))) for p in range(perms)])
 
 
-def shingle_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """One row per (id, distinct word-3-gram). The shared input of the
-    MinHash, LSH, and Jaccard operators — compute (and cache) it once
-    instead of re-deriving shingles inside every downstream plan.
+def shingle_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """One row per (id, distinct word-n-gram). The shared input of the
+    MinHash, LSH, Jaccard, and contamination operators — compute (and
+    cache) it once instead of re-deriving shingles inside every
+    downstream plan.
 
     Tokens are materialized as a column before the shingle transform so
     tokenization runs once per row (see word_ngrams_from_tokens)."""
@@ -73,7 +76,7 @@ def shingle_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
     return (
         df.select(F.col(id_col).alias("id"), tokens_col(F.lower(F.col(text_col))).alias("_toks"))
-        .select("id", F.explode(F.array_distinct(word_ngrams_from_tokens(F.col("_toks"), 3))).alias("gram"))
+        .select("id", F.explode(F.array_distinct(word_ngrams_from_tokens(F.col("_toks"), n))).alias("gram"))
     )
 
 
@@ -241,6 +244,34 @@ def minhash_near_dup(
     cand = lsh_candidate_pairs(df, text_col, id_col, shingles=shingles)
     verified = jaccard_for_pairs(cand, shingles)
     return verified.where(F.col("jaccard") >= threshold).select("id_a", "id_b")
+
+
+def contamination_check(
+    candidates: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 6,
+) -> DataFrame:
+    """Benchmark-contamination scan — the eval-set hygiene operator a
+    training-data pipeline runs before every release: flag candidate
+    documents sharing at least one word-n-gram with the benchmark
+    corpus, with the hit count. Returns (id, n_gram_hits).
+
+    Production uses n≈13 (the standard contamination window); the knob
+    is free. Scale shape: the benchmark's distinct gram set is tiny
+    relative to the corpus — **broadcast** it and the candidate side
+    streams once with a map-side hash probe; one aggregation shuffle on
+    the (rare) hits. No benchmark-side shuffle of the candidates."""
+    bench_grams = (
+        shingle_table(benchmark, text_col, id_col, n=n).select("gram").distinct()
+    )
+    cand_grams = shingle_table(candidates, text_col, id_col, n=n)
+    return (
+        cand_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_gram_hits"))
+    )
 
 
 def simhash_col(text: Column, bits: int = SIMHASH_BITS) -> Column:
