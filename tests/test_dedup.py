@@ -1,0 +1,109 @@
+"""Direct unit tests for the dedup-family operators (the oracle harness
+covers value-equality on the corpus; these pin edge-case semantics)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_ocr_spark.operators.dedup import (
+    contamination_check,
+    hamming_col,
+    jaccard_for_pairs,
+    minhash_near_dup,
+    ngram_jaccard_pairs,
+    shingle_table,
+    simhash_hamming_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        ("a", base),
+        ("b", base),  # exact dup of a
+        ("c", base.replace("delta", "lambda")),  # near dup of a
+        ("d", "completely different words entirely unrelated content here now"),
+    ]
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_jaccard_for_pairs_drops_zero_overlap(spark, docs):
+    shingles = shingle_table(docs)
+    pairs = spark.createDataFrame([("a", "b"), ("a", "d")], "id_a string, id_b string")
+    got = {(r.id_a, r.id_b): r.jaccard for r in jaccard_for_pairs(pairs, shingles).collect()}
+    assert got[("a", "b")] == 1.0
+    assert ("a", "d") not in got  # zero shared grams -> no row
+
+
+def test_minhash_near_dup_semantics(spark, docs):
+    got = {(r.id_a, r.id_b) for r in minhash_near_dup(docs, threshold=0.5).collect()}
+    assert ("a", "b") in got
+    assert not any("d" in p for p in got)
+
+
+def test_max_df_cap_drops_hot_grams(spark):
+    # one gram shared by every doc (hot), plus unique grams per doc
+    rows = [(f"d{i}", f"common shared gram unique{i} token{i} word{i}") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    uncapped = ngram_jaccard_pairs(df, threshold=0.01).count()
+    capped = ngram_jaccard_pairs(df, threshold=0.01, max_df=2).count()
+    assert uncapped > 0  # the hot 'common shared gram' pairs everything
+    assert capped == 0  # cap removes it; unique grams share nothing
+
+
+def test_simhash_hamming_exact_dup_is_zero(spark, docs):
+    got = {(r.id_a, r.id_b): r.hamming for r in simhash_hamming_pairs(docs, max_hamming=3).collect()}
+    assert got[("a", "b")] == 0
+
+
+def test_simhash_hamming_pigeonhole_complete(spark):
+    """Brute-force check: every pair at Hamming <= 3 must be found by
+    the block join (zero false negatives)."""
+    import itertools
+
+    from pdf_ocr_spark.operators.analysis import tokens_col, word_ngrams_from_tokens
+    from pdf_ocr_spark.operators.dedup import simhash_from_tokens
+
+    rows = [(f"d{i:02d}", f"w{i} x{i % 3} y{i % 5} z{i % 7} common tail words here") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    sigs = {
+        r.doc_id: r.sig
+        for r in df.select(
+            "doc_id",
+            tokens_col(F.lower(F.col("text"))).alias("_t"),
+        )
+        .select("doc_id", F.array_distinct(word_ngrams_from_tokens(F.col("_t"), 3)).alias("_g"))
+        .select("doc_id", simhash_from_tokens(F.col("_g")).alias("sig"))
+        .collect()
+    }
+    want = set()
+    for a, b in itertools.combinations(sorted(sigs), 2):
+        d = sum(x != y for x, y in zip(sigs[a], sigs[b]))
+        if d <= 3:
+            want.add((a, b, d))
+    got = {(r.id_a, r.id_b, r.hamming) for r in simhash_hamming_pairs(df, max_hamming=3).collect()}
+    assert got == want
+
+
+def test_hamming_col_matches_python(spark):
+    df = spark.createDataFrame([("1010", "1001")], "a string, b string")
+    assert df.select(hamming_col(F.col("a"), F.col("b"), bits=4).alias("h")).first().h == 2
+
+
+def test_contamination_check(spark):
+    bench = spark.createDataFrame(
+        [("b1", "the quick brown fox jumps over the lazy dog today")],
+        "doc_id string, text string",
+    )
+    cands = spark.createDataFrame(
+        [
+            ("c1", "prefix words the quick brown fox jumps over the lazy dog today suffix"),
+            ("c2", "totally unrelated text with no shared sequences at all whatsoever"),
+        ],
+        "doc_id string, text string",
+    )
+    got = {r.id: r.n_gram_hits for r in contamination_check(cands, bench, n=6).collect()}
+    assert "c1" in got and got["c1"] >= 1
+    assert "c2" not in got
