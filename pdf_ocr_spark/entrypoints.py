@@ -142,8 +142,10 @@ _SHINGLES_CTE = (
     "shingles AS (SELECT id, unnest(list_distinct(" + sql_grams("text") + ")) AS gram FROM corpus)"
 )
 
-_JACCARD_CTES = f"""
-{_SHINGLES_CTE},
+#: sizes/inter/jacc over whatever `shingles` CTE precedes them —
+#: composed with corpus shingles (_JACCARD_CTES) or rep shingles
+#: (dedup_decisions).
+_JACCARD_TAIL = """
 sizes AS (SELECT id, count(*) AS n FROM shingles GROUP BY id),
 inter AS (
     SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
@@ -157,6 +159,11 @@ jacc AS (
     JOIN sizes sa ON sa.id = inter.id_a
     JOIN sizes sb ON sb.id = inter.id_b
 )
+"""
+
+_JACCARD_CTES = f"""
+{_SHINGLES_CTE},
+{_JACCARD_TAIL.strip()}
 """
 
 
@@ -895,6 +902,82 @@ SELECT id_a, id_b, jaccard FROM jacc WHERE jaccard >= 0.5
 )
 def q_dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return ngram_jaccard_pairs(_corpus_df(spark, sf), text_col="text", id_col="id", threshold=0.5)
+
+
+@_register(
+    "dedup_decisions",
+    f"""
+WITH {CORPUS_CTE.strip()},
+hashed AS (SELECT id, text, md5({_NORM_SQL}) AS h FROM corpus),
+krep AS (SELECT h, min(struct_pack(id := id, text := text)) AS rep FROM hashed GROUP BY h),
+keepers AS (SELECT h, rep.id AS keeper_id, rep.text AS rtext FROM krep),
+reps AS (SELECT keeper_id AS id, rtext AS text FROM keepers),
+shingles AS (SELECT id, unnest(list_distinct({sql_grams('text')})) AS gram FROM reps),
+{_JACCARD_TAIL.strip()},
+{_sql_minhash_ctes().strip()},
+nearp AS (
+    SELECT c.id_a, c.id_b FROM cand c
+    JOIN jacc j ON j.id_a = c.id_a AND j.id_b = c.id_b
+    WHERE j.jaccard >= 0.5
+),
+near AS (SELECT id_b AS id, min(id_a) AS keeper_id FROM nearp GROUP BY id_b)
+SELECT hashed.id, keepers.keeper_id, 'exact' AS reason
+FROM hashed JOIN keepers USING (h) WHERE hashed.id <> keepers.keeper_id
+UNION ALL
+SELECT id, keeper_id, 'near' AS reason FROM near
+UNION ALL
+SELECT id, id AS keeper_id, 'unique' AS reason
+FROM reps WHERE id NOT IN (SELECT id FROM near)
+""",
+)
+def q_dedup_decisions(spark: SparkSession, sf: str) -> DataFrame:
+    """The composed per-document dedup verdict (id, keeper_id, reason):
+    exact pass by normalized-text hash, MinHash near-dup pass over the
+    exact-group representatives, lowest id wins. One row per corpus
+    document — what a dedup pipeline writes back."""
+    from pdf_ocr_spark.operators.dedup import dedup_decisions
+
+    return dedup_decisions(_corpus_df(spark, sf), text_col="text", id_col="id", threshold=0.5)
+
+
+@_register(
+    "dedup_components",
+    f"""
+WITH RECURSIVE {CORPUS_CTE.strip()},
+hashed AS (SELECT id, text, md5({_NORM_SQL}) AS h FROM corpus),
+krep AS (SELECT h, min(struct_pack(id := id, text := text)) AS rep FROM hashed GROUP BY h),
+keepers AS (SELECT h, rep.id AS keeper_id, rep.text AS rtext FROM krep),
+reps AS (SELECT keeper_id AS id, rtext AS text FROM keepers),
+shingles AS (SELECT id, unnest(list_distinct({sql_grams('text')})) AS gram FROM reps),
+{_JACCARD_TAIL.strip()},
+{_sql_minhash_ctes().strip()},
+nearp AS (
+    SELECT c.id_a, c.id_b FROM cand c
+    JOIN jacc j ON j.id_a = c.id_a AND j.id_b = c.id_b
+    WHERE j.jaccard >= 0.5
+),
+exact_edges AS (
+    SELECT keepers.keeper_id AS src, hashed.id AS dst
+    FROM hashed JOIN keepers USING (h) WHERE hashed.id <> keepers.keeper_id
+),
+edges AS (SELECT src, dst FROM exact_edges UNION ALL SELECT id_a, id_b FROM nearp),
+undirected AS (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
+reach AS (
+    SELECT id, id AS r FROM corpus
+    UNION
+    SELECT reach.id, u.dst AS r FROM reach JOIN undirected u ON u.src = reach.r
+)
+SELECT id, min(r) AS component_id FROM reach GROUP BY id
+""",
+)
+def q_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Transitive dedup closure (connected components) via iterative
+    min-label propagation with per-round localCheckpoint. The oracle is
+    a recursive reachability CTE — the iterative Spark algorithm is
+    exactly checked, not rows-only."""
+    from pdf_ocr_spark.operators.dedup import dedup_components
+
+    return dedup_components(_corpus_df(spark, sf), text_col="text", id_col="id", threshold=0.5)
 
 
 @_register(

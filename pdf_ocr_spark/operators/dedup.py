@@ -246,6 +246,132 @@ def minhash_near_dup(
     return verified.where(F.col("jaccard") >= threshold).select("id_a", "id_b")
 
 
+def dedup_decisions(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The composed per-document dedup verdict — what a pipeline
+    actually writes back: (id, keeper_id, reason) for EVERY document.
+
+    * ``exact``  — the doc's normalized text hash has a lower-id twin;
+      keeper is the group minimum.
+    * ``near``   — the doc is an exact-group representative but a
+      MinHash+LSH near-dup pair (verified Jaccard >= threshold) links
+      it to a lower-id representative; keeper is the lowest such.
+    * ``unique`` — everything else keeps itself.
+
+    One-hop semantics (lowest id wins, no transitive closure) — fully
+    deterministic and SQL-mirrorable; the iterative connected-components
+    closure is :func:`dedup_components`. Scale shape: one hash-groupBy
+    for the exact pass, then the (already bucketed) MinHash path over
+    the exact-group representatives only — the corpus never self-joins."""
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("text"),
+        F.md5(norm_text_col(F.col(text_col))).alias("_h"),
+    )
+    groups = hashed.groupBy("_h").agg(
+        F.min(F.struct("id", "text")).alias("_rep")
+    ).select("_h", F.col("_rep.id").alias("keeper_id"), F.col("_rep.text").alias("text"))
+    exact = (
+        hashed.join(groups.select("_h", "keeper_id"), "_h")
+        .where(F.col("id") != F.col("keeper_id"))
+        .select("id", "keeper_id", F.lit("exact").alias("reason"))
+    )
+    reps = groups.select(F.col("keeper_id").alias("id"), "text")
+    near_pairs = minhash_near_dup(reps, text_col="text", id_col="id", threshold=threshold)
+    near = (
+        near_pairs.groupBy(F.col("id_b").alias("id"))
+        .agg(F.min("id_a").alias("keeper_id"))
+        .select("id", "keeper_id", F.lit("near").alias("reason"))
+    )
+    unique = (
+        reps.join(near.select("id"), "id", "left_anti")
+        .select("id", F.col("id").alias("keeper_id"), F.lit("unique").alias("reason"))
+    )
+    return exact.unionByName(near).unionByName(unique)
+
+
+def dedup_edges(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Undirected duplicate-graph edge list (src, dst): exact edges
+    (doc -> its exact-group keeper) plus MinHash near-dup edges between
+    exact-group representatives — the shared input of the one-hop
+    verdict (:func:`dedup_decisions`) and the transitive closure
+    (:func:`dedup_components`)."""
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("text"),
+        F.md5(norm_text_col(F.col(text_col))).alias("_h"),
+    )
+    groups = hashed.groupBy("_h").agg(F.min(F.struct("id", "text")).alias("_rep"))
+    keepers = groups.select(
+        "_h", F.col("_rep.id").alias("keeper_id"), F.col("_rep.text").alias("text")
+    )
+    exact_edges = (
+        hashed.join(keepers.select("_h", "keeper_id"), "_h")
+        .where(F.col("id") != F.col("keeper_id"))
+        .select(F.col("keeper_id").alias("src"), F.col("id").alias("dst"))
+    )
+    reps = keepers.select(F.col("keeper_id").alias("id"), "text")
+    near_edges = minhash_near_dup(
+        reps, text_col="text", id_col="id", threshold=threshold
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    return exact_edges.unionByName(near_edges)
+
+
+def dedup_components(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Transitive dedup closure: connected components of the duplicate
+    graph via **iterative min-label propagation** — the canonical
+    iterative algorithm on Spark (a chain A~B~C collapses to one
+    component even when A and C share nothing directly).
+
+    Each round every vertex adopts the minimum label among itself and
+    its neighbors; fixpoint is detected by a changed-count and each
+    round's result is ``localCheckpoint``-ed so the lineage does not
+    grow with iterations (the classic iterative-job OOM). Rounds needed
+    = graph diameter (duplicate clusters are shallow in practice).
+    Returns (id, component_id)."""
+    edges = dedup_edges(df, text_col, id_col, threshold)
+    undirected = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).cache()
+    labels = df.select(F.col(id_col).alias("id")).distinct().select(
+        "id", F.col("id").alias("label")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        msgs = undirected.join(
+            labels.withColumnRenamed("id", "src"), "src"
+        ).select(F.col("dst").alias("id"), "label")
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()  # truncate lineage every round
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "_old"), "id")
+            .where(F.col("label") != F.col("_old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("component_id"))
+
+
 def contamination_check(
     candidates: DataFrame,
     benchmark: DataFrame,

@@ -19,11 +19,14 @@ from pdf_ocr_spark.operators.dedup import (
 
 @pytest.fixture(scope="module")
 def docs(spark):
-    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lamb mu nu xi omicron pi rho sigma tau upsilon"
+    )
     rows = [
         ("a", base),
         ("b", base),  # exact dup of a
-        ("c", base.replace("delta", "lambda")),  # near dup of a
+        ("c", base.replace("delta", "changed")),  # near dup of a (J=0.714)
         ("d", "completely different words entirely unrelated content here now"),
     ]
     return spark.createDataFrame(rows, "doc_id string, text string")
@@ -107,3 +110,32 @@ def test_contamination_check(spark):
     got = {r.id: r.n_gram_hits for r in contamination_check(cands, bench, n=6).collect()}
     assert "c1" in got and got["c1"] >= 1
     assert "c2" not in got
+
+
+def test_dedup_decisions_reasons(spark, docs):
+    from pdf_ocr_spark.operators.dedup import dedup_decisions
+
+    got = {r.id: (r.keeper_id, r.reason) for r in dedup_decisions(docs, threshold=0.5).collect()}
+    assert got["a"] == ("a", "unique")  # lowest id of its cluster
+    assert got["b"] == ("a", "exact")
+    assert got["c"] == ("a", "near")
+    assert got["d"] == ("d", "unique")
+    assert len(got) == 4  # one verdict per document
+
+
+def test_dedup_components_collapses_chains(spark):
+    """A ~ B (near) and B ~ C (near) but A and C share too little:
+    one-hop decisions keep C under B, the transitive closure collapses
+    all three into component A."""
+    from pdf_ocr_spark.operators.dedup import dedup_components, dedup_decisions
+
+    base = ["w%d" % i for i in range(30)]
+    a = " ".join(base)
+    b = " ".join(base[:-2] + ["x1", "x2"])                 # J(a,b)=0.867
+    c = " ".join(["z1", "z2"] + base[2:-2] + ["x1", "x2"])  # J(b,c)=0.867, J(a,c)=0.75
+    df = spark.createDataFrame([("a", a), ("b", b), ("c", c)], "doc_id string, text string")
+    # threshold 0.8: a~b and b~c are edges, a~c is NOT (0.75 < 0.8)
+    one_hop = {r.id: r.keeper_id for r in dedup_decisions(df, threshold=0.8).collect()}
+    assert one_hop == {"a": "a", "b": "a", "c": "b"}  # c only reaches b directly
+    comp = {r.id: r.component_id for r in dedup_components(df, threshold=0.8).collect()}
+    assert comp == {"a": "a", "b": "a", "c": "a"}  # closure collapses the chain
