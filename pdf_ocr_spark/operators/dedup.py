@@ -272,9 +272,15 @@ def dedup_decisions(
         F.col(text_col).alias("text"),
         F.md5(norm_text_col(F.col(text_col))).alias("_h"),
     )
-    groups = hashed.groupBy("_h").agg(
-        F.min(F.struct("id", "text")).alias("_rep")
-    ).select("_h", F.col("_rep.id").alias("keeper_id"), F.col("_rep.text").alias("text"))
+    # the group table feeds three branches (exact verdicts, the rep set
+    # for the near pass, the unique anti-join) — cache it once instead
+    # of recomputing the hash-groupBy per branch
+    groups = (
+        hashed.groupBy("_h")
+        .agg(F.min(F.struct("id", "text")).alias("_rep"))
+        .select("_h", F.col("_rep.id").alias("keeper_id"), F.col("_rep.text").alias("text"))
+        .cache()
+    )
     exact = (
         hashed.join(groups.select("_h", "keeper_id"), "_h")
         .where(F.col("id") != F.col("keeper_id"))
@@ -286,6 +292,7 @@ def dedup_decisions(
         near_pairs.groupBy(F.col("id_b").alias("id"))
         .agg(F.min("id_a").alias("keeper_id"))
         .select("id", "keeper_id", F.lit("near").alias("reason"))
+        .cache()
     )
     unique = (
         reps.join(near.select("id"), "id", "left_anti")
