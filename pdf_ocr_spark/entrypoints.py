@@ -1266,7 +1266,10 @@ def q_hocr_pages(spark: SparkSession, sf: str) -> DataFrame:
 #: once as parquet so DuckDB can oracle-check the payload-parsing
 #: queries (no SQL engine parses PNGs, but SQL can read the renderer's
 #: ground truth).
-_MEDIA_MANIFEST_DIR = "/tmp/pdf_ocr_spark_cache/media_manifest"
+#: bump the version suffix whenever the corpus generator or the
+#: manifest columns change — /tmp persists across rounds and a stale
+#: cached manifest would silently diverge from the operators
+_MEDIA_MANIFEST_DIR = "/tmp/pdf_ocr_spark_cache/media_manifest_v2"
 
 
 def _media_manifest(spark: SparkSession) -> None:
