@@ -1322,6 +1322,45 @@ def q_image_features(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_LAYOUT_MANIFEST_DIR = "/tmp/pdf_ocr_spark_cache/layout_manifest_v1"
+
+
+def _layout_manifest(spark: SparkSession) -> None:
+    import os
+
+    if os.path.exists(os.path.join(_LAYOUT_MANIFEST_DIR, "_SUCCESS")):
+        return
+    from pdf_ocr_spark.sources.corpus import (
+        generate_documents,
+        layout_expectation_manifest,
+    )
+
+    docs = generate_documents(spark, n_docs=50, seed=13)
+    layout_expectation_manifest(spark, docs, seed=13).write.mode("overwrite").parquet(
+        _LAYOUT_MANIFEST_DIR
+    )
+
+
+@_register(
+    "word_boxes",
+    f"SELECT media_ref, line_idx, word_idx, word, x0, y0, x1, y1 "
+    f"FROM read_parquet('{_LAYOUT_MANIFEST_DIR}/*.parquet')",
+)
+def q_word_boxes(spark: SparkSession, sf: str) -> DataFrame:
+    """Layout-OCR word geometry, value-checked: the segmenter's word
+    bounding boxes (render -> PNG -> binarize -> line bands -> grid
+    decode) must equal the generator's ANALYTIC positions (renderer
+    constants + glyph ink masks, no segmentation anywhere in the oracle
+    path). Upgrades the hOCR family from rows-only to exact."""
+    from pdf_ocr_spark.operators.hocr import word_boxes_table
+    from pdf_ocr_spark.sources.corpus import generate_documents, generate_media
+
+    _layout_manifest(spark)
+    docs = generate_documents(spark, n_docs=50, seed=13)
+    media = generate_media(spark, docs, seed=13)  # clean: no corrupt/missing/shear
+    return word_boxes_table(media)
+
+
 # --- text analysis ---------------------------------------------------------
 
 

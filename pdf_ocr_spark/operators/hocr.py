@@ -142,3 +142,47 @@ def json_doc_col(doc_id: Column, spans: Column) -> Column:
     struct's leading 'kind' field). Byte-matches
     ``json.dumps(..., separators=(',',':'))``."""
     return F.to_json(F.struct(doc_id.alias("doc_id"), spans.alias("spans")))
+
+
+WORD_BOXES_SCHEMA = (
+    "media_ref string, line_idx int, word_idx int, word string, "
+    "x0 int, y0 int, x1 int, y1 int"
+)
+
+
+def word_boxes_table(media: DataFrame) -> DataFrame:
+    """Flat word-geometry table from the layout OCR kernel: one row per
+    recognized word with its pixel bounding box (x0, y0, x1, y1; the
+    segmenter's deskewed frame). This is the oracle-checkable form of
+    the hOCR output — the generator knows every word's analytic
+    position (:func:`pdf_ocr_spark.sources.corpus.expected_word_boxes`),
+    so segmentation + grid-origin estimation are value-checked end to
+    end, not just eyeballed."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_ocr_spark.operators.imaging import ocr_decode_layout, to_grayscale
+        from pdf_ocr_spark.sources.pngcodec import decode_png
+
+        for pdf in batches:
+            rows = {k: [] for k in ("media_ref", "line_idx", "word_idx", "word", "x0", "y0", "x1", "y1")}
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                if payload is None:
+                    continue
+                try:
+                    lines, _ = ocr_decode_layout(to_grayscale(decode_png(bytes(payload))))
+                except Exception:
+                    continue  # malformed media: no geometry rows
+                for li, line in enumerate(lines):
+                    for wi, w in enumerate(line["words"]):
+                        x0, y0, x1, y1 = w["bbox"]
+                        rows["media_ref"].append(ref)
+                        rows["line_idx"].append(li)
+                        rows["word_idx"].append(wi)
+                        rows["word"].append(w["text"])
+                        rows["x0"].append(int(x0))
+                        rows["y0"].append(int(y0))
+                        rows["x1"].append(int(x1))
+                        rows["y1"].append(int(y1))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(kernel, schema=WORD_BOXES_SCHEMA)

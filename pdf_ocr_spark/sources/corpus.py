@@ -294,3 +294,87 @@ def media_expectation_manifest(
             yield out
 
     return refs.mapInPandas(gen, schema=MEDIA_EXPECTATION_SCHEMA)
+
+
+def expected_word_boxes(doc_id: str, offset: int, seed: int = 42):
+    """Analytic word bounding boxes for the page at (doc_id, offset) —
+    computed from the renderer constants and the glyph ink masks alone
+    (no rendering, no segmentation), mirroring the layout kernel's
+    reporting rules exactly:
+
+    * a line band's top is the first ink row = the line's cell row
+      (every letter/digit glyph has row-0 ink);
+    * the grid origin is the band's first ink column, i.e. the minimum
+      over glyphs of (cell_x + glyph's first ink column);
+    * word x-extent is [origin + pos*CHAR_PITCH,
+      origin + (pos+len)*CHAR_PITCH - 1], y-extent [top, top+GLYPH_H].
+
+    Returns a list of (line_idx, word_idx, word, x0, y0, x1, y1).
+    """
+    import numpy as np
+
+    from pdf_ocr_spark.sources.glyphs import (
+        CHAR_PITCH,
+        GLYPH_H,
+        LINE_PITCH,
+        MARGIN,
+        glyph_array,
+    )
+
+    text = expected_page_text(doc_id, offset, seed).upper()
+    dy, dx = _page_jitter(doc_id, offset, seed)
+    out = []
+    for li, line in enumerate(text.split("\n")):
+        first_cols = []
+        for ci, ch in enumerate(line):
+            g = glyph_array(ch)
+            if g.any():
+                first_cols.append(ci * CHAR_PITCH + int(np.argmax(g.any(axis=0))))
+        if not first_cols:
+            continue
+        top = MARGIN + dy + li * LINE_PITCH
+        c0 = MARGIN + dx + min(first_cols)
+        pos, wi = 0, 0
+        for raw in line.split(" "):
+            if raw:
+                x0 = c0 + pos * CHAR_PITCH
+                x1 = c0 + (pos + len(raw)) * CHAR_PITCH - 1
+                out.append((li, wi, raw, x0, top, x1, top + GLYPH_H))
+                wi += 1
+            pos += len(raw) + 1
+    return out
+
+
+def layout_expectation_manifest(spark, documents, seed: int = 42):
+    """Expected word-box rows for every clean page of a documents table
+    (the DuckDB oracle manifest for `word_boxes`). Must be used with
+    media generated at missing_rate=0, corrupt_rate=0, shear_rate=0."""
+    from pyspark.sql import functions as F
+
+    refs = (
+        documents.select(F.explode("spans").alias("s"))
+        .where(F.col("s.kind") == "image")
+        .select(F.col("s.media_ref").alias("media_ref"))
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_ref", "line_idx", "word_idx", "word", "x0", "y0", "x1", "y1")}
+            for ref in pdf["media_ref"]:
+                doc_id, offset = parse_media_ref(ref)
+                for li, wi, w, x0, y0, x1, y1 in expected_word_boxes(doc_id, offset, seed):
+                    rows["media_ref"].append(ref)
+                    rows["line_idx"].append(li)
+                    rows["word_idx"].append(wi)
+                    rows["word"].append(w)
+                    rows["x0"].append(x0)
+                    rows["y0"].append(y0)
+                    rows["x1"].append(x1)
+                    rows["y1"].append(y1)
+            yield pd.DataFrame(rows)
+
+    return refs.mapInPandas(
+        gen,
+        schema="media_ref string, line_idx int, word_idx int, word string, "
+        "x0 int, y0 int, x1 int, y1 int",
+    )

@@ -122,3 +122,38 @@ def test_extract_documents_reassembles_in_page_order(spark, pdf_dir):
     assert out["0"].txt == expected
     assert out["0"].n_pages == len(page_texts(text0))
     assert out["0"].n_errors == 0
+
+
+def test_parser_never_crashes_on_fuzzed_bytes():
+    """The subset parser must raise ValueError (error-as-row upstream),
+    never any other exception, on arbitrary and near-valid inputs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    valid = encode_pdf([np.zeros((4, 6), dtype=np.uint8)])
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=400))
+    def fuzz_raw(data):
+        try:
+            decode_pdf(data)
+            page_count(data)
+        except ValueError:
+            pass
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.integers(0, len(valid) - 1),
+        st.integers(1, 30),
+        st.binary(min_size=1, max_size=30),
+    )
+    def fuzz_mutated(pos, cut, repl):
+        data = valid[:pos] + repl + valid[pos + cut:]
+        try:
+            decode_pdf(data)
+            page_count(data)
+        except ValueError:
+            pass
+
+    fuzz_raw()
+    fuzz_mutated()
