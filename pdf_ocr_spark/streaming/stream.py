@@ -286,3 +286,58 @@ def stream_extract(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_join_pages_media(
+    spark: SparkSession,
+    pages_path: str,
+    pages_schema,
+    media_path: str,
+    media_schema,
+    out_path: str,
+    checkpoint: str,
+    watermark: str = "10 minutes",
+    join_window: str = "5 minutes",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Stream-stream inner equi-join: page rows and media payloads
+    arrive on separate streams and meet on ``media_ref`` within an
+    event-time window. Both sides carry watermarks and the join
+    condition bounds their time distance, so Spark can expire join
+    state — the requirement that makes a stream-stream join runnable
+    forever (unbounded state otherwise). Late media beyond
+    watermark+window never joins (standard streaming-join semantics).
+
+    Input schemas: pages (media_ref, doc_id, offset, p_ts timestamp),
+    media (m_media_ref, payload, m_ts timestamp)."""
+    from pyspark.sql import functions as F
+
+    pages = (
+        spark.readStream.schema(pages_schema)
+        .parquet(pages_path)
+        .withColumn("p_ts", F.col("p_ts").cast("timestamp"))
+        .withWatermark("p_ts", watermark)
+    )
+    media = (
+        spark.readStream.schema(media_schema)
+        .parquet(media_path)
+        .withColumn("m_ts", F.col("m_ts").cast("timestamp"))
+        .withWatermark("m_ts", watermark)
+    )
+    joined = pages.join(
+        media,
+        F.expr(
+            f"media_ref = m_media_ref AND "
+            f"m_ts >= p_ts - INTERVAL {join_window} AND "
+            f"m_ts <= p_ts + INTERVAL {join_window}"
+        ),
+    ).select("media_ref", "doc_id", "offset", "payload", "p_ts", "m_ts")
+    writer = (
+        joined.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -75,3 +75,41 @@ def test_rate_source_ingestion(spark):
     # newline folded to a space
     assert "\n" not in row.text
     assert row.text.startswith("rOw")
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Pages and media arriving on separate streams join on media_ref
+    within the event-time window; result equals the batch join."""
+    from pdf_ocr_spark.streaming.stream import stream_join_pages_media
+
+    base = datetime.datetime(2026, 3, 1, 12, 0, 0)
+    pages_schema = "media_ref string, doc_id string, offset int, p_ts timestamp"
+    media_schema = "m_media_ref string, payload binary, m_ts timestamp"
+    pages = spark.createDataFrame(
+        [
+            (f"m{i}", f"d{i % 4}", i, base + datetime.timedelta(minutes=i))
+            for i in range(20)
+        ],
+        pages_schema,
+    )
+    # media arrives up to 3 min after its page except m7 (9 min late —
+    # outside the 5-minute join window)
+    media = spark.createDataFrame(
+        [
+            (
+                f"m{i}",
+                bytes([i]),
+                base + datetime.timedelta(minutes=i + (9 if i == 7 else 3)),
+            )
+            for i in range(20)
+        ],
+        media_schema,
+    )
+    pin, min_, out, ckpt = (str(tmp_path / p) for p in ("pages", "media", "out", "ckpt"))
+    pages.write.parquet(pin)
+    media.write.parquet(min_)
+    q = stream_join_pages_media(spark, pin, pages_schema, min_, media_schema, out, ckpt)
+    q.awaitTermination(120)
+    got = {(r.media_ref, r.doc_id, bytes(r.payload)) for r in spark.read.parquet(out).collect()}
+    want = {(f"m{i}", f"d{i % 4}", bytes([i])) for i in range(20) if i != 7}
+    assert got == want
