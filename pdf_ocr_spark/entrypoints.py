@@ -532,6 +532,45 @@ def q_pricing(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "profit_by_nation",
+    """
+SELECT n_name AS nation, extract(year FROM l_shipdate)::BIGINT AS yr,
+       (sum(round(l_extendedprice * (1 - l_discount), 4)::DECIMAL(18,4)))::DOUBLE AS profit,
+       count(*) AS n_lines
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN part ON l_partkey = p_partkey
+WHERE p_size <= 20
+GROUP BY n_name, yr
+""",
+)
+def q_profit_by_nation(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 shape: fact ⋈ three broadcast dims (supplier, nation,
+    part) with the part-size filter pushed to the dim scan; profit as a
+    round-then-exact-decimal sum (deterministic across engines and
+    partitionings — IEEE double products are bitwise identical, the
+    round fixes the grid, the decimal sum is associative)."""
+    li = load_table(spark, sf, "lineitem")
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    p = load_table(spark, sf, "part").where(F.col("p_size") <= 20)
+    term = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").cast("long").alias("yr"))
+        .agg(
+            F.sum(term).cast("double").alias("profit"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@_register(
     "region_rollup",
     """
 SELECT coalesce(r_name, 'ALL') AS region, coalesce(c_mktsegment, 'ALL') AS segment,
