@@ -1322,7 +1322,7 @@ def _media_manifest(spark: SparkSession) -> None:
     )
 
     docs = generate_documents(spark, n_docs=50, seed=13)
-    media_expectation_manifest(docs.sparkSession, docs, seed=13, corrupt_rate=0.05).write.mode(
+    media_expectation_manifest(docs, seed=13, corrupt_rate=0.05).write.mode(
         "overwrite"
     ).parquet(_MEDIA_MANIFEST_DIR)
 
@@ -1375,7 +1375,7 @@ def _layout_manifest(spark: SparkSession) -> None:
     )
 
     docs = generate_documents(spark, n_docs=50, seed=13)
-    layout_expectation_manifest(spark, docs, seed=13).write.mode("overwrite").parquet(
+    layout_expectation_manifest(docs, seed=13).write.mode("overwrite").parquet(
         _LAYOUT_MANIFEST_DIR
     )
 
@@ -1596,9 +1596,16 @@ _PDF_CACHE_ROOT = "/tmp/pdf_ocr_spark_cache"
 
 
 def _pdf_fixture_dir(spark: SparkSession, sf: str) -> str:
-    """Generate (once, executor-side) the PDF corpus for an sf dir;
-    an atomic marker file keyed by doc count makes re-entry a no-op."""
+    """Generate (once, executor-side) the PDF corpus for an sf dir.
+    The re-entry marker is keyed by a CONTENT fingerprint (row count +
+    order-independent checksum over (doc_id, text)), not just the doc
+    count — /tmp persists across rounds, and a stale cache keyed on
+    count alone would silently serve old fixture data if the corpus
+    generator changed. A mismatch wipes the directory before rewriting,
+    so orphan doc_*.pdf files from a larger previous corpus can't leak
+    into the '*.pdf' glob."""
     import os
+    import shutil
 
     from pdf_ocr_spark.sources.pdfsource import write_pdf_corpus
 
@@ -1607,17 +1614,22 @@ def _pdf_fixture_dir(spark: SparkSession, sf: str) -> str:
     docs = load_table(spark, sf, "documents").select(
         F.col("doc_id").cast("string").alias("doc_id"), "text"
     )
-    n_docs = docs.count()
+    agg = docs.agg(
+        F.count("*").alias("n"),
+        F.sum(F.crc32(F.concat_ws("\x00", "doc_id", "text"))).alias("ck"),
+    ).first()
+    fingerprint = f"{agg['n']}:{agg['ck']}"
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker):
         with open(marker) as f:
-            if f.read().strip() == str(n_docs):
+            if f.read().strip() == fingerprint:
                 return out
+        shutil.rmtree(out, ignore_errors=True)
     n_written = write_pdf_corpus(docs, out).count()
-    assert n_written == n_docs, (n_written, n_docs)
+    assert n_written == agg["n"], (n_written, agg["n"])
     tmp = marker + ".tmp"
     with open(tmp, "w") as f:
-        f.write(str(n_docs))
+        f.write(fingerprint)
     os.replace(tmp, marker)
     return out
 

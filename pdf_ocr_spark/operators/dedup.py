@@ -357,7 +357,7 @@ def dedup_components(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
-    max_iter: int = 20,
+    max_iter: int = 50,
 ) -> DataFrame:
     """Transitive dedup closure: connected components of the duplicate
     graph via **iterative min-label propagation** — the canonical
@@ -377,6 +377,7 @@ def dedup_components(
     labels = df.select(F.col(id_col).alias("id")).distinct().select(
         "id", F.col("id").alias("label")
     ).localCheckpoint()
+    changed = -1
     for _ in range(max_iter):
         msgs = undirected.join(
             labels.withColumnRenamed("id", "src"), "src"
@@ -392,9 +393,18 @@ def dedup_components(
             .where(F.col("label") != F.col("_old"))
             .count()
         )
+        labels.unpersist()  # the previous round's checkpoint blocks
         labels = new_labels
         if changed == 0:
             break
+    undirected.unpersist()
+    if changed != 0:
+        # silent non-convergence would split a component and diverge
+        # from the documented transitive-closure contract
+        raise RuntimeError(
+            f"dedup_components did not converge within {max_iter} rounds "
+            "(duplicate-graph diameter too large); raise max_iter"
+        )
     return labels.select("id", F.col("label").alias("component_id"))
 
 

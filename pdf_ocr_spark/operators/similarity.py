@@ -257,7 +257,13 @@ def ivf_topk(
     import pandas as pd  # noqa: F401
     from pyspark.sql.types import IntegerType, StructField, StructType
 
-    dim = len(queries.select(vec_col).first()[0])
+    n_probe = min(n_probe, n_lists)
+    first = queries.select(vec_col).first()
+    if first is None:  # no queries: empty result, not a crash
+        return queries.sparkSession.createDataFrame(
+            [], "query_id long, rank int, neighbor_id long, score double"
+        )
+    dim = len(first[0])
     cents = ivf_centroids(dim, n_lists)
     bc = queries.sparkSession.sparkContext.broadcast(cents)
 

@@ -51,11 +51,15 @@ def bucketed_join(
 
 
 def exchange_count(df: DataFrame) -> int:
-    """Number of Exchange (shuffle) operators in the executed physical
-    plan — the assertion primitive for shuffle-free claims."""
+    """Number of *shuffle* Exchange operators in the executed physical
+    plan — the assertion primitive for shuffle-free claims.
+    BroadcastExchange is excluded: broadcasting a small side moves no
+    partitioned data and a broadcast-join plan is still shuffle-free."""
     plan = df._jdf.queryExecution().executedPlan().toString()
     return sum(
         1
         for line in plan.splitlines()
-        if "Exchange" in line and "ReusedExchange" not in line
+        if "Exchange" in line
+        and "ReusedExchange" not in line
+        and "BroadcastExchange" not in line
     )

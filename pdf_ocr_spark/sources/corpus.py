@@ -229,7 +229,6 @@ MEDIA_EXPECTATION_SCHEMA = (
 
 
 def media_expectation_manifest(
-    spark,
     documents,
     seed: int = 42,
     missing_rate: float = 0.0,
@@ -249,8 +248,6 @@ def media_expectation_manifest(
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         for pdf in batches:
             rows = {
                 k: []
@@ -345,7 +342,7 @@ def expected_word_boxes(doc_id: str, offset: int, seed: int = 42):
     return out
 
 
-def layout_expectation_manifest(spark, documents, seed: int = 42):
+def layout_expectation_manifest(documents, seed: int = 42):
     """Expected word-box rows for every clean page of a documents table
     (the DuckDB oracle manifest for `word_boxes`). Must be used with
     media generated at missing_rate=0, corrupt_rate=0, shear_rate=0."""

@@ -90,21 +90,53 @@ def encode_pdf(pages: list[np.ndarray]) -> bytes:
 
 
 _OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj\b")
+_STREAM_RE = re.compile(rb"stream\r?\n")
 
 
 def _objects(data: bytes) -> dict[int, tuple[int, int]]:
     """Map object number -> (body_start, body_end) byte spans.
 
-    Scans ``N 0 obj`` markers rather than trusting the xref table —
-    tolerant of the off-spec offsets real-world tools emit, while the
-    dict/stream parsing below stays strict about the image subset."""
+    Scans ``N 0 obj`` markers forward rather than trusting the xref
+    table (tolerant of the off-spec offsets real-world tools emit) —
+    but raster stream payloads are raw bytes that can legitimately
+    contain ``N 0 obj`` / ``endobj`` sequences, so the scan must never
+    look inside a stream: after each object's dictionary, if a stream
+    follows, its /Length bytes are skipped before searching for
+    ``endobj``."""
     spans: dict[int, tuple[int, int]] = {}
-    for m in _OBJ_RE.finditer(data):
-        end = data.find(b"endobj", m.end())
+    pos = 0
+    while True:
+        m = _OBJ_RE.search(data, pos)
+        if m is None:
+            break
+        num, start = int(m.group(1)), m.end()
+        body_probe = data[start : start + _MAX_DICT]
+        d = _dict_of(body_probe)
+        dict_end = start + body_probe.find(b"<<") + len(d)
+        sm = _STREAM_RE.match(data, _skip_ws(data, dict_end))
+        if sm is not None:
+            length = _int(d, b"Length")
+            search_from = sm.end() + length
+        else:
+            search_from = dict_end
+        end = data.find(b"endobj", search_from)
         if end == -1:
-            raise ValueError("unterminated object %d" % int(m.group(1)))
-        spans[int(m.group(1))] = (m.end(), end)
+            raise ValueError("unterminated object %d" % num)
+        spans[num] = (start, end)
+        pos = end + len(b"endobj")
     return spans
+
+
+#: Upper bound on a subset dictionary's serialized size — object dicts
+#: here are small; the cap keeps the balanced-<<>> scan from walking
+#: into a multi-megabyte raster on malformed input.
+_MAX_DICT = 4096
+
+
+def _skip_ws(data: bytes, pos: int) -> int:
+    while pos < len(data) and data[pos : pos + 1] in (b" ", b"\t", b"\r", b"\n"):
+        pos += 1
+    return pos
 
 
 def _dict_of(body: bytes) -> bytes:

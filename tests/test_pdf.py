@@ -157,3 +157,20 @@ def test_parser_never_crashes_on_fuzzed_bytes():
 
     fuzz_raw()
     fuzz_mutated()
+
+
+def test_raster_bytes_containing_pdf_syntax_round_trip():
+    """Raw raster payloads can legitimately contain 'N 0 obj'/'endobj'/
+    'stream' byte sequences; the object scanner must skip stream bodies
+    (via /Length) instead of regex-matching into them."""
+    evil = np.frombuffer(
+        b"\n2 0 obj\nendobj\nstream\ntrailer" + bytes(range(226)), dtype=np.uint8
+    ).reshape(16, 16)
+    rng = np.random.RandomState(0)
+    pages = [evil, rng.randint(0, 256, (31, 9)).astype(np.uint8)]
+    data = encode_pdf(pages)
+    back = decode_pdf(data)
+    assert len(back) == 2
+    for a, b in zip(pages, back):
+        assert (a == b).all()
+    assert page_count(data) == 2
