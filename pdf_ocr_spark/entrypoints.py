@@ -1094,9 +1094,9 @@ def _sql_simhash_votes(toks: str, bits: int = 32) -> str:
 )
 def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
     from pdf_ocr_spark.operators.analysis import tokens_col
-    from pdf_ocr_spark.operators.dedup import simhash_from_tokens
+    from pdf_ocr_spark.operators.dedup import _ensure_parallelism, simhash_from_tokens
 
-    d = load_table(spark, sf, "documents")
+    d = _ensure_parallelism(load_table(spark, sf, "documents").select("doc_id", "text"))
     # materialize distinct tokens once; the 32 vote-aggregates then read
     # a bound column instead of re-tokenizing (10x on this query)
     toked = d.select(
