@@ -64,6 +64,10 @@ BENCH_QUERIES = [
     "grouping_sets_customers",
     "simhash_hamming_pairs",
     "contamination_check",
+    "dedup_ngram_jaccard_capped",
+    "knn_ivf_topk",
+    "profit_by_nation",
+    "word_boxes",
     "pdf_page_count",
     "pdf_extract_text",
 ]

@@ -341,3 +341,41 @@ def stream_join_pages_media(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_static_extract_pages(
+    spark: SparkSession,
+    pages_path: str,
+    pages_schema,
+    media: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    config: ExtractionConfig | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Stream-STATIC join + continuous OCR: page rows stream in and
+    join the static media table (no watermark needed — the static side
+    is a plain DataFrame, re-read per micro-batch), then the Arrow OCR
+    kernel decodes inside the streaming plan and decoded page rows land
+    in an append-mode file sink. The third join mechanism alongside
+    foreachBatch (batch join per micro-batch) and the watermarked
+    stream-stream join; this is the continuous-query form.
+
+    Input stream columns: doc_id, offset, media_ref."""
+    from pdf_ocr_spark.operators.ocr import ocr_pages
+
+    stream = spark.readStream.schema(pages_schema).parquet(pages_path)
+    joined = stream.join(media, "media_ref", "left")
+    decoded = ocr_pages(
+        joined.select("doc_id", "offset", "media_ref", "payload"),
+        config or ExtractionConfig(),
+    )
+    writer = (
+        decoded.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

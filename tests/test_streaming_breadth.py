@@ -113,3 +113,32 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     got = {(r.media_ref, r.doc_id, bytes(r.payload)) for r in spark.read.parquet(out).collect()}
     want = {(f"m{i}", f"d{i % 4}", bytes([i])) for i in range(20) if i != 7}
     assert got == want
+
+
+def test_stream_static_join_ocr(spark, tmp_path):
+    """Pages stream in, join the STATIC media table, and the OCR kernel
+    runs inside the streaming plan — result equals the batch decode."""
+    from pdf_ocr_spark.operators.ocr import ocr_pages
+    from pdf_ocr_spark.operators.spans import explode_spans
+    from pdf_ocr_spark.sources.corpus import generate_documents, generate_media
+    from pdf_ocr_spark.streaming.stream import stream_static_extract_pages
+
+    docs = generate_documents(spark, n_docs=15, seed=21)
+    media = generate_media(spark, docs, seed=21).cache()
+    pages = explode_spans(docs).where("kind = 'image'").select(
+        "doc_id", "offset", "media_ref"
+    )
+    pages_schema = "doc_id string, offset int, media_ref string"
+    pin, out, ckpt = (str(tmp_path / p) for p in ("pages", "out", "ckpt"))
+    pages.write.parquet(pin)
+    q = stream_static_extract_pages(spark, pin, pages_schema, media, out, ckpt)
+    q.awaitTermination(180)
+    got = {
+        (r.doc_id, r.offset): (r.text, r.error)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.doc_id, r.offset): (r.text, r.error)
+        for r in ocr_pages(pages.join(media, "media_ref", "left")).collect()
+    }
+    assert got == want and len(got) > 0
