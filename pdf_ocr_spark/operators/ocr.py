@@ -104,8 +104,20 @@ def ocr_pages(pages: DataFrame, config: ExtractionConfig | None = None) -> DataF
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             texts, confs, errs = [], [], []
-            for payload, ref, off in zip(pdf["payload"], pdf["media_ref"], pdf["offset"]):
-                t, c, e = _decode_one(payload, ref, int(off), cfg)
+            # Optional upstream parse errors (e.g. the PDF source's typed
+            # "/DCTDecode unsupported" rows) take precedence over the
+            # generic missing-payload message, so the user-facing error
+            # row names the actual cause.
+            parse_errs = (
+                pdf["parse_error"] if "parse_error" in pdf.columns else [None] * len(pdf)
+            )
+            for payload, ref, off, pe in zip(
+                pdf["payload"], pdf["media_ref"], pdf["offset"], parse_errs
+            ):
+                if payload is None and pe is not None and not pd.isna(pe):
+                    t, c, e = f"[Error: {pe}]", 0.0, True
+                else:
+                    t, c, e = _decode_one(payload, ref, int(off), cfg)
                 texts.append(t)
                 confs.append(c)
                 errs.append(e)

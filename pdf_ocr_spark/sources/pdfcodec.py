@@ -7,15 +7,19 @@ Poppler does not exist in this container, so this module plays both
 roles for the engine's real-PDF path:
 
 * :func:`encode_pdf` writes a valid PDF 1.4 file where each page is one
-  full-page **uncompressed 8-bit DeviceGray Image XObject** — the
+  full-page **8-bit DeviceGray or DeviceRGB Image XObject**, raw or
+  Flate-compressed (``compress=True`` adds ``/Filter /FlateDecode`` —
+  the filter essentially every real-world producer applies) — the
   canonical "scanned document" structure (one raster per page, no text
   layer), byte-stable for a given page list.
 * :func:`decode_pdf` parses that structure back into page images
   **in page order** by walking trailer -> /Root -> /Pages -> /Kids,
   i.e. a genuine (subset) PDF parser, not a reverse of the writer's
-  byte layout. Anything outside the subset (compressed streams,
-  non-gray color spaces) raises ``ValueError`` so callers can surface
-  it as an error row, never a crash.
+  byte layout. ``/FlateDecode`` streams are inflated with stdlib zlib;
+  anything outside the subset (other filters like ``/DCTDecode``,
+  filter chains, non-gray/RGB color spaces) raises ``ValueError``
+  **naming the offending filter/colorspace** so callers can surface it
+  as a typed error row, never a crash.
 
 Both functions are pure bytes<->numpy; the Spark-facing source lives in
 :mod:`pdf_ocr_spark.sources.pdfsource`.
@@ -24,6 +28,7 @@ Both functions are pure bytes<->numpy; the Spark-facing source lives in
 from __future__ import annotations
 
 import re
+import zlib
 
 import numpy as np
 
@@ -34,22 +39,30 @@ def _obj(num: int, body: bytes) -> bytes:
     return b"%d 0 obj\n%s\nendobj\n" % (num, body)
 
 
-def encode_pdf(pages: list[np.ndarray]) -> bytes:
-    """Serialize grayscale page images (H x W uint8 arrays) into a PDF.
+def encode_pdf(pages: list[np.ndarray], compress: bool = False) -> bytes:
+    """Serialize page images into a PDF — H x W uint8 (DeviceGray) or
+    H x W x 3 uint8 (DeviceRGB) arrays; ``compress=True`` Flate-encodes
+    each raster stream (``/Filter /FlateDecode``), the layout real-world
+    producers emit.
 
     Object layout: 1 = catalog, 2 = pages tree, then per page i:
     (3+3i) = page, (4+3i) = content stream, (5+3i) = image XObject.
     A correct xref table + trailer is emitted, so the output is a real
     PDF any conforming reader can open, not just :func:`decode_pdf`.
+    Byte-stable for a given (pages, compress): zlib.compress at a fixed
+    level is deterministic.
     """
     if not pages:
         raise ValueError("a PDF needs at least one page")
     objects: dict[int, bytes] = {}
     kids = []
     for i, img in enumerate(pages):
-        if img.dtype != np.uint8 or img.ndim != 2:
-            raise ValueError("pages must be 2-D uint8 grayscale arrays")
-        h, w = img.shape
+        if img.dtype != np.uint8 or img.ndim not in (2, 3):
+            raise ValueError("pages must be 2-D (gray) or 3-D (RGB) uint8 arrays")
+        if img.ndim == 3 and img.shape[2] != 3:
+            raise ValueError("3-D pages must have exactly 3 (RGB) channels")
+        colorspace = "/DeviceGray" if img.ndim == 2 else "/DeviceRGB"
+        h, w = img.shape[:2]
         page_num, content_num, image_num = 3 + 3 * i, 4 + 3 * i, 5 + 3 * i
         kids.append(f"{page_num} 0 R")
         objects[page_num] = (
@@ -61,10 +74,14 @@ def encode_pdf(pages: list[np.ndarray]) -> bytes:
         objects[content_num] = (
             b"<< /Length %d >>\nstream\n%s\nendstream" % (len(draw), draw)
         )
-        raw = img.tobytes()
+        raw = np.ascontiguousarray(img).tobytes()
+        filt = ""
+        if compress:
+            raw = zlib.compress(raw, 6)
+            filt = "/Filter /FlateDecode "
         objects[image_num] = (
             f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
-            f"/ColorSpace /DeviceGray /BitsPerComponent 8 /Length {len(raw)} >>\n"
+            f"/ColorSpace {colorspace} /BitsPerComponent 8 {filt}/Length {len(raw)} >>\n"
         ).encode() + b"stream\n" + raw + b"\nendstream"
     objects[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
     objects[2] = (
@@ -184,6 +201,38 @@ def _int(d: bytes, key: bytes) -> int:
     return int(m.group(1))
 
 
+_FILTER_ARRAY_RE = re.compile(rb"/Filter\s*\[([^\]]*)\]")
+_FILTER_NAME_RE = re.compile(rb"/Filter\s*/(\w+)")
+
+
+def _decode_stream(d: bytes, raw: bytes) -> bytes:
+    """Apply the stream's declared /Filter. FlateDecode (the filter on
+    essentially every real-world PDF stream) inflates via stdlib zlib;
+    any other filter — notably /DCTDecode (JPEG) — raises naming it, so
+    the Spark source can emit a typed error row that tells the user
+    exactly which codec their file needs."""
+    am = _FILTER_ARRAY_RE.search(d)
+    if am is not None:
+        names = re.findall(rb"/(\w+)", am.group(1))
+        if len(names) != 1:
+            raise ValueError(
+                "filter chains are outside the subset: [%s]"
+                % b" ".join(b"/" + n for n in names).decode()
+            )
+        name = names[0]
+    else:
+        nm = _FILTER_NAME_RE.search(d)
+        if nm is None:
+            return raw
+        name = nm.group(1)
+    if name != b"FlateDecode":
+        raise ValueError("unsupported stream filter /%s" % name.decode())
+    try:
+        return zlib.decompress(raw)
+    except zlib.error as e:
+        raise ValueError("corrupt FlateDecode stream: %s" % e) from None
+
+
 def decode_pdf(data: bytes) -> list[np.ndarray]:
     """Parse a scanned-page-subset PDF into its page images, in order."""
     if not data.startswith(b"%PDF-"):
@@ -216,15 +265,25 @@ def decode_pdf(data: bytes) -> list[np.ndarray]:
             raise ValueError("page %d has no image XObject" % kid)
         img_body = body(_ref(xobj_m.group(1), b"Im0"))
         d = _dict_of(img_body)
-        if b"/Filter" in d:
-            raise ValueError("compressed image streams are outside the subset")
-        if b"/DeviceGray" not in d:
-            raise ValueError("only /DeviceGray images are in the subset")
+        if re.search(rb"/DeviceGray\b", d):
+            channels = 1
+        elif re.search(rb"/DeviceRGB\b", d):
+            channels = 3
+        else:
+            cs = re.search(rb"/ColorSpace\s*/?(\w+)", d)
+            raise ValueError(
+                "unsupported colorspace /%s (subset: DeviceGray, DeviceRGB)"
+                % (cs.group(1).decode() if cs else "<missing>")
+            )
         w, h = _int(d, b"Width"), _int(d, b"Height")
-        if _int(d, b"Length") != w * h:
-            raise ValueError("/Length disagrees with %dx%d raster" % (w, h))
-        raw = _stream_of(img_body, w * h)
-        images.append(np.frombuffer(raw, dtype=np.uint8).reshape(h, w))
+        raw = _decode_stream(d, _stream_of(img_body, _int(d, b"Length")))
+        if len(raw) != w * h * channels:
+            raise ValueError(
+                "decoded stream is %d bytes, expected %dx%dx%d raster"
+                % (len(raw), w, h, channels)
+            )
+        img = np.frombuffer(raw, dtype=np.uint8)
+        images.append(img.reshape(h, w) if channels == 1 else img.reshape(h, w, 3))
     return images
 
 

@@ -56,12 +56,18 @@ def page_texts(text: str, words_per_page: int = WORDS_PER_PAGE) -> list[str]:
 
 
 def write_pdf_corpus(
-    docs: DataFrame, out_dir: str, words_per_page: int = WORDS_PER_PAGE
+    docs: DataFrame,
+    out_dir: str,
+    words_per_page: int = WORDS_PER_PAGE,
+    compress: bool = True,
 ) -> DataFrame:
     """Render one scanned-style PDF per (doc_id, text) row into
     ``out_dir`` (executor-side writes, driver never sees a page) and
     return the manifest (doc_id, path, n_pages). Triggering an action
-    on the manifest performs the writes."""
+    on the manifest performs the writes. ``compress`` (default on)
+    Flate-encodes the raster streams — the layout every real-world
+    producer emits — so the e2e extraction queries exercise the
+    inflate path, not just the raw-stream fixture shape."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np  # noqa: F401  (renderer dependency, worker-side)
@@ -78,7 +84,7 @@ def write_pdf_corpus(
                 path = os.path.join(out_dir, f"doc_{doc_id}.pdf")
                 tmp = path + ".tmp"
                 with open(tmp, "wb") as f:
-                    f.write(encode_pdf(images))
+                    f.write(encode_pdf(images, compress=compress))
                 os.replace(tmp, path)  # atomic: readers never see partials
                 paths.append(path)
                 n_pages.append(len(images))
@@ -184,7 +190,7 @@ def extract_pdf_documents(spark: SparkSession, pdf_dir: str, config=None) -> Dat
 
     pages = read_pdf_pages(spark, pdf_dir)
     decoded = ocr_pages(
-        pages.select("doc_id", "offset", "media_ref", "payload"),
+        pages.select("doc_id", "offset", "media_ref", "payload", "parse_error"),
         config or ExtractionConfig(),
     )
     ordered = F.array_sort(

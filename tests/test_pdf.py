@@ -40,12 +40,80 @@ def test_codec_rejects_non_subset():
     data = encode_pdf([np.zeros((4, 4), dtype=np.uint8)])
     with pytest.raises(ValueError):
         decode_pdf(b"not a pdf")
-    with pytest.raises(ValueError):
+    with pytest.raises(ValueError, match="DeviceRGBx"):
         decode_pdf(data.replace(b"/DeviceGray", b"/DeviceRGBx"))
-    with pytest.raises(ValueError):
+    # a /Filter /FlateDecode whose payload is NOT zlib data is corrupt
+    with pytest.raises(ValueError, match="corrupt FlateDecode"):
         decode_pdf(
             data.replace(b"/BitsPerComponent", b"/Filter /FlateDecode /BitsPerComponent")
         )
+
+
+def test_codec_flate_round_trip():
+    """FlateDecode (the real-world layout) round-trips byte-exactly and
+    actually shrinks scanned-page-shaped (mostly-white) rasters."""
+    rng = np.random.RandomState(11)
+    noisy = rng.randint(0, 256, (40, 30)).astype(np.uint8)
+    page = np.full((120, 200), 255, dtype=np.uint8)
+    page[20:30, 10:150] = 0
+    data = encode_pdf([noisy, page], compress=True)
+    assert b"/FlateDecode" in data
+    back = decode_pdf(data)
+    assert len(back) == 2 and (back[0] == noisy).all() and (back[1] == page).all()
+    assert page_count(data) == 2
+    assert encode_pdf([noisy, page], compress=True) == data  # byte-stable
+    assert len(data) < len(encode_pdf([noisy, page]))  # compression wins
+
+
+def test_codec_rgb_round_trip_raw_and_flate():
+    rng = np.random.RandomState(5)
+    rgb = rng.randint(0, 256, (22, 17, 3)).astype(np.uint8)
+    gray = rng.randint(0, 256, (9, 9)).astype(np.uint8)
+    for compress in (False, True):
+        data = encode_pdf([rgb, gray], compress=compress)
+        assert b"/DeviceRGB" in data and b"/DeviceGray" in data
+        a, b = decode_pdf(data)
+        assert a.shape == (22, 17, 3) and (a == rgb).all()
+        assert b.shape == (9, 9) and (b == gray).all()
+
+
+def test_codec_unsupported_filter_and_chain_are_typed_errors():
+    data = encode_pdf([np.zeros((6, 6), dtype=np.uint8)], compress=True)
+    with pytest.raises(ValueError, match="/DCTDecode"):
+        decode_pdf(data.replace(b"/FlateDecode", b"/DCTDecode\x20\x20"))
+    chained = data.replace(
+        b"/Filter /FlateDecode", b"/Filter [/LZWDecode /FlateDecode] %"
+    )
+    with pytest.raises(ValueError, match="filter chains"):
+        decode_pdf(chained)
+
+
+def test_rgb_pdf_extracts_through_ocr(spark, tmp_path):
+    """Color scanned pages (DeviceRGB, Flate) flow through binaryFile ->
+    parse -> luma -> OCR and produce the same text as the gray path."""
+    from pdf_ocr_spark.operators.ocr import ocr_pages
+
+    text = "color page words here"
+    gray_img = render_text_image(text)
+    rgb_img = np.repeat(gray_img[:, :, None], 3, axis=2)
+    root = str(tmp_path)
+    with open(f"{root}/doc_c.pdf", "wb") as f:
+        f.write(encode_pdf([rgb_img], compress=True))
+    pages = read_pdf_pages(spark, root)
+    rows = ocr_pages(pages.select("doc_id", "offset", "media_ref", "payload")).collect()
+    assert len(rows) == 1
+    assert rows[0].text == text.upper() and rows[0].error is False
+
+
+def test_dct_pdf_becomes_typed_error_row(spark, tmp_path):
+    """A JPEG-compressed (DCTDecode) scan is outside the subset: the
+    source must emit one parse_error row NAMING the filter, not crash."""
+    data = encode_pdf([np.zeros((8, 8), dtype=np.uint8)], compress=True)
+    with open(f"{tmp_path}/doc_j.pdf", "wb") as f:
+        f.write(data.replace(b"/FlateDecode", b"/DCTDecode\x20\x20"))
+    rows = read_pdf_pages(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    assert rows[0].payload is None and "/DCTDecode" in rows[0].parse_error
 
 
 def test_page_texts_chunking():
