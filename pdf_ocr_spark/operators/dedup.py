@@ -46,6 +46,29 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     return df
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Eagerly materialize a shared intermediate (``localCheckpoint``).
+
+    The composed dedup operators fan several plan branches out of one
+    intermediate (shingles feed both LSH candidate generation and
+    Jaccard verification). A lazy ``.cache()`` had two measured
+    problems: (1) the first action plans every branch over the not-yet-
+    materialized cache — 30+ Exchange nodes and double-computed shingles
+    in the round-2 bench (the dedup_minhash_lsh 8 s -> 12 s regression);
+    (2) ``DataFrame.cache()`` registers in the session CacheManager and
+    pins the blocks until an explicit unpersist, accumulating storage
+    across calls in a long-lived session. ``localCheckpoint(eager=True)``
+    computes the table exactly once, truncates lineage, and its blocks
+    are released by the ContextCleaner when the DataFrame is
+    garbage-collected — no caller-side cleanup contract.
+
+    Scale note: localCheckpoint stores partitions un-replicated on
+    executors, so a lost executor fails the job rather than recomputing;
+    on a real cluster where executor loss must be survivable, swap for
+    reliable checkpointing (``setCheckpointDir`` on the DFS)."""
+    return df.localCheckpoint(eager=True)
+
+
 def norm_text_col(text: Column) -> Column:
     """Dedup normalization: lowercase, trim, collapse whitespace runs."""
     return F.regexp_replace(F.lower(F.regexp_replace(text, r"^\s+|\s+$", "")), r"\s+", " ")
@@ -255,11 +278,22 @@ def minhash_near_dup(
     id_col: str = "doc_id",
     threshold: float = 0.5,
 ) -> DataFrame:
-    """The composed scale-path near-dup operator: shingles computed once
-    (cached), LSH candidates, exact-Jaccard verification restricted to
-    the candidate set via :func:`jaccard_for_pairs` — the executed plan
-    contains NO full shingle self-join. Returns (id_a, id_b)."""
-    shingles = shingle_table(df, text_col, id_col).cache()
+    """The composed scale-path near-dup operator: shingles materialized
+    once (:func:`_materialize`), LSH candidates, exact-Jaccard
+    verification restricted to the candidate set via
+    :func:`jaccard_for_pairs` — the executed plan contains NO full
+    shingle self-join, and both branches scan the one checkpointed
+    shingle table instead of re-deriving it.
+
+    ``threshold`` must be > 0: candidate pairs sharing zero shingles
+    never survive the intersection join, so a jaccard-0 row is not
+    representable (and is never a near-duplicate)."""
+    if threshold <= 0.0:
+        raise ValueError(
+            "minhash_near_dup needs threshold > 0 (zero-overlap candidate "
+            "pairs are dropped by the verification join)"
+        )
+    shingles = _materialize(shingle_table(df, text_col, id_col))
     cand = lsh_candidate_pairs(df, text_col, id_col, shingles=shingles)
     verified = jaccard_for_pairs(cand, shingles)
     return verified.where(F.col("jaccard") >= threshold).select("id_a", "id_b")
@@ -292,13 +326,12 @@ def dedup_decisions(
         F.md5(norm_text_col(F.col(text_col))).alias("_h"),
     )
     # the group table feeds three branches (exact verdicts, the rep set
-    # for the near pass, the unique anti-join) — cache it once instead
-    # of recomputing the hash-groupBy per branch
-    groups = (
+    # for the near pass, the unique anti-join) — materialize it once
+    # instead of recomputing the hash-groupBy per branch
+    groups = _materialize(
         hashed.groupBy("_h")
         .agg(F.min(F.struct("id", "text")).alias("_rep"))
         .select("_h", F.col("_rep.id").alias("keeper_id"), F.col("_rep.text").alias("text"))
-        .cache()
     )
     exact = (
         hashed.join(groups.select("_h", "keeper_id"), "_h")
@@ -307,11 +340,10 @@ def dedup_decisions(
     )
     reps = groups.select(F.col("keeper_id").alias("id"), "text")
     near_pairs = minhash_near_dup(reps, text_col="text", id_col="id", threshold=threshold)
-    near = (
+    near = _materialize(
         near_pairs.groupBy(F.col("id_b").alias("id"))
         .agg(F.min("id_a").alias("keeper_id"))
         .select("id", "keeper_id", F.lit("near").alias("reason"))
-        .cache()
     )
     unique = (
         reps.join(near.select("id"), "id", "left_anti")
@@ -371,9 +403,11 @@ def dedup_components(
     = graph diameter (duplicate clusters are shallow in practice).
     Returns (id, component_id)."""
     edges = dedup_edges(df, text_col, id_col, threshold)
-    undirected = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).cache()
+    undirected = _materialize(
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    )
     labels = df.select(F.col(id_col).alias("id")).distinct().select(
         "id", F.col("id").alias("label")
     ).localCheckpoint()
@@ -393,11 +427,9 @@ def dedup_components(
             .where(F.col("label") != F.col("_old"))
             .count()
         )
-        labels.unpersist()  # the previous round's checkpoint blocks
         labels = new_labels
         if changed == 0:
             break
-    undirected.unpersist()
     if changed != 0:
         # silent non-convergence would split a component and diverge
         # from the documented transitive-closure contract
@@ -491,7 +523,7 @@ def simhash_hamming_pairs(
     # two-step materialization: the distinct-shingle array must be a
     # bound column before the 32 vote-aggregates read it (Catalyst
     # re-evaluates inline expressions per lambda — the measured 10x
-    # simhash pitfall), and the signature itself is cached so the
+    # simhash pitfall), and the signature table is checkpointed so the
     # self-join below doesn't recompute the votes for each side.
     toked = _ensure_parallelism(
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
@@ -502,9 +534,9 @@ def simhash_hamming_pairs(
         "id",
         F.array_distinct(word_ngrams_from_tokens(F.col("_toks"), 3)).alias("_grams"),
     )
-    sigs = toked.select(
-        "id", simhash_from_tokens(F.col("_grams")).alias("sig")
-    ).cache()
+    sigs = _materialize(
+        toked.select("id", simhash_from_tokens(F.col("_grams")).alias("sig"))
+    )
     blocks = sigs.select(
         "id",
         "sig",
