@@ -375,3 +375,102 @@ def layout_expectation_manifest(documents, seed: int = 42):
         schema="media_ref string, line_idx int, word_idx int, word string, "
         "x0 int, y0 int, x1 int, y1 int",
     )
+
+
+def expected_hocr_page(doc_id: str, offset: int, media_ref: str, seed: int = 42) -> dict:
+    """Analytic hOCR expectation for a CLEAN page (no corrupt/shear):
+    line/word geometry from the renderer constants + glyph ink masks
+    (the :func:`expected_word_boxes` rules, extended with the line-band
+    right edge = last glyph ink column + 1), confidence 1.0 (a clean
+    render template-matches perfectly), serialized through the SAME
+    pure formatter the kernel uses (`operators.hocr.hocr_page`) — so a
+    string compare value-checks segmentation, decode, geometry, AND the
+    markup in one shot. No rendering, no segmentation in this path."""
+    import numpy as np
+
+    from pdf_ocr_spark.operators.hocr import hocr_page
+    from pdf_ocr_spark.sources.glyphs import (
+        CHAR_PITCH,
+        GLYPH_H,
+        LINE_PITCH,
+        MARGIN,
+        glyph_array,
+    )
+
+    text = expected_page_text(doc_id, offset, seed).upper()
+    dy, dx = _page_jitter(doc_id, offset, seed)
+    raw_lines = text.split("\n")
+    n_cols = max((len(ln) for ln in raw_lines), default=0)
+    height = 2 * MARGIN + len(raw_lines) * LINE_PITCH + dy
+    width = 2 * MARGIN + max(n_cols, 1) * CHAR_PITCH + dx
+    lines = []
+    for li, line in enumerate(raw_lines):
+        first_cols, last_cols = [], []
+        for ci, ch in enumerate(line):
+            g = glyph_array(ch)
+            if g.any():
+                colmask = g.any(axis=0)
+                first_cols.append(ci * CHAR_PITCH + int(np.argmax(colmask)))
+                last_cols.append(
+                    ci * CHAR_PITCH + len(colmask) - 1 - int(np.argmax(colmask[::-1]))
+                )
+        if not first_cols:
+            continue
+        top = MARGIN + dy + li * LINE_PITCH
+        c0 = MARGIN + dx + min(first_cols)
+        words = []
+        pos = 0
+        for raw in line.split(" "):
+            if raw:
+                x0 = c0 + pos * CHAR_PITCH
+                x1 = c0 + (pos + len(raw)) * CHAR_PITCH - 1
+                words.append({"text": raw, "bbox": (x0, top, x1, top + GLYPH_H)})
+            pos += len(raw) + 1
+        lines.append(
+            {
+                "text": line,
+                "bbox": (c0, top, MARGIN + dx + max(last_cols) + 1, top + GLYPH_H),
+                "words": words,
+                "confidence": 1.0,
+            }
+        )
+    return {
+        "doc_id": doc_id,
+        "offset": offset,
+        "media_ref": media_ref,
+        "text": "\n".join(l["text"] for l in lines),
+        "hocr": hocr_page(lines, offset, width, height, media_ref),
+        "confidence": 1.0,
+        "error": False,
+    }
+
+
+def hocr_expectation_manifest(documents, seed: int = 42):
+    """Expected (doc_id, offset, media_ref, text, hocr, confidence,
+    error) rows for every clean page — the DuckDB oracle manifest for
+    `hocr_pages`. Must be used with media generated at missing_rate=0,
+    corrupt_rate=0, shear_rate=0 (the deskew/corrupt paths are
+    pytest-verified instead: no analytic markup exists for them)."""
+    from pyspark.sql import functions as F
+
+    refs = (
+        documents.select(F.col("doc_id"), F.explode("spans").alias("s"))
+        .where(F.col("s.kind") == "image")
+        .select("doc_id", F.col("s.offset").alias("offset"), F.col("s.media_ref").alias("media_ref"))
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, offset, ref in zip(pdf["doc_id"], pdf["offset"], pdf["media_ref"]):
+                rows.append(expected_hocr_page(str(doc_id), int(offset), str(ref), seed))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "offset", "media_ref", "text", "hocr", "confidence", "error"],
+            )
+
+    return refs.mapInPandas(
+        gen,
+        schema="doc_id string, offset int, media_ref string, text string, "
+        "hocr string, confidence double, error boolean",
+    )

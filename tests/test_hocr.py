@@ -95,3 +95,64 @@ def test_json_doc_matches_python_json(spark):
     )
     assert got == want
     assert json.loads(got)["spans"][0]["offset"] == 0
+
+
+def test_hocr_over_sheared_and_corrupt_media(spark):
+    """The deskew-retry and error-as-row hOCR paths over generated media
+    (the coverage the exact-oracle hocr_pages query no longer carries:
+    its clean corpus has no analytic markup for sheared pages)."""
+    from pdf_ocr_spark.operators.spans import explode_spans
+    from pdf_ocr_spark.sources.corpus import (
+        expected_page_text,
+        generate_documents,
+        generate_media,
+        parse_media_ref,
+    )
+
+    docs = generate_documents(spark, n_docs=30, seed=13)
+    media = generate_media(spark, docs, seed=13, corrupt_rate=0.1, shear_rate=0.5)
+    pages = (
+        explode_spans(docs)
+        .where(F.col("kind") == "image")
+        .select("doc_id", "offset", "media_ref")
+        .join(media, "media_ref", "left")
+    )
+    rows = ocr_pages_hocr(pages).collect()
+    assert rows
+    n_err = 0
+    for r in rows:
+        if r["error"]:
+            n_err += 1
+            assert r["hocr"] is None and r["text"].startswith("[Error")
+            continue
+        # sheared pages must still decode exactly (deskew retry) and
+        # carry well-formed markup with perfect word confidence
+        doc_id, offset = parse_media_ref(r["media_ref"])
+        assert r["text"] == expected_page_text(doc_id, offset, seed=13).upper()
+        assert r["confidence"] == 1.0
+        assert "class='ocr_page'" in r["hocr"] and "x_wconf 100" in r["hocr"]
+    assert n_err > 0  # corrupt_rate=0.1 must have produced error rows
+
+
+def test_expected_hocr_page_matches_kernel_exactly():
+    """The analytic hOCR expectation (renderer constants + glyph masks,
+    no segmentation) must equal the kernel's render->segment->decode
+    markup byte-for-byte on a clean page."""
+    from pdf_ocr_spark.operators.hocr import hocr_page
+    from pdf_ocr_spark.sources.corpus import (
+        _page_jitter,
+        expected_hocr_page,
+        expected_page_text,
+        media_ref_for,
+    )
+
+    doc_id, offset, seed = "doc_00000007", 2, 13
+    text = expected_page_text(doc_id, offset, seed)
+    img = render_text_image(text, jitter=_page_jitter(doc_id, offset, seed))
+    lines, conf = ocr_decode_layout(img)
+    h, w = img.shape
+    got = hocr_page(lines, offset, w, h, media_ref_for(doc_id, offset))
+    exp = expected_hocr_page(doc_id, offset, media_ref_for(doc_id, offset), seed)
+    assert conf == exp["confidence"] == 1.0
+    assert got == exp["hocr"]
+    assert "\n".join(l["text"] for l in lines) == exp["text"]
