@@ -1246,6 +1246,39 @@ def q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
     return embedding_near_dup_pairs(corpus, threshold=0.99)
 
 
+@_register(
+    "dedup_embedding_lsh",
+    f"""
+WITH base AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+dup AS (SELECT vec_id + 10000 AS id, embedding AS v FROM embeddings WHERE vec_id % 10 = 0),
+corpus AS (SELECT * FROM base UNION ALL SELECT * FROM dup),
+pairs AS (
+    SELECT a.id AS id_a, b.id AS id_b, {_sql_cosine('a.v', 'b.v')} AS cos
+    FROM corpus a JOIN corpus b ON a.id < b.id
+)
+SELECT id_a, id_b FROM pairs WHERE cos >= 0.99
+""",
+)
+def q_dedup_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-prefiltered embedding near-dup (the high-threshold scale
+    path): hyperplane bucket collision in any of 8 tables generates
+    candidates, exact cosine verifies. The oracle is the EXACT all-pairs
+    SQL: on this corpus the only >=0.99 pairs are the planted identical
+    duplicates, which hash to identical buckets in every table, so the
+    prefilter provably loses nothing here (general recall model in the
+    operator docstring; the blocked-matmul exact operator remains
+    `dedup_embedding_cosine`)."""
+    from pdf_ocr_spark.operators.similarity import embedding_near_dup_lsh
+
+    e = load_table(spark, sf, "embeddings")
+    base = e.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
+    dup = e.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10000).alias("id"), F.col("embedding").alias("v")
+    )
+    corpus = base.unionByName(dup)
+    return embedding_near_dup_lsh(corpus, threshold=0.99)
+
+
 #: BPE-ish pre-tokenizer regex (GPT-2 style, lookaround-free so it runs
 #: identically on Java regex and RE2): contractions, letter runs,
 #: number runs, punctuation runs, whitespace runs.

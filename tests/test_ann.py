@@ -48,3 +48,60 @@ def test_ivf_centroids_deterministic_unit():
     assert (a == b).all()
     assert np.allclose(np.linalg.norm(a, axis=1), 1.0)
     assert not np.allclose(a[0], a[1])
+
+
+def test_lsh_zero_planes_degenerates_to_exact(spark, emb):
+    """n_planes=0 puts everything in one bucket: lsh_topk must equal
+    brute-force exactly (the degeneracy that pins its semantics)."""
+    from pdf_ocr_spark.operators.similarity import lsh_topk
+
+    q = emb.where(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.rank): (r.neighbor_id, r.score)
+        for r in cosine_topk(q, emb, k=3).collect()
+    }
+    lsh = {
+        (r.query_id, r.rank): (r.neighbor_id, r.score)
+        for r in lsh_topk(q, emb, k=3, n_planes=0).collect()
+    }
+    assert lsh == exact
+
+
+def test_lsh_topk_scores_are_exact_within_bucket(spark, emb):
+    """Approximation lives ONLY in candidate selection: every returned
+    score must equal the true cosine (checked against brute-force
+    all-pairs scores), and ranks must be dense from 1."""
+    from pdf_ocr_spark.operators.similarity import lsh_topk
+
+    q = emb.where(F.col("vec_id") < 10)
+    truth = {
+        (r.query_id, r.neighbor_id): r.score
+        for r in cosine_topk(q, emb, k=10**6).collect()
+    }
+    rows = lsh_topk(q, emb, k=3, n_planes=4).collect()
+    by_q = {}
+    for r in rows:
+        assert truth[(r.query_id, r.neighbor_id)] == r.score
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_embedding_near_dup_lsh_equals_exact_on_planted_dups(spark, emb):
+    """The LSH-prefiltered near-dup composition must return the same
+    pairs as the exact blocked matmul at a high threshold: planted
+    identical vectors collide in every bucket table."""
+    from pdf_ocr_spark.operators.similarity import (
+        embedding_near_dup_lsh,
+        embedding_near_dup_pairs,
+    )
+
+    base = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
+    dup = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10000).alias("id"), F.col("embedding").alias("v")
+    )
+    corpus = base.unionByName(dup)
+    exact = {(r.id_a, r.id_b) for r in embedding_near_dup_pairs(corpus, 0.99).collect()}
+    lsh = {(r.id_a, r.id_b) for r in embedding_near_dup_lsh(corpus, 0.99).collect()}
+    assert exact  # the planted duplicates must exist
+    assert lsh == exact
