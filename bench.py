@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     # 3-8x (word_boxes 1.2 s isolated vs 24-55 s late-suite). JVM-only
     # queries are position-insensitive.
     "word_boxes",
+    "hocr_pages",
     "pdf_page_count",
     "pdf_extract_text",
     "normalize_chain",
@@ -73,6 +74,7 @@ BENCH_QUERIES = [
     "simhash_hamming_pairs",
     "contamination_check",
     "dedup_ngram_jaccard_capped",
+    "dedup_embedding_lsh",
     "knn_ivf_topk",
     "profit_by_nation",
 ]
@@ -148,10 +150,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warmup outside the timed region: JVM/session spin-up (otherwise
-    # charged to the first query) and the one-time PDF fixture render
-    # (cached under /tmp by a marker; timed runs measure scan+parse).
+    # charged to the first query), the one-time PDF fixture render, and
+    # the three oracle expectation manifests (all cached under /tmp by
+    # content-fingerprint markers; timed runs measure scan+parse, not
+    # fixture generation).
     _exec(ep.QUERIES["normalize_chain"](spark, sf_dir))
     ep._pdf_fixture_dir(spark, sf_dir)
+    ep._media_manifest(spark)
+    ep._layout_manifest(spark)
+    ep._hocr_manifest(spark)
 
     timings: dict[str, float] = {}
     total0 = time.time()

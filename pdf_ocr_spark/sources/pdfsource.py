@@ -102,19 +102,19 @@ def _binary_scan(spark: SparkSession, pattern: str) -> DataFrame:
     Spark launches a parallel-listing job with one task per file —
     measured seconds of pure scheduling for hundreds of tiny local
     fixtures. Local/posix listings are cheap on the driver, so raise
-    the threshold around the eager ``load()``; on a real cluster
-    against S3/HDFS at 10^12-file scale, leave the default so listing
-    parallelizes."""
-    key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
-    old = spark.conf.get(key, None)
-    spark.conf.set(key, "100000")
-    try:
-        return spark.read.format("binaryFile").load(pattern)
-    finally:
-        if old is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, old)
+    the threshold for this read; on a real cluster against S3/HDFS at
+    10^12-file scale, leave the default so listing parallelizes.
+
+    The override is scoped to an ephemeral ``newSession()`` (same
+    SparkContext, isolated SQL conf), so concurrent queries or
+    streaming jobs on the caller's session can never observe it —
+    mutating the caller's session-global conf around the eager
+    ``load()`` was a documented race."""
+    scan_session = spark.newSession()
+    scan_session.conf.set(
+        "spark.sql.sources.parallelPartitionDiscovery.threshold", "100000"
+    )
+    return scan_session.read.format("binaryFile").load(pattern)
 
 
 def read_pdf_pages(spark: SparkSession, pdf_dir: str) -> DataFrame:

@@ -96,6 +96,12 @@ def main() -> None:
     ap.add_argument("--low", type=int, default=4)
     ap.add_argument("--factor", type=int, default=4)
     ap.add_argument("--matrix", default="4,8,16,32")
+    ap.add_argument(
+        "--write-md",
+        action="store_true",
+        help="overwrite BENCH.md with the scaling report (default: print "
+        "only — BENCH.md carries more sections than this script knows)",
+    )
     args = ap.parse_args()
 
     if args.one:
@@ -181,9 +187,12 @@ pipeline reaches {hi["pages_per_sec"]:.0f} pages/sec at {hi["cpus"]} cores —
 orders of magnitude beyond the reference's single-worker design, with
 identical per-page semantics.
 """
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
-        f.write(md)
-    print("wrote BENCH.md")
+    if args.write_md:
+        with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+            f.write(md)
+        print("wrote BENCH.md")
+    else:
+        print("SCALING_MD_BEGIN\n" + md + "\nSCALING_MD_END")
 
 
 if __name__ == "__main__":
