@@ -80,6 +80,74 @@ def checksum(docs) -> tuple[int, int]:
     return int(row["n"]), int(row["ck"])
 
 
+def join_bench(spark: SparkSession, args) -> None:
+    """Skewed-join mode: one hot doc_id carries most of the fact rows,
+    the dim side is too large to broadcast, and AQE's skew-join split is
+    DISABLED — the fixed-plan regime (storage-partitioned / bucketed
+    joins, or any plan AQE cannot re-split) that explicit salting
+    exists for. Compares plain sort-merge join vs salted_join."""
+    import time
+
+    from pdf_ocr_spark.plans.salting import salted_join
+
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.enabled", "true" if args.aqe_skew else "false"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    n_fact, n_dim = args.fact_rows, args.dim_rows
+    hot_frac = 0.5
+    fact = spark.range(n_fact).select(
+        F.when(
+            F.col("id") % F.lit(int(1 / hot_frac)) == 0, F.lit("hot_doc")
+        )
+        .otherwise(F.concat(F.lit("doc_"), (F.col("id") % n_dim).cast("string")))
+        .alias("doc_id"),
+        F.col("id").alias("offset"),
+        F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+    ).localCheckpoint()
+    dim = spark.range(n_dim).select(
+        F.concat(F.lit("doc_"), F.col("id").cast("string")).alias("doc_id"),
+        F.sha2(F.col("id").cast("string"), 512).alias("meta"),
+    ).unionByName(
+        spark.range(1).select(
+            F.lit("hot_doc").alias("doc_id"), F.lit("hotmeta").alias("meta")
+        )
+    ).localCheckpoint()
+
+    def agg(df):
+        return df.agg(
+            F.count("*").alias("n"), F.sum(F.crc32(F.concat_ws("|", "doc_id", "meta"))).alias("ck")
+        ).first()
+
+    results = {}
+    for name, make in {
+        "plain_smj": lambda: fact.join(dim, "doc_id"),
+        "salted": lambda: salted_join(fact, dim, key="doc_id", salt_from="offset", n_salt=16),
+    }.items():
+        reps = []
+        check = None
+        for _ in range(args.reps + 1):
+            t0 = time.time()
+            check = agg(make())
+            reps.append(time.time() - t0)
+        results[name] = (round(min(reps[1:]), 3), (int(check["n"]), int(check["ck"])))
+    assert results["plain_smj"][1] == results["salted"][1], results
+    print(
+        json.dumps(
+            {
+                "metric": "skew_join",
+                "cpus": args.cpus,
+                "fact_rows": n_fact,
+                "dim_rows": n_dim,
+                "hot_key_fraction": hot_frac,
+                "aqe_skew_join": "enabled" if args.aqe_skew else "disabled (fixed-plan regime)",
+                "plain_smj_sec": results["plain_smj"][0],
+                "salted_sec": results["salted"][0],
+            }
+        )
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
@@ -88,6 +156,10 @@ def main() -> None:
     ap.add_argument("--cold-docs", type=int, default=50_000)
     ap.add_argument("--cold-spans", type=int, default=20)
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--join", action="store_true", help="run the skewed-join mode instead")
+    ap.add_argument("--aqe-skew", action="store_true", help="leave AQE skew-join ON in join mode")
+    ap.add_argument("--fact-rows", type=int, default=20_000_000)
+    ap.add_argument("--dim-rows", type=int, default=2_000_000)
     args = ap.parse_args()
 
     spark = (
@@ -103,6 +175,11 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.join:
+        join_bench(spark, args)
+        spark.stop()
+        return
 
     from pdf_ocr_spark.operators.spans import reassemble_spans
     from pdf_ocr_spark.plans.salting import (
