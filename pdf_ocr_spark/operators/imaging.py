@@ -74,6 +74,24 @@ _CHARS = list(FONT_5X7)
 _TEMPLATES = np.stack([glyph_array(c) for c in _CHARS])  # (n_glyphs, 7, 5)
 _BLANK_SCORE = GLYPH_H * GLYPH_W
 
+# Bit-packed template matching (the per-page hot path): each 7x5 cell
+# packs into 35 bits of a uint64; pixel agreement with a template is
+# 35 - popcount(cell ^ template), so one XOR + three 16-bit LUT lookups
+# replace a (n_templates, 7, 5) boolean broadcast per cell, and a whole
+# line's cells classify in one vectorized shot.
+_POW2 = (1 << np.arange(_BLANK_SCORE, dtype=np.uint64)).astype(np.uint64)
+_TBITS = (_TEMPLATES.reshape(len(_CHARS), -1).astype(np.uint64) @ _POW2).astype(np.uint64)
+_POPCOUNT16 = np.array([bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8)
+_CHARS_ARR = np.array(_CHARS)
+
+
+def _popcount(x: np.ndarray) -> np.ndarray:
+    return (
+        _POPCOUNT16[x & np.uint64(0xFFFF)].astype(np.int64)
+        + _POPCOUNT16[(x >> np.uint64(16)) & np.uint64(0xFFFF)]
+        + _POPCOUNT16[(x >> np.uint64(32)) & np.uint64(0xFFFF)]
+    )
+
 
 def _shear_shift(slope: float, ys: np.ndarray) -> np.ndarray:
     """Per-row horizontal shift for a shear slope. The product is
@@ -197,23 +215,25 @@ def _decode_line(ink: np.ndarray, band: tuple[int, int]) -> tuple[str, float]:
 
     def decode_at(oy: int, ox: int) -> tuple[str, float, int]:
         n_cells = max(1, -(-(c_last + 1 - ox) // CHAR_PITCH))
-        chars: list[str] = []
-        total = 0
-        for k in range(n_cells):
-            x = ox + k * CHAR_PITCH
-            cell = np.zeros((GLYPH_H, GLYPH_W), dtype=bool)
-            ys, xs = max(0, oy), max(0, x)
-            ye, xe = min(h, oy + GLYPH_H), min(w, x + GLYPH_W)
-            if ys < ye and xs < xe:
-                cell[ys - oy : ye - oy, xs - x : xe - x] = ink[ys:ye, xs:xe]
-            if not cell.any():
-                chars.append(" ")
-                total += _BLANK_SCORE
-                continue
-            scores = (_TEMPLATES == cell).sum(axis=(1, 2))
-            best = int(scores.argmax())
-            chars.append(_CHARS[best])
-            total += int(scores[best])
+        # clip-copy the whole line window once, then classify every cell
+        # in one vectorized pass (bit-pack -> XOR -> popcount LUT)
+        span = n_cells * CHAR_PITCH
+        window = np.zeros((GLYPH_H, span + GLYPH_W), dtype=bool)
+        ys, xs = max(0, oy), max(0, ox)
+        ye, xe = min(h, oy + GLYPH_H), min(w, ox + span + GLYPH_W)
+        if ys < ye and xs < xe:
+            window[ys - oy : ye - oy, xs - ox : xe - ox] = ink[ys:ye, xs:xe]
+        # cell k = window[:, k*CHAR_PITCH : k*CHAR_PITCH + GLYPH_W]
+        strided = np.lib.stride_tricks.sliding_window_view(window, GLYPH_W, axis=1)
+        cells = strided[:, ::CHAR_PITCH, :][:, :n_cells, :]  # (H, n_cells, W)
+        flat = cells.transpose(1, 0, 2).reshape(n_cells, _BLANK_SCORE)
+        bits = (flat.astype(np.uint64) @ _POW2).astype(np.uint64)
+        pop = _popcount(bits[:, None] ^ _TBITS[None, :])  # (n_cells, T)
+        best = pop.argmin(axis=1)  # first-min == argmax of agreement
+        agree = _BLANK_SCORE - pop[np.arange(n_cells), best]
+        blank = bits == 0
+        chars = np.where(blank, " ", _CHARS_ARR[best])
+        total = int(np.where(blank, _BLANK_SCORE, agree).sum())
         return "".join(chars).rstrip(), total, n_cells
 
     # Fast path: assume the band's top-left ink pixel is the grid origin
