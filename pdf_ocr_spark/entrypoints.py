@@ -1267,7 +1267,11 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
     duplicates, which hash to identical buckets in every table, so the
     prefilter provably loses nothing here (general recall model in the
     operator docstring; the blocked-matmul exact operator remains
-    `dedup_embedding_cosine`)."""
+    `dedup_embedding_cosine`). n_planes=12 is sized to the 0.99
+    threshold (miss ~0.1% at the boundary, buckets ~64x sparser than
+    the 0.9-threshold default of 6 — at 2.2k vectors that is 260k vs
+    ~0 spurious candidate pairs); dim=64 matches the testdata embedding
+    width so the plane literals skip the per-row slice."""
     from pdf_ocr_spark.operators.similarity import embedding_near_dup_lsh
 
     e = load_table(spark, sf, "embeddings")
@@ -1276,7 +1280,7 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("vec_id") + 10000).alias("id"), F.col("embedding").alias("v")
     )
     corpus = base.unionByName(dup)
-    return embedding_near_dup_lsh(corpus, threshold=0.99)
+    return embedding_near_dup_lsh(corpus, threshold=0.99, n_planes=12, dim=64)
 
 
 #: BPE-ish pre-tokenizer regex (GPT-2 style, lookaround-free so it runs

@@ -14,6 +14,9 @@ score with id tie-break, so engine-level ULP noise cannot flip ranks.
 
 from __future__ import annotations
 
+import hashlib
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -158,6 +161,7 @@ def embedding_near_dup_lsh(
     vec_col: str = "v",
     n_planes: int = 6,
     n_tables: int = 8,
+    dim: int = 0,
 ) -> DataFrame:
     """LSH-prefiltered embedding near-dup — the high-threshold scale
     path composing the hyperplane buckets as a candidate filter before
@@ -175,30 +179,46 @@ def embedding_near_dup_lsh(
     (1 - t/pi)^n_planes; miss prob over tables is (1 - p)^n_tables.
     At the defaults and threshold 0.9 (t <= 25.8 deg) the miss rate is
     ~2%; byte-identical duplicates (the dedup target) hash to identical
-    buckets and are found with probability 1. Scale shape: shuffle on
+    buckets and are found with probability 1. Size ``n_planes`` to the
+    threshold: higher thresholds afford more planes (exponentially
+    sparser buckets, so far fewer in-bucket candidate pairs) at the
+    same miss rate — at 0.99 (t <= 8.1 deg), n_planes=12/n_tables=8
+    misses ~0.1% while cutting candidates ~64x vs n_planes=6.
+    ``dim``: pass the embedding width when known — the plane literals
+    are emitted at exactly that width instead of _PLANE_MAX_DIM wide +
+    a per-row slice (measured ~2-4x off the signature projection). Scale shape: shuffle on
     (table, bucket) replaces the O(N^2/b) block matmul — at 100 TB only
     bucket-colliding rows ever pair, so cost tracks the true duplicate
     density instead of the corpus square."""
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    buckets = base.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        F.concat(
-                            *[
-                                hyperplane_sign_col(F.col("v"), t * n_planes + p, 0)
-                                for p in range(n_planes)
-                            ]
-                        ).alias("bucket"),
-                    )
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("b"),
-    ).select("id", "b.tbl", "b.bucket")
+    # One signature array per row (materialized via withColumn so the
+    # 8 per-table slices below reference it instead of re-deriving all
+    # 48 fold expressions each — Catalyst does not CSE inside a select).
+    sig = signature_bits_col(F.col("v"), n_tables * n_planes, dim)
+    buckets = (
+        base.withColumn("sig", sig)
+        .select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("tbl"),
+                            F.array_join(
+                                F.slice(F.col("sig"), t * n_planes + 1, n_planes), ""
+                            ).alias("bucket"),
+                        )
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("b"),
+        )
+        .select("id", "b.tbl", "b.bucket")
+    )
+    # Materialize the (tiny: N x n_tables rows of ~20 B) bucket table so
+    # the self-join does not run the signature projection on both sides
+    # — same eager-localCheckpoint rationale as dedup._materialize.
+    buckets = buckets.localCheckpoint(eager=True)
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(
@@ -220,28 +240,82 @@ def embedding_near_dup_lsh(
     )
 
 
-def hyperplane_sign_col(vec: Column, plane: int, dim: int) -> Column:
-    """Sign of <vec, h_plane> where h_plane[i] = +1/-1 from the top bit
-    of md5('{plane}:{i}') — a deterministic, engine-portable random
-    hyperplane."""
-    idx = F.sequence(F.lit(1), F.size(vec))
-    prods = F.transform(
-        idx,
-        lambda i: F.element_at(vec, i.cast("int")).cast("double")
-        * F.when(
-            F.substring(F.md5(F.concat(F.lit(f"{plane}:"), (i - 1).cast("string"))), 1, 1).isin(
-                "8", "9", "a", "b", "c", "d", "e", "f"
-            ),
-            1.0,
-        ).otherwise(-1.0),
+_PLANE_MAX_DIM = 512
+
+
+@lru_cache(maxsize=None)
+def _plane_signs(plane: int, dim: int) -> tuple:
+    """+1/-1 per coordinate from the top bit of md5('{plane}:{i}') —
+    a deterministic, engine-portable random hyperplane. Computed once
+    at plan-build time on the driver (cached), NOT per row: the sign of
+    coordinate i is a constant, but an md5 call written inside a
+    higher-order-function lambda depends on the lambda variable, so
+    Catalyst cannot constant-fold it and re-hashes per row x element
+    x plane (measured 20 s for 2k rows x 48 planes x 64 dims; literal
+    signs bring the same query to well under a second)."""
+    return tuple(
+        1.0 if hashlib.md5(f"{plane}:{i}".encode()).hexdigest()[0] in "89abcdef" else -1.0
+        for i in range(dim)
     )
+
+
+def _plane_signs_col(plane: int, dim: int) -> Column:
+    """The sign vector as ONE ``F.expr("array(...)")`` — a single py4j
+    call parsed JVM-side. ``F.lit(<list>)`` builds the same literal via
+    one py4j round-trip per element; at 48 planes x 512 dims that was
+    15 s of driver-side plan construction before any job ran."""
+    arr = ",".join("1.0D" if s > 0 else "-1.0D" for s in _plane_signs(plane, dim))
+    return F.expr(f"array({arr})")
+
+
+def signature_bits_col(vec: Column, n_planes_total: int, dim: int) -> Column:
+    """All hyperplane sign bits at once: ``array<string>`` of '1'/'0',
+    one element per plane. The planes live in ONE constant
+    ``array<array<double>>`` literal and the bits come out of ONE
+    ``transform`` with a nested zip/fold — a tree of 48 separate
+    per-plane aggregate expressions took seconds of Catalyst analysis +
+    janino codegen per stage (and self-joins compile it on both sides).
+    ``dim=0``: planes are ``_PLANE_MAX_DIM`` wide, sliced to
+    ``size(vec)`` per row."""
+    if n_planes_total == 0:
+        # degenerate single-bucket case (everything collides)
+        return F.expr("cast(array() as array<string>)")
+    rows = []
+    for p in range(n_planes_total):
+        arr = ",".join("1.0D" if s > 0 else "-1.0D" for s in _plane_signs(p, dim or _PLANE_MAX_DIM))
+        rows.append(f"array({arr})")
+    mat = F.expr("array(" + ",".join(rows) + ")")
+
+    def bit(h: Column) -> Column:
+        hh = h if dim else F.slice(h, 1, F.size(vec))
+        dot = F.aggregate(
+            F.zip_with(vec, hh, lambda x, s: x.cast("double") * s),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+    return F.transform(mat, bit)
+
+
+def hyperplane_sign_col(vec: Column, plane: int, dim: int) -> Column:
+    """Sign of <vec, h_plane> with the hyperplane embedded as an array
+    literal (see :func:`_plane_signs`). ``dim=0`` means the vector
+    width is unknown at plan time: a ``_PLANE_MAX_DIM``-wide literal is
+    sliced to ``size(vec)`` at runtime (vectors wider than that would
+    zip against nulls, so guard the contract)."""
+    if dim:
+        signs = _plane_signs_col(plane, dim)
+    else:
+        signs = F.slice(_plane_signs_col(plane, _PLANE_MAX_DIM), 1, F.size(vec))
+    prods = F.zip_with(vec, signs, lambda x, h: x.cast("double") * h)
     s = F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
     return F.when(s >= 0, F.lit("1")).otherwise(F.lit("0"))
 
 
 def lsh_bucket_col(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
     """Random-hyperplane LSH bucket id (n_planes sign bits)."""
-    return F.concat(*[hyperplane_sign_col(vec, p, dim) for p in range(n_planes)])
+    return F.array_join(signature_bits_col(vec, n_planes, dim), "")
 
 
 def lsh_topk(
