@@ -27,6 +27,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import SparkSession  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
+from pdf_ocr_spark.session import release_session_blocks  # noqa: E402
+
 BENCH_QUERIES = [
     # Python-kernel queries first: they share the session's python
     # worker pool, and measuring them after 35 JVM queries (whose
@@ -166,11 +168,13 @@ def main() -> None:
         t0 = time.time()
         _exec(ep.QUERIES[name](spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
-        # operators cache internal tables (shingles, signatures, group
-        # reps) that only help within one query; 40+ queries of pinned
-        # blocks build memory pressure that inflates later timings —
-        # each query is measured from a clean cache state
-        spark.catalog.clearCache()
+        # operators materialize internal tables (shingles, signatures,
+        # LSH buckets — localCheckpoint blocks, which clearCache() does
+        # NOT release) that only help within one query; 40+ queries of
+        # pinned blocks build memory pressure whose GC/eviction stalls
+        # land on unrelated mid-suite queries (measured 4-10x single-
+        # query inflation) — release everything between measurements
+        release_session_blocks(spark)
 
     # reps=2 -> best of 2 post-warmup runs: local-mode timing noise is
     # +/-30-50% per repetition, one rep made round-over-round numbers

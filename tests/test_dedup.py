@@ -139,3 +139,24 @@ def test_dedup_components_collapses_chains(spark):
     assert one_hop == {"a": "a", "b": "a", "c": "b"}  # c only reaches b directly
     comp = {r.id: r.component_id for r in dedup_components(df, threshold=0.8).collect()}
     assert comp == {"a": "a", "b": "a", "c": "a"}  # closure collapses the chain
+
+
+def test_release_session_blocks_frees_checkpoints(spark):
+    """Operators materialize intermediates via localCheckpoint, whose
+    blocks clearCache() does NOT release — the documented cleanup
+    handle must free them all (and leave the session usable)."""
+    from pdf_ocr_spark.operators.dedup import minhash_near_dup
+    from pdf_ocr_spark.session import release_session_blocks
+
+    docs = spark.createDataFrame(
+        [("d%d" % i, "alpha beta gamma delta %d" % (i % 3)) for i in range(20)],
+        "doc_id string, text string",
+    )
+    minhash_near_dup(docs, threshold=0.5).count()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() > 0
+    released = release_session_blocks(spark)
+    assert released > 0
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+    # session still works end-to-end after the release
+    assert minhash_near_dup(docs, threshold=0.5).count() >= 0
+    release_session_blocks(spark)
