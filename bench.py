@@ -39,6 +39,10 @@ BENCH_QUERIES = [
     "hocr_pages",
     "pdf_page_count",
     "pdf_extract_text",
+    "html_main_spans",
+    "html_main_text",
+    "html_links",
+    "html_metadata",
     "normalize_chain",
     "paragraph_explode",
     "reassemble_txt",

@@ -1776,6 +1776,149 @@ def q_pdf_extract_text(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- HTML boilerplate strip (web main-content extraction) ------------------
+#
+# The north rule's web-facing clause: "HTML boilerplate strip, DOM
+# heuristics". sources/webgen.py synthesizes, per documents row, a full
+# page wrapping the row's text in chrome (header/nav, in-content ad
+# unit, aside tag cloud, footer, script/style; three rotating content
+# layouts); operators/webextract.py recovers the planted content with a
+# generic Readability/Boilerpipe-style heuristic. Every derivation is
+# plain arithmetic over (doc_id, text, lang), so the oracles below
+# rebuild the expected extraction in pure SQL — the extractor passes
+# only if tag pruning + link-density + container scoring genuinely
+# isolate the main content. Both stages are Arrow-batched map work:
+# the whole family adds zero shuffles at any corpus size.
+
+_WEB_TOKS = sql_tokens("text")
+_WEB_PARA = "array_to_string(toks[(i-1)*15+1 : (i-1)*15+15], ' ')"
+_WEB_NULLS = "CAST(NULL AS VARCHAR)"
+
+
+def _html_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_ocr_spark.operators.dedup import _ensure_parallelism
+    from pdf_ocr_spark.sources.webgen import generate_html_corpus
+
+    # synthesis + extraction are python map stages; a single-split
+    # parquet source would serialize them onto one core (no-op at scale)
+    return generate_html_corpus(_ensure_parallelism(load_table(spark, sf, "documents")))
+
+
+@_register(
+    "html_main_text",
+    f"""
+SELECT doc_id,
+       array_to_string(['Document ' || doc_id] ||
+           list_transform(range(ceil(len(toks)/15.0)::INT),
+               i -> array_to_string(toks[i*15+1 : i*15+15], ' ')),
+           {_NL2}) AS main_text
+FROM (SELECT doc_id, {_WEB_TOKS} AS toks FROM documents)
+""",
+)
+def q_html_main_text(spark: SparkSession, sf: str) -> DataFrame:
+    """Boilerplate-stripped page text (heading + paragraphs, blank-line
+    joined), per-doc local — no reassembly shuffle."""
+    from pdf_ocr_spark.operators.webextract import extract_main_text
+
+    return extract_main_text(_html_corpus(spark, sf)).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "main_text"
+    )
+
+
+@_register(
+    "html_main_spans",
+    f"""
+WITH t AS (SELECT doc_id, {_WEB_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id,
+  [struct_pack(kind := 'heading', text := 'Document ' || doc_id, media_ref := {_WEB_NULLS})]
+  || flatten(list_transform(range(1, ceil(len(toks)/15.0)::INT + 1),
+       i -> CASE WHEN i % 3 = 0
+            THEN [struct_pack(kind := 'text', text := {_WEB_PARA}, media_ref := {_WEB_NULLS}),
+                  struct_pack(kind := 'image', text := {_WEB_NULLS}, media_ref := 'img://' || doc_id || '/' || i)]
+            ELSE [struct_pack(kind := 'text', text := {_WEB_PARA}, media_ref := {_WEB_NULLS})]
+            END)) AS spans FROM t)
+SELECT doc_id, generate_subscripts(spans, 1) - 1 AS offset,
+       unnest(spans, recursive := true)
+FROM s
+""",
+)
+def q_html_main_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Interleaved main-content span sequence (kind, text, media_ref,
+    offset) — the input_hint span shape, recovered from raw HTML; the
+    oracle checks span-sequence equality including in-flow images."""
+    from pdf_ocr_spark.operators.webextract import extract_main_spans
+
+    return extract_main_spans(_html_corpus(spark, sf)).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("offset").cast("long").alias("offset"),
+        "kind",
+        "text",
+        "media_ref",
+    )
+
+
+@_register(
+    "html_links",
+    """
+WITH l AS (SELECT doc_id,
+  list_transform(range(1, 2 + doc_id % 4),
+      j -> struct_pack(href := 'https://site-' || (doc_id % 7) || '.example.com/doc/' || doc_id || '-' || j,
+                       anchor := 'Related ' || j, region := 'nav'))
+  || [struct_pack(href := 'https://ads.example.com/click/' || (doc_id % 13), anchor := 'Buy now', region := 'content')]
+  || list_transform(range(3),
+      i -> struct_pack(href := 'https://tags.example.com/tag/' || ((doc_id*7 + i) % 100),
+                       anchor := 'Tag ' || ((doc_id*7 + i) % 100), region := 'aside'))
+  || [struct_pack(href := 'https://site-' || (doc_id % 7) || '.example.com/about', anchor := 'About', region := 'footer'),
+      struct_pack(href := 'https://site-' || (doc_id % 7) || '.example.com/privacy', anchor := 'Privacy', region := 'footer')]
+  AS links FROM documents)
+SELECT doc_id, generate_subscripts(links, 1) - 1 AS offset,
+       unnest(links, recursive := true)
+FROM l
+""",
+)
+def q_html_links(spark: SparkSession, sf: str) -> DataFrame:
+    """Every <a href> in document order with anchor text and DOM region
+    (nav/aside/footer/content) — the crawl-frontier / link-graph feed."""
+    from pdf_ocr_spark.operators.webextract import extract_links
+
+    return extract_links(_html_corpus(spark, sf)).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("offset").cast("long").alias("offset"),
+        "href",
+        "anchor",
+        "region",
+    )
+
+
+@_register(
+    "html_metadata",
+    f"""
+SELECT doc_id,
+       'Document ' || doc_id AS title,
+       lang AS html_lang,
+       'Synthetic fixture page for document ' || doc_id || ' (' || len(toks) || ' tokens).' AS description,
+       (7 + doc_id % 4)::BIGINT AS n_links,
+       ceil(len(toks)/15.0)::BIGINT AS n_paragraphs,
+       (ceil(len(toks)/15.0)::BIGINT // 3) AS n_images
+FROM (SELECT doc_id, lang, {_WEB_TOKS} AS toks FROM documents)
+""",
+)
+def q_html_metadata(spark: SparkSession, sf: str) -> DataFrame:
+    """<title>/lang/meta-description plus content-shape counters
+    (links, main paragraphs, in-flow images)."""
+    from pdf_ocr_spark.operators.webextract import extract_metadata
+
+    return extract_metadata(_html_corpus(spark, sf)).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "title",
+        "html_lang",
+        "description",
+        F.col("n_links").cast("long").alias("n_links"),
+        F.col("n_paragraphs").cast("long").alias("n_paragraphs"),
+        F.col("n_images").cast("long").alias("n_images"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering for the driver's correctness window
 # ---------------------------------------------------------------------------
