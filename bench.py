@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "html_main_text",
     "html_links",
     "html_metadata",
+    "url_parse",
+    "domain_inlinks",
     "normalize_chain",
     "paragraph_explode",
     "reassemble_txt",
@@ -56,6 +58,7 @@ BENCH_QUERIES = [
     "knn_cosine_topk",
     "token_stats",
     "quality_score",
+    "repetition_stats",
     "lang_id",
     "pricing_summary",
     "window_offsets",

@@ -1862,14 +1862,14 @@ def q_html_main_spans(spark: SparkSession, sf: str) -> DataFrame:
     """
 WITH l AS (SELECT doc_id,
   list_transform(range(1, 2 + doc_id % 4),
-      j -> struct_pack(href := 'https://site-' || (doc_id % 7) || '.example.com/doc/' || doc_id || '-' || j,
+      j -> struct_pack(href := 'https://site-' || (doc_id % 7) || '.example.' || (['com','org','net','io','co.uk'][doc_id % 5 + 1]) || '/doc/' || doc_id || '-' || j,
                        anchor := 'Related ' || j, region := 'nav'))
   || [struct_pack(href := 'https://ads.example.com/click/' || (doc_id % 13), anchor := 'Buy now', region := 'content')]
   || list_transform(range(3),
       i -> struct_pack(href := 'https://tags.example.com/tag/' || ((doc_id*7 + i) % 100),
                        anchor := 'Tag ' || ((doc_id*7 + i) % 100), region := 'aside'))
-  || [struct_pack(href := 'https://site-' || (doc_id % 7) || '.example.com/about', anchor := 'About', region := 'footer'),
-      struct_pack(href := 'https://site-' || (doc_id % 7) || '.example.com/privacy', anchor := 'Privacy', region := 'footer')]
+  || [struct_pack(href := 'https://site-' || (doc_id % 7) || '.example.' || (['com','org','net','io','co.uk'][doc_id % 5 + 1]) || '/about', anchor := 'About', region := 'footer'),
+      struct_pack(href := 'https://site-' || (doc_id % 7) || '.example.' || (['com','org','net','io','co.uk'][doc_id % 5 + 1]) || '/privacy', anchor := 'Privacy', region := 'footer')]
   AS links FROM documents)
 SELECT doc_id, generate_subscripts(links, 1) - 1 AS offset,
        unnest(links, recursive := true)
@@ -1919,6 +1919,178 @@ def q_html_metadata(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- repetition filters + URL/link-graph ops -------------------------------
+
+#: Shared CTE: the planted link list per document (mirrors
+#: sources/webgen.py planted_links), used by the URL-family oracles.
+_LINKS_CTE = """l AS (SELECT doc_id,
+  list_transform(range(1, 2 + doc_id % 4),
+      j -> 'https://site-' || (doc_id % 7) || '.example.' || (['com','org','net','io','co.uk'][doc_id % 5 + 1]) || '/doc/' || doc_id || '-' || j)
+  || ['https://ads.example.com/click/' || (doc_id % 13)]
+  || list_transform(range(3), i -> 'https://tags.example.com/tag/' || ((doc_id*7 + i) % 100))
+  || ['https://site-' || (doc_id % 7) || '.example.' || (['com','org','net','io','co.uk'][doc_id % 5 + 1]) || '/about',
+      'https://site-' || (doc_id % 7) || '.example.' || (['com','org','net','io','co.uk'][doc_id % 5 + 1]) || '/privacy'] AS links FROM documents),
+exploded AS (SELECT doc_id, generate_subscripts(links, 1) - 1 AS "offset", unnest(links) AS href FROM l),
+parsed AS (SELECT doc_id, "offset", href,
+  regexp_extract(href, '^([a-z][a-z0-9+.-]*)://', 1) AS scheme,
+  regexp_extract(href, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1) AS host,
+  regexp_extract(href, '^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS path
+  FROM exploded),
+domained AS (SELECT *, string_split(host, '.') AS labels,
+  CASE WHEN len(string_split(host, '.')) >= 3
+            AND string_split(host, '.')[len(string_split(host, '.')) - 1]
+                IN ('co','com','ac','gov','org','net','edu')
+       THEN array_to_string(string_split(host, '.')[-3:], '.')
+       WHEN len(string_split(host, '.')) >= 2
+       THEN array_to_string(string_split(host, '.')[-2:], '.')
+       ELSE host END AS domain
+  FROM parsed)"""
+
+
+@_register(
+    "repetition_stats",
+    f"""
+WITH t AS (SELECT doc_id, text, {sql_tokens('text')} AS toks,
+       list_filter(string_split(replace(text, ' merge ', chr(10)), chr(10)), x -> x != '') AS lines,
+       list_filter(string_split(replace(text, ' batch ', {_NL2}), {_NL2}), x -> x != '') AS paras
+  FROM documents),
+base AS (SELECT doc_id, toks,
+       CASE WHEN len(lines) = 0 THEN 0.0
+            ELSE round((len(lines) - len(list_distinct(lines)) * 1.0) / len(lines), 6) END AS dup_line_frac,
+       CASE WHEN list_sum(list_transform(paras, x -> len(x))) IS NULL
+              OR list_sum(list_transform(paras, x -> len(x))) = 0 THEN 0.0
+            ELSE round(1.0 - list_sum(list_transform(list_distinct(paras), x -> len(x))) * 1.0
+                       / list_sum(list_transform(paras, x -> len(x))), 6) END AS dup_para_char_frac,
+       len(array_to_string(toks, ' ')) AS total_chars
+  FROM t),
+grams AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS gram
+  FROM t WHERE len(toks) >= 2),
+counts AS (SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY doc_id, gram),
+top AS (SELECT doc_id, gram, cnt FROM (
+    SELECT doc_id, gram, cnt, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rn
+    FROM counts) WHERE rn = 1)
+SELECT b.doc_id, b.dup_line_frac, b.dup_para_char_frac,
+       t2.gram AS top_2gram,
+       CASE WHEN t2.gram IS NULL OR b.total_chars = 0 THEN 0.0
+            ELSE round(t2.cnt * len(t2.gram) * 1.0 / b.total_chars, 6) END AS top_2gram_char_frac
+FROM base b LEFT JOIN top t2 USING (doc_id)
+""",
+)
+def q_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, public paper):
+    duplicate-line fraction, character-weighted duplicate-paragraph
+    fraction, and the most-frequent word-2-gram's character share.
+    Line/paragraph boundaries are synthesized from the flat testdata
+    text the same way paragraph_explode does. The per-row fractions are
+    pure JVM array expressions (zero shuffles); the top-2-gram is a
+    distributed explode -> partial-agg count -> struct-min argmax (two
+    doc_id-keyed shuffles, no driver work, no skew beyond doc length)."""
+    from pdf_ocr_spark.operators.analysis import (
+        dup_char_fraction_col,
+        dup_fraction_col,
+        tokens_col,
+        word_bigrams_strict,
+    )
+
+    d = load_table(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("text").cast("string").alias("text"),
+    )
+    nl, nl2 = F.lit("\n"), F.lit("\n\n")
+    base = d.select(
+        "doc_id",
+        F.filter(
+            F.split(F.replace(F.col("text"), F.lit(" merge "), nl), r"\n"),
+            lambda x: x != "",
+        ).alias("lines"),
+        F.filter(
+            F.split(F.replace(F.col("text"), F.lit(" batch "), nl2), r"\n\n"),
+            lambda x: x != "",
+        ).alias("paras"),
+        tokens_col(F.col("text")).alias("toks"),
+    ).select(
+        "doc_id",
+        "toks",
+        dup_fraction_col(F.col("lines")).alias("dup_line_frac"),
+        dup_char_fraction_col(F.col("paras")).alias("dup_para_char_frac"),
+        F.length(F.array_join(F.col("toks"), " ")).alias("total_chars"),
+    )
+    grams = base.select(
+        "doc_id", F.explode(word_bigrams_strict(F.col("toks"))).alias("gram")
+    )
+    counts = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
+    # argmax with deterministic tie-break (max count, then smallest
+    # gram) as ONE aggregation: min over struct(-cnt, gram)
+    top = counts.groupBy("doc_id").agg(
+        F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("gram"))).alias("m")
+    ).select("doc_id", F.col("m.gram").alias("top_2gram"), (-F.col("m.neg")).alias("cnt"))
+    return base.join(top, "doc_id", "left").select(
+        "doc_id",
+        "dup_line_frac",
+        "dup_para_char_frac",
+        "top_2gram",
+        F.when(
+            F.col("top_2gram").isNull() | (F.col("total_chars") == 0), F.lit(0.0)
+        )
+        .otherwise(
+            F.round(F.col("cnt") * F.length(F.col("top_2gram")) / F.col("total_chars"), 6)
+        )
+        .alias("top_2gram_char_frac"),
+    )
+
+
+@_register(
+    "url_parse",
+    f"""
+WITH {_LINKS_CTE}
+SELECT doc_id, "offset", href, scheme, host, domain, path FROM domained
+""",
+)
+def q_url_parse(spark: SparkSession, sf: str) -> DataFrame:
+    """Structural URL parse of every extracted link (scheme, host,
+    registrable domain via the embedded second-level-registry
+    heuristic, path) — JVM parse_url, zero Python. The oracle re-parses
+    the same URLs with independent SQL regexes, so the two
+    implementations check each other."""
+    from pdf_ocr_spark.operators.webextract import extract_links
+    from pdf_ocr_spark.operators.weburl import parse_links
+
+    return parse_links(extract_links(_html_corpus(spark, sf))).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("offset").cast("long").alias("offset"),
+        "href",
+        "scheme",
+        "host",
+        "domain",
+        "path",
+    )
+
+
+@_register(
+    "domain_inlinks",
+    f"""
+WITH {_LINKS_CTE}
+SELECT domain, count(*) AS n_links,
+       count(DISTINCT doc_id) AS n_docs,
+       count(DISTINCT host) AS n_hosts
+FROM domained GROUP BY domain
+""",
+)
+def q_domain_inlinks(spark: SparkSession, sf: str) -> DataFrame:
+    """Link-graph rollup per registrable domain (in-link count,
+    distinct linking docs, distinct hosts) — the crawl-prioritization /
+    domain-reputation aggregation, one domain-keyed shuffle."""
+    from pdf_ocr_spark.operators.webextract import extract_links
+    from pdf_ocr_spark.operators.weburl import domain_inlinks, parse_links
+
+    return domain_inlinks(parse_links(extract_links(_html_corpus(spark, sf)))).select(
+        "domain",
+        F.col("n_links").cast("long").alias("n_links"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_hosts").cast("long").alias("n_hosts"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering for the driver's correctness window
 # ---------------------------------------------------------------------------
@@ -1930,6 +2102,7 @@ def q_html_metadata(spark: SparkSession, sf: str) -> DataFrame:
 #: prior driver artifacts (CORRECTNESS_r01 + r02) — losing driver
 #: visibility on them costs the least signal.
 _DEMOTE = [
+    "cube_events",  # rollup/grouping-sets siblings stay in-window
     "secure_filename",
     "allowed_file",
     "lang_map",

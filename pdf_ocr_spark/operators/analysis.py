@@ -126,3 +126,43 @@ def fingerprint_col(text: Column, n: int = 3) -> Column:
     shingles (a 1-permutation MinHash / winnowing-style selector).
     Portable across engines because it is pure MD5-on-strings."""
     return F.array_min(F.transform(word_ngrams_col(text, n), F.md5))
+
+
+# ---------------------------------------------------------------------------
+# Repetition filters (Gopher-style)
+# ---------------------------------------------------------------------------
+
+
+def dup_fraction_col(arr: Column) -> Column:
+    """Fraction of array elements that are duplicates of an earlier
+    element: (n - n_distinct) / n, 0.0 for empty arrays."""
+    n = F.size(arr)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.round((n - F.size(F.array_distinct(arr))) / n, 6)
+    )
+
+
+def dup_char_fraction_col(arr: Column) -> Column:
+    """Character-weighted duplicate fraction: share of characters that
+    sit in repeated (non-first) occurrences — the Gopher formulation,
+    which penalizes a long duplicated paragraph more than a short one."""
+    chars = F.aggregate(arr, F.lit(0), lambda a, x: a + F.length(x))
+    dchars = F.aggregate(F.array_distinct(arr), F.lit(0), lambda a, x: a + F.length(x))
+    return F.when(chars == 0, F.lit(0.0)).otherwise(
+        F.round(F.lit(1.0) - dchars / chars, 6)
+    )
+
+
+def word_bigrams_strict(toks: Column) -> Column:
+    """Word 2-grams, STRICTLY empty below 2 tokens (unlike the shingle
+    helper, which degrades to whole-text — repetition stats must not
+    count a lone token as a bigram). The when() guard also avoids the
+    Spark pitfall that ``sequence(0, -1)`` is descending, not empty."""
+    k = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), k - F.lit(1)),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i.cast("int")), F.element_at(toks, (i + 1).cast("int"))
+        ),
+    )
+    return F.when(k < 2, F.array().cast("array<string>")).otherwise(grams)

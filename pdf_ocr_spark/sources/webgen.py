@@ -84,9 +84,14 @@ def planted_paragraphs(text: str) -> list[str]:
     ]
 
 
+#: Site TLD rotates per doc so the domain rollup has real grouping
+#: structure (including a second-level-registry case, co.uk).
+SITE_TLDS = ("com", "org", "net", "io", "co.uk")
+
+
 def planted_links(doc_id: int) -> list[tuple[str, str, str]]:
     """(href, anchor, region) in document order."""
-    site = f"https://site-{doc_id % 7}.example.com"
+    site = f"https://site-{doc_id % 7}.example.{SITE_TLDS[doc_id % 5]}"
     links = [
         (f"{site}/doc/{doc_id}-{j}", f"Related {j}", "nav")
         for j in range(1, 2 + doc_id % 4)
