@@ -1715,9 +1715,9 @@ def _pdf_fixture_dir(spark: SparkSession, sf: str) -> str:
         F.count("*").alias("n"),
         F.sum(F.crc32(F.concat_ws("\x00", "doc_id", "text"))).alias("ck"),
     ).first()
-    # ":flate" = codec-shape tag — bumps the cache when the fixture
-    # writer's stream encoding changes (round 3 moved to compressed).
-    fingerprint = f"{agg['n']}:{agg['ck']}:flate"
+    # codec-shape tag — bumps the cache when the fixture writer's
+    # encoding changes (r3: compressed, then PDF 1.5 object streams).
+    fingerprint = f"{agg['n']}:{agg['ck']}:objstm"
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker):
         with open(marker) as f:

@@ -39,18 +39,24 @@ def _obj(num: int, body: bytes) -> bytes:
     return b"%d 0 obj\n%s\nendobj\n" % (num, body)
 
 
-def encode_pdf(pages: list[np.ndarray], compress: bool = False) -> bytes:
+def encode_pdf(
+    pages: list[np.ndarray], compress: bool = False, object_streams: bool = False
+) -> bytes:
     """Serialize page images into a PDF — H x W uint8 (DeviceGray) or
     H x W x 3 uint8 (DeviceRGB) arrays; ``compress=True`` Flate-encodes
     each raster stream (``/Filter /FlateDecode``), the layout real-world
-    producers emit.
+    producers emit. ``object_streams=True`` additionally packs every
+    non-stream object (catalog, pages tree, page dicts) into one
+    Flate-compressed **/ObjStm** and replaces the classic xref table +
+    ``trailer`` with a binary **cross-reference stream** (/Type /XRef)
+    — the PDF 1.5+ layout essentially all modern producers emit.
 
     Object layout: 1 = catalog, 2 = pages tree, then per page i:
     (3+3i) = page, (4+3i) = content stream, (5+3i) = image XObject.
-    A correct xref table + trailer is emitted, so the output is a real
-    PDF any conforming reader can open, not just :func:`decode_pdf`.
-    Byte-stable for a given (pages, compress): zlib.compress at a fixed
-    level is deterministic.
+    A correct xref (table or stream) is emitted, so the output is a
+    real PDF any conforming reader can open, not just
+    :func:`decode_pdf`. Byte-stable for a given (pages, compress,
+    object_streams): zlib.compress at a fixed level is deterministic.
     """
     if not pages:
         raise ValueError("a PDF needs at least one page")
@@ -88,6 +94,8 @@ def encode_pdf(pages: list[np.ndarray], compress: bool = False) -> bytes:
         f"<< /Type /Pages /Kids [{' '.join(kids)}] /Count {len(pages)} >>"
     ).encode()
 
+    if object_streams:
+        return _emit_pdf15(objects)
     out = bytearray(_HEADER)
     offsets: dict[int, int] = {}
     for num in sorted(objects):
@@ -103,6 +111,67 @@ def encode_pdf(pages: list[np.ndarray], compress: bool = False) -> bytes:
         b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
         % (n, xref_at)
     )
+    return bytes(out)
+
+
+_HEADER15 = b"%PDF-1.5\n"
+
+
+def _emit_pdf15(objects: dict[int, bytes]) -> bytes:
+    """PDF 1.5 emission: non-stream objects packed into one compressed
+    /ObjStm; stream objects (contents, rasters) stay top-level (the
+    spec forbids streams inside object streams); binary xref stream
+    (/W [1 4 2]) carrying the trailer fields, no ``trailer`` keyword."""
+    # catalog (1), pages tree (2), page dicts (3+3i) are dict-only;
+    # contents (4+3i) and rasters (5+3i) are stream objects and must
+    # stay top-level (the spec forbids streams inside object streams)
+    packed = {
+        n: b for n, b in objects.items() if n < 3 or (n - 3) % 3 == 0
+    }
+    toplevel = {n: b for n, b in objects.items() if n not in packed}
+    objstm_num = max(objects) + 1
+    xref_num = objstm_num + 1
+
+    header, payload = bytearray(), bytearray()
+    index_in_stm: dict[int, int] = {}
+    for i, num in enumerate(sorted(packed)):
+        header += b"%d %d " % (num, len(payload))
+        payload += packed[num] + b"\n"
+        index_in_stm[num] = i
+    content = zlib.compress(bytes(header) + bytes(payload), 6)
+    objstm_body = (
+        b"<< /Type /ObjStm /N %d /First %d /Filter /FlateDecode /Length %d >>\n"
+        b"stream\n%s\nendstream" % (len(packed), len(header), len(content), content)
+    )
+
+    out = bytearray(_HEADER15)
+    offsets: dict[int, int] = {}
+    for num in sorted(toplevel):
+        offsets[num] = len(out)
+        out += _obj(num, toplevel[num])
+    offsets[objstm_num] = len(out)
+    out += _obj(objstm_num, objstm_body)
+
+    # xref stream rows, /W [1 4 2]: (type, field2, field3)
+    xref_at = len(out)
+    size = xref_num + 1
+    rows = bytearray()
+    for num in range(size):
+        if num == 0:
+            t, f2, f3 = 0, 0, 65535  # free head
+        elif num in index_in_stm:
+            t, f2, f3 = 2, objstm_num, index_in_stm[num]
+        elif num == xref_num:
+            t, f2, f3 = 1, xref_at, 0
+        else:
+            t, f2, f3 = 1, offsets[num], 0
+        rows += bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+    xref_body = (
+        b"<< /Type /XRef /Size %d /W [1 4 2] /Root 1 0 R /Length %d >>\n"
+        b"stream\n%s\nendstream" % (size, len(rows), bytes(rows))
+    )
+    out += _obj(xref_num, xref_body)
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_at
     return bytes(out)
 
 
@@ -233,22 +302,62 @@ def _decode_stream(d: bytes, raw: bytes) -> bytes:
         raise ValueError("corrupt FlateDecode stream: %s" % e) from None
 
 
+def _load(data: bytes):
+    """Resolve the object graph: top-level ``N 0 obj`` spans plus the
+    members of every **/ObjStm** (PDF 1.5 object streams — decompressed
+    and indexed via their ``N``/``First`` header), and the trailer
+    dictionary — the classic ``trailer`` keyword when present, else the
+    cross-reference stream's own dict (1.5 files have no keyword).
+    Returns ``(body, trailer_dict)`` where ``body(num)`` yields an
+    object's bytes wherever it lives."""
+    spans = _objects(data)
+    packed: dict[int, bytes] = {}
+    xref_dict: bytes | None = None
+    for num in spans:
+        s, e = spans[num]
+        raw = data[s:e]
+        try:
+            d = _dict_of(raw)
+        except ValueError:
+            continue
+        if re.search(rb"/Type\s*/XRef\b", d):
+            xref_dict = d
+        if not re.search(rb"/Type\s*/ObjStm\b", d):
+            continue
+        content = _decode_stream(d, _stream_of(raw, _int(d, b"Length")))
+        first = _int(d, b"First")
+        pairs = [int(x) for x in content[:first].split()]
+        nums, offs = pairs[0::2], pairs[1::2]
+        if len(nums) != _int(d, b"N") or len(nums) != len(offs):
+            raise ValueError("malformed /ObjStm header")
+        bounds = offs[1:] + [len(content) - first]
+        for onum, off, end in zip(nums, offs, bounds):
+            packed[onum] = content[first + off : first + end]
+
+    def body(num: int) -> bytes:
+        if num in spans:
+            s, e = spans[num]
+            return data[s:e]
+        if num in packed:
+            return packed[num]
+        raise ValueError("dangling reference to object %d" % num)
+
+    troot = data.rfind(b"trailer")
+    if troot != -1:
+        trailer = data[troot:]
+    elif xref_dict is not None:
+        trailer = xref_dict
+    else:
+        raise ValueError("missing trailer")
+    return body, trailer
+
+
 def decode_pdf(data: bytes) -> list[np.ndarray]:
     """Parse a scanned-page-subset PDF into its page images, in order."""
     if not data.startswith(b"%PDF-"):
         raise ValueError("not a PDF (missing %PDF- header)")
-    spans = _objects(data)
-
-    def body(num: int) -> bytes:
-        if num not in spans:
-            raise ValueError("dangling reference to object %d" % num)
-        s, e = spans[num]
-        return data[s:e]
-
-    troot = data.rfind(b"trailer")
-    if troot == -1:
-        raise ValueError("missing trailer")
-    catalog = _dict_of(body(_ref(data[troot:], b"Root")))
+    body, trailer = _load(data)
+    catalog = _dict_of(body(_ref(trailer, b"Root")))
     pages_dict = _dict_of(body(_ref(catalog, b"Pages")))
     kids_m = re.search(rb"/Kids\s*\[([^\]]*)\]", pages_dict)
     if kids_m is None:
@@ -293,11 +402,6 @@ def page_count(data: bytes) -> int:
     app.py:415-430 uses the rasterizer's page list length)."""
     if not data.startswith(b"%PDF-"):
         raise ValueError("not a PDF (missing %PDF- header)")
-    spans = _objects(data)
-    troot = data.rfind(b"trailer")
-    if troot == -1:
-        raise ValueError("missing trailer")
-    s, e = spans[_ref(data[troot:], b"Root")]
-    catalog = _dict_of(data[s:e])
-    s, e = spans[_ref(catalog, b"Pages")]
-    return _int(_dict_of(data[s:e]), b"Count")
+    body, trailer = _load(data)
+    catalog = _dict_of(body(_ref(trailer, b"Root")))
+    return _int(_dict_of(body(_ref(catalog, b"Pages"))), b"Count")

@@ -60,14 +60,18 @@ def write_pdf_corpus(
     out_dir: str,
     words_per_page: int = WORDS_PER_PAGE,
     compress: bool = True,
+    object_streams: bool = True,
 ) -> DataFrame:
     """Render one scanned-style PDF per (doc_id, text) row into
     ``out_dir`` (executor-side writes, driver never sees a page) and
     return the manifest (doc_id, path, n_pages). Triggering an action
     on the manifest performs the writes. ``compress`` (default on)
-    Flate-encodes the raster streams — the layout every real-world
-    producer emits — so the e2e extraction queries exercise the
-    inflate path, not just the raw-stream fixture shape."""
+    Flate-encodes the raster streams and ``object_streams`` (default
+    on) packs the document structure into a PDF 1.5 /ObjStm behind a
+    cross-reference stream — together the layout every modern
+    real-world producer emits — so the e2e extraction queries exercise
+    the inflate + object-stream paths, not just the raw fixture
+    shape."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np  # noqa: F401  (renderer dependency, worker-side)
@@ -84,7 +88,7 @@ def write_pdf_corpus(
                 path = os.path.join(out_dir, f"doc_{doc_id}.pdf")
                 tmp = path + ".tmp"
                 with open(tmp, "wb") as f:
-                    f.write(encode_pdf(images, compress=compress))
+                    f.write(encode_pdf(images, compress=compress, object_streams=object_streams))
                 os.replace(tmp, path)  # atomic: readers never see partials
                 paths.append(path)
                 n_pages.append(len(images))

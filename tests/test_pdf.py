@@ -242,3 +242,33 @@ def test_raster_bytes_containing_pdf_syntax_round_trip():
     for a, b in zip(pages, back):
         assert (a == b).all()
     assert page_count(data) == 2
+
+
+def test_pdf15_object_stream_roundtrip():
+    """PDF 1.5 layout: document structure in a compressed /ObjStm, no
+    ``trailer`` keyword, binary cross-reference stream — the modern
+    producer shape. Both raster encodings round-trip byte-exactly."""
+    rng = np.random.RandomState(11)
+    gray = rng.randint(0, 256, (24, 31)).astype(np.uint8)
+    rgb = rng.randint(0, 256, (17, 23, 3)).astype(np.uint8)
+    for compress in (False, True):
+        data = encode_pdf([gray, rgb], compress=compress, object_streams=True)
+        assert data.startswith(b"%PDF-1.5")
+        assert b"trailer" not in data
+        assert b"/ObjStm" in data and b"/XRef" in data
+        out = decode_pdf(data)
+        assert len(out) == 2
+        assert (out[0] == gray).all() and (out[1] == rgb).all()
+        assert page_count(data) == 2
+        # byte-stable (fixture determinism)
+        assert encode_pdf([gray, rgb], compress=compress, object_streams=True) == data
+
+
+def test_pdf15_malformed_objstm_header_is_typed_error():
+    data = bytearray(encode_pdf([np.zeros((4, 4), dtype=np.uint8)], object_streams=True))
+    # corrupt the ObjStm payload so inflate fails
+    at = bytes(data).find(b"/ObjStm")
+    stream_at = bytes(data).find(b"stream\n", at) + len(b"stream\n")
+    data[stream_at : stream_at + 4] = b"\x00\x00\x00\x00"
+    with pytest.raises(ValueError):
+        decode_pdf(bytes(data))
