@@ -1692,7 +1692,7 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 _PDF_CACHE_ROOT = "/tmp/pdf_ocr_spark_cache"
 
 
-def _pdf_fixture_dir(spark: SparkSession, sf: str) -> str:
+def _pdf_fixture_dir(spark: SparkSession, sf: str, dct: bool = False) -> str:
     """Generate (once, executor-side) the PDF corpus for an sf dir.
     The re-entry marker is keyed by a CONTENT fingerprint (row count +
     order-independent checksum over (doc_id, text)), not just the doc
@@ -1707,7 +1707,8 @@ def _pdf_fixture_dir(spark: SparkSession, sf: str) -> str:
     from pdf_ocr_spark.sources.pdfsource import write_pdf_corpus
 
     tag = os.path.basename(os.path.normpath(sf)) or "sf"
-    out = os.path.join(_PDF_CACHE_ROOT, f"pdfs_{tag}")
+    variant = "dct" if dct else "objstm"
+    out = os.path.join(_PDF_CACHE_ROOT, f"pdfs_{tag}_{variant}" if dct else f"pdfs_{tag}")
     docs = load_table(spark, sf, "documents").select(
         F.col("doc_id").cast("string").alias("doc_id"), "text"
     )
@@ -1716,15 +1717,16 @@ def _pdf_fixture_dir(spark: SparkSession, sf: str) -> str:
         F.sum(F.crc32(F.concat_ws("\x00", "doc_id", "text"))).alias("ck"),
     ).first()
     # codec-shape tag — bumps the cache when the fixture writer's
-    # encoding changes (r3: compressed, then PDF 1.5 object streams).
-    fingerprint = f"{agg['n']}:{agg['ck']}:objstm"
+    # encoding changes (r3: compressed, then PDF 1.5 object streams,
+    # plus the /DCTDecode JPEG-scan variant corpus).
+    fingerprint = f"{agg['n']}:{agg['ck']}:{variant}"
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker):
         with open(marker) as f:
             if f.read().strip() == fingerprint:
                 return out
         shutil.rmtree(out, ignore_errors=True)
-    n_written = write_pdf_corpus(docs, out).count()
+    n_written = write_pdf_corpus(docs, out, dct=dct).count()
     assert n_written == agg["n"], (n_written, agg["n"])
     tmp = marker + ".tmp"
     with open(tmp, "w") as f:
@@ -1774,6 +1776,26 @@ def q_pdf_extract_text(spark: SparkSession, sf: str) -> DataFrame:
     return extract_pdf_documents(spark, d).select(
         F.col("doc_id").cast("long").alias("doc_id"), "txt"
     )
+
+
+@_register("pdf_extract_text_dct")
+def q_pdf_extract_text_dct(spark: SparkSession, sf: str) -> DataFrame:
+    """The same end-to-end pipeline over a **JPEG-scan** corpus: every
+    raster is a baseline /DCTDecode XObject, decoded by the
+    from-scratch JPEG codec (sources/jpegcodec.py) before OCR. Same
+    exact oracle as pdf_extract_text — JPEG is lossy, but at the
+    fixture quality the OCR binarization threshold is never crossed
+    (asserted in test_jpeg), so the extracted text must still match
+    the pure-SQL reconstruction byte-for-byte."""
+    from pdf_ocr_spark.sources.pdfsource import extract_pdf_documents
+
+    d = _pdf_fixture_dir(spark, sf, dct=True)
+    return extract_pdf_documents(spark, d).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "txt"
+    )
+
+
+ORACLES["pdf_extract_text_dct"] = ORACLES["pdf_extract_text"]
 
 
 # --- HTML boilerplate strip (web main-content extraction) ------------------
@@ -2103,6 +2125,7 @@ def q_domain_inlinks(spark: SparkSession, sf: str) -> DataFrame:
 #: visibility on them costs the least signal.
 _DEMOTE = [
     "cube_events",  # rollup/grouping-sets siblings stay in-window
+    "pivot_event_counts",  # twice-green; zero-fill semantics pinned in r2
     "secure_filename",
     "allowed_file",
     "lang_map",

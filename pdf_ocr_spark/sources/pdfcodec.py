@@ -16,10 +16,13 @@ roles for the engine's real-PDF path:
   **in page order** by walking trailer -> /Root -> /Pages -> /Kids,
   i.e. a genuine (subset) PDF parser, not a reverse of the writer's
   byte layout. ``/FlateDecode`` streams are inflated with stdlib zlib;
-  anything outside the subset (other filters like ``/DCTDecode``,
-  filter chains, non-gray/RGB color spaces) raises ``ValueError``
-  **naming the offending filter/colorspace** so callers can surface it
-  as a typed error row, never a crash.
+  ``/DCTDecode`` rasters (JPEG scans — the common color-scan shape)
+  decode through the from-scratch baseline codec in
+  :mod:`pdf_ocr_spark.sources.jpegcodec`; anything outside the subset
+  (other filters, filter chains, non-gray/RGB color spaces,
+  non-baseline JPEG) raises ``ValueError`` **naming the offending
+  feature** so callers can surface it as a typed error row, never a
+  crash.
 
 Both functions are pure bytes<->numpy; the Spark-facing source lives in
 :mod:`pdf_ocr_spark.sources.pdfsource`.
@@ -40,7 +43,11 @@ def _obj(num: int, body: bytes) -> bytes:
 
 
 def encode_pdf(
-    pages: list[np.ndarray], compress: bool = False, object_streams: bool = False
+    pages: list[np.ndarray],
+    compress: bool = False,
+    object_streams: bool = False,
+    dct: bool = False,
+    dct_quality: int = 90,
 ) -> bytes:
     """Serialize page images into a PDF — H x W uint8 (DeviceGray) or
     H x W x 3 uint8 (DeviceRGB) arrays; ``compress=True`` Flate-encodes
@@ -80,11 +87,17 @@ def encode_pdf(
         objects[content_num] = (
             b"<< /Length %d >>\nstream\n%s\nendstream" % (len(draw), draw)
         )
-        raw = np.ascontiguousarray(img).tobytes()
-        filt = ""
-        if compress:
-            raw = zlib.compress(raw, 6)
-            filt = "/Filter /FlateDecode "
+        if dct:
+            from pdf_ocr_spark.sources.jpegcodec import encode_jpeg
+
+            raw = encode_jpeg(img, dct_quality)
+            filt = "/Filter /DCTDecode "
+        else:
+            raw = np.ascontiguousarray(img).tobytes()
+            filt = ""
+            if compress:
+                raw = zlib.compress(raw, 6)
+                filt = "/Filter /FlateDecode "
         objects[image_num] = (
             f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
             f"/ColorSpace {colorspace} /BitsPerComponent 8 {filt}/Length {len(raw)} >>\n"
@@ -274,12 +287,9 @@ _FILTER_ARRAY_RE = re.compile(rb"/Filter\s*\[([^\]]*)\]")
 _FILTER_NAME_RE = re.compile(rb"/Filter\s*/(\w+)")
 
 
-def _decode_stream(d: bytes, raw: bytes) -> bytes:
-    """Apply the stream's declared /Filter. FlateDecode (the filter on
-    essentially every real-world PDF stream) inflates via stdlib zlib;
-    any other filter — notably /DCTDecode (JPEG) — raises naming it, so
-    the Spark source can emit a typed error row that tells the user
-    exactly which codec their file needs."""
+def _filter_of(d: bytes) -> bytes | None:
+    """The stream's single declared /Filter name (None when raw);
+    filter *chains* are outside the subset and raise naming them."""
     am = _FILTER_ARRAY_RE.search(d)
     if am is not None:
         names = re.findall(rb"/(\w+)", am.group(1))
@@ -288,12 +298,22 @@ def _decode_stream(d: bytes, raw: bytes) -> bytes:
                 "filter chains are outside the subset: [%s]"
                 % b" ".join(b"/" + n for n in names).decode()
             )
-        name = names[0]
-    else:
-        nm = _FILTER_NAME_RE.search(d)
-        if nm is None:
-            return raw
-        name = nm.group(1)
+        return names[0]
+    nm = _FILTER_NAME_RE.search(d)
+    return None if nm is None else nm.group(1)
+
+
+def _decode_stream(d: bytes, raw: bytes) -> bytes:
+    """Apply the stream's declared /Filter for byte-oriented streams.
+    FlateDecode (the filter on essentially every real-world PDF stream)
+    inflates via stdlib zlib; any other filter raises naming it, so the
+    Spark source can emit a typed error row that tells the user exactly
+    which codec their file needs. (/DCTDecode raster streams are routed
+    to the from-scratch JPEG codec by the image path in decode_pdf, not
+    here.)"""
+    name = _filter_of(d)
+    if name is None:
+        return raw
     if name != b"FlateDecode":
         raise ValueError("unsupported stream filter /%s" % name.decode())
     try:
@@ -385,7 +405,20 @@ def decode_pdf(data: bytes) -> list[np.ndarray]:
                 % (cs.group(1).decode() if cs else "<missing>")
             )
         w, h = _int(d, b"Width"), _int(d, b"Height")
-        raw = _decode_stream(d, _stream_of(img_body, _int(d, b"Length")))
+        stream = _stream_of(img_body, _int(d, b"Length"))
+        if _filter_of(d) == b"DCTDecode":
+            from pdf_ocr_spark.sources.jpegcodec import decode_jpeg
+
+            img = decode_jpeg(stream)
+            got_channels = 1 if img.ndim == 2 else img.shape[2]
+            if img.shape[:2] != (h, w) or got_channels != channels:
+                raise ValueError(
+                    "DCT raster is %s, XObject declares %dx%dx%d"
+                    % (img.shape, h, w, channels)
+                )
+            images.append(img)
+            continue
+        raw = _decode_stream(d, stream)
         if len(raw) != w * h * channels:
             raise ValueError(
                 "decoded stream is %d bytes, expected %dx%dx%d raster"

@@ -61,6 +61,7 @@ def write_pdf_corpus(
     words_per_page: int = WORDS_PER_PAGE,
     compress: bool = True,
     object_streams: bool = True,
+    dct: bool = False,
 ) -> DataFrame:
     """Render one scanned-style PDF per (doc_id, text) row into
     ``out_dir`` (executor-side writes, driver never sees a page) and
@@ -71,7 +72,9 @@ def write_pdf_corpus(
     cross-reference stream — together the layout every modern
     real-world producer emits — so the e2e extraction queries exercise
     the inflate + object-stream paths, not just the raw fixture
-    shape."""
+    shape. ``dct=True`` instead stores each raster as a baseline JPEG
+    (``/Filter /DCTDecode``) — the real-world color-scan layout,
+    decoded by the from-scratch codec in jpegcodec.py."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np  # noqa: F401  (renderer dependency, worker-side)
@@ -88,7 +91,14 @@ def write_pdf_corpus(
                 path = os.path.join(out_dir, f"doc_{doc_id}.pdf")
                 tmp = path + ".tmp"
                 with open(tmp, "wb") as f:
-                    f.write(encode_pdf(images, compress=compress, object_streams=object_streams))
+                    f.write(
+                        encode_pdf(
+                            images,
+                            compress=compress,
+                            object_streams=object_streams,
+                            dct=dct,
+                        )
+                    )
                 os.replace(tmp, path)  # atomic: readers never see partials
                 paths.append(path)
                 n_pages.append(len(images))

@@ -1,0 +1,99 @@
+"""Tests for the from-scratch baseline JPEG codec and its /DCTDecode
+integration with the PDF subset codec."""
+
+import numpy as np
+import pytest
+
+from pdf_ocr_spark.operators.imaging import ocr_decode
+from pdf_ocr_spark.sources.glyphs import render_text_image
+from pdf_ocr_spark.sources.jpegcodec import decode_jpeg, encode_jpeg
+from pdf_ocr_spark.sources.pdfcodec import decode_pdf, encode_pdf, page_count
+
+
+def test_gray_roundtrip_bounded_error():
+    x = np.linspace(0, 255, 48)
+    img = np.clip(np.add.outer(x, x) / 2, 0, 255).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, 90))
+    assert out.shape == img.shape and out.dtype == np.uint8
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 8
+
+
+def test_rgb_roundtrip_bounded_error():
+    rng = np.random.RandomState(5)
+    # piecewise-flat color regions (scan-like), dims not multiples of 8
+    img = np.zeros((29, 43, 3), np.uint8)
+    img[:] = (220, 210, 190)
+    img[5:20, 7:30] = (40, 40, 60)
+    out = decode_jpeg(encode_jpeg(img, 92))
+    assert out.shape == img.shape
+    # interior of flat regions must be close; edges may ring
+    assert np.abs(out[10:15, 12:25].astype(int) - img[10:15, 12:25].astype(int)).max() <= 12
+    del rng
+
+
+def test_binarization_survives_jpeg():
+    """The OCR contract: q>=85 JPEG noise never crosses the 128
+    binarization threshold on glyph pages."""
+    page = render_text_image("SPARK ENGINE BATCH 42")
+    out = decode_jpeg(encode_jpeg(page, 88))
+    assert ((out > 128) == (page > 128)).all()
+
+
+def test_decoder_is_byte_stable_and_stuffing_safe():
+    rng = np.random.RandomState(9)
+    img = (rng.rand(24, 24) > 0.5).astype(np.uint8) * 255  # lots of 0xFF-ish bytes
+    data = encode_jpeg(img, 95)
+    assert encode_jpeg(img, 95) == data
+    out = decode_jpeg(data)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 40  # harsh content, bounded
+
+
+def test_typed_errors_name_the_feature():
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"not a jpeg")
+    data = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
+    sof_at = bytes(data).find(b"\xff\xc0")
+    data[sof_at + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(ValueError, match="SOF2"):
+        decode_jpeg(bytes(data))
+
+
+def test_dct_pdf_roundtrip_and_ocr():
+    """Full chain: render -> JPEG -> /DCTDecode XObject -> parse ->
+    decode -> OCR recovers the exact text (gray and RGB, classic and
+    object-stream layouts)."""
+    text = "HELLO WORLD OCR TEST PAGE 123"
+    gray = render_text_image(text)
+    rgb = np.stack([gray, gray, gray], axis=-1)
+    for page in (gray, rgb):
+        for objstm in (False, True):
+            data = encode_pdf([page], dct=True, dct_quality=90, object_streams=objstm)
+            assert b"/DCTDecode" in data
+            assert page_count(data) == 1
+            imgs = decode_pdf(data)
+            assert imgs[0].shape == page.shape
+            decoded_gray = (
+                imgs[0]
+                if imgs[0].ndim == 2
+                else np.clip(
+                    np.rint(
+                        0.299 * imgs[0][..., 0]
+                        + 0.587 * imgs[0][..., 1]
+                        + 0.114 * imgs[0][..., 2]
+                    ),
+                    0,
+                    255,
+                ).astype(np.uint8)
+            )
+            got, conf = ocr_decode(decoded_gray)
+            assert got == text
+            assert conf == 1.0
+
+
+def test_dct_dims_mismatch_is_typed_error():
+    page = np.zeros((16, 16), np.uint8)
+    data = bytearray(encode_pdf([page], dct=True))
+    at = bytes(data).find(b"/Width 16")
+    data[at : at + len(b"/Width 16")] = b"/Width 99"
+    with pytest.raises(ValueError, match="declares"):
+        decode_pdf(bytes(data))
