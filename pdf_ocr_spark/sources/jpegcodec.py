@@ -12,14 +12,16 @@ DCT-decode -> OCR pipeline.
 Scope (baseline sequential DCT, the overwhelmingly common scan shape):
 
 * SOF0 (baseline), 8-bit samples, 1 component (grayscale) or 3
-  components (YCbCr, 4:4:4 — no subsampling), JFIF marker layout.
+  components (YCbCr — 4:4:4, 4:2:2, or 4:2:0 chroma subsampling; the
+  MCU walk handles any sampling factors in {1,2}, which covers what
+  real producers emit), JFIF marker layout.
 * Standard Annex-K quantization + Huffman tables (the tables are
   published constants in ISO/IEC 10918-1; every JPEG implementation
   embeds them). Encoder and decoder share the constants below, and the
   decoder *reads the tables from the file* (DQT/DHT), so files from
   other producers with custom tables decode too.
-* Progressive (SOF2), arithmetic coding, 12-bit, and subsampled
-  chroma raise ``ValueError`` naming the feature, so the PDF source
+* Progressive (SOF2), arithmetic coding, 12-bit, and sampling factors
+  above 2 raise ``ValueError`` naming the feature, so the PDF source
   can surface a typed error row — never a crash.
 
 JPEG is lossy: round-trip tests assert bounded error (and the OCR
@@ -212,18 +214,6 @@ def _magnitude(v: int) -> tuple[int, int]:
     return s, bits
 
 
-def _blocks_of(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
-    """Edge-replicate pad to 8x8 multiples; return (n_blocks, 8, 8)."""
-    h, w = plane.shape
-    ph, pw = -h % 8, -w % 8
-    padded = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
-    hh, ww = padded.shape
-    blocks = (
-        padded.reshape(hh // 8, 8, ww // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
-    )
-    return blocks, hh // 8, ww // 8
-
-
 def _rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
     r, g, b = (img[..., i].astype(np.float64) for i in range(3))
     y = 0.299 * r + 0.587 * g + 0.114 * b
@@ -240,74 +230,120 @@ def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
     return np.clip(np.rint(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
+#: Per-format (h, v) sampling factors for the Y component; chroma is
+#: always (1, 1).
+_SAMPLING = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
+
+
+def _downsample(plane: np.ndarray, fx: int, fy: int) -> np.ndarray:
+    """Box-mean downsample by (fy, fx) with edge padding."""
+    if fx == 1 and fy == 1:
+        return plane
+    h, w = plane.shape
+    padded = np.pad(plane, ((0, -h % fy), (0, -w % fx)), mode="edge")
+    hh, ww = padded.shape
+    return padded.reshape(hh // fy, fy, ww // fx, fx).mean(axis=(1, 3))
+
+
+def _pad_to(plane: np.ndarray, rows: int, cols: int) -> np.ndarray:
+    h, w = plane.shape
+    return np.pad(plane, ((0, rows - h), (0, cols - w)), mode="edge")
+
+
+def _encode_block(bw: _BitWriter, zz: np.ndarray, pred: int, dc_tab, ac_tab) -> int:
+    diff = int(zz[0]) - pred
+    s, bits = _magnitude(diff)
+    code, ln = dc_tab[s]
+    bw.write(code, ln)
+    if s:
+        bw.write(bits, s)
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last = nz[-1] + 1 if len(nz) else 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_tab[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        s, bits = _magnitude(v)
+        code, ln = ac_tab[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(bits, s)
+        run = 0
+    if last < 63:
+        code, ln = ac_tab[0x00]  # EOB
+        bw.write(code, ln)
+    return int(zz[0])
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 90, subsampling: str = "444") -> bytes:
     """Encode H x W uint8 (grayscale) or H x W x 3 uint8 (RGB) to a
-    baseline JFIF byte string."""
+    baseline JFIF byte string. ``subsampling`` is '444', '422', or
+    '420' (chroma box-mean downsampling; ignored for grayscale)."""
     if img.dtype != np.uint8 or img.ndim not in (2, 3):
         raise ValueError("image must be 2-D gray or 3-D RGB uint8")
     if img.ndim == 3 and img.shape[2] != 3:
         raise ValueError("3-D images must have exactly 3 channels")
+    if subsampling not in _SAMPLING:
+        raise ValueError("subsampling must be one of %s" % sorted(_SAMPLING))
     h, w = img.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty image")
     n_comp = 1 if img.ndim == 2 else 3
     lum_q, chrom_q = _quality_tables(quality)
+    yh, yv = (1, 1) if n_comp == 1 else _SAMPLING[subsampling]
+    samp = [(yh, yv)] + [(1, 1)] * (n_comp - 1)
+    hmax, vmax = yh, yv
+    mcus_x, mcus_y = -(-w // (8 * hmax)), -(-h // (8 * vmax))
 
     if n_comp == 1:
         planes = [img.astype(np.float64)]
     else:
         ycc = _rgb_to_ycbcr(img)
-        planes = [ycc[..., i] for i in range(3)]
+        planes = [
+            _downsample(ycc[..., i], hmax // samp[i][0], vmax // samp[i][1])
+            for i in range(3)
+        ]
 
-    # vectorized forward DCT + quantization per component
+    # vectorized forward DCT + quantization per component, blocks laid
+    # out on each component's (mcus_y*v, mcus_x*h) grid
     comp_zz: list[np.ndarray] = []
+    grid_cols: list[int] = []
     for ci, plane in enumerate(planes):
-        blocks, _, _ = _blocks_of(plane)
-        shifted = blocks - 128.0
-        coeffs = np.einsum("ij,bjk,lk->bil", _DCT_T, shifted, _DCT_T)
+        hi, vi = samp[ci]
+        rows, cols = mcus_y * vi * 8, mcus_x * hi * 8
+        padded = _pad_to(plane, rows, cols)
+        blocks = (
+            padded.reshape(rows // 8, 8, cols // 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, 8, 8)
+        )
+        coeffs = np.einsum("ij,bjk,lk->bil", _DCT_T, blocks - 128.0, _DCT_T)
         q = lum_q if ci == 0 else chrom_q
         quant = np.rint(coeffs / q).astype(np.int32)
         comp_zz.append(quant.reshape(-1, 64)[:, ZIGZAG])
+        grid_cols.append(cols // 8)
 
     dc_tabs = [_build_codes(*DC_LUM), _build_codes(*DC_CHROM)]
     ac_tabs = [_build_codes(*AC_LUM), _build_codes(*AC_CHROM)]
 
     bw = _BitWriter()
     pred = [0] * n_comp
-    n_blocks = comp_zz[0].shape[0]
-    for b in range(n_blocks):
-        for ci in range(n_comp):
-            t = 0 if ci == 0 else 1
-            zz = comp_zz[ci][b]
-            # DC
-            diff = int(zz[0]) - pred[ci]
-            pred[ci] = int(zz[0])
-            s, bits = _magnitude(diff)
-            code, ln = dc_tabs[t][s]
-            bw.write(code, ln)
-            if s:
-                bw.write(bits, s)
-            # AC
-            run = 0
-            nz = np.nonzero(zz[1:])[0]
-            last = nz[-1] + 1 if len(nz) else 0
-            for k in range(1, last + 1):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_tabs[t][0xF0]  # ZRL
-                    bw.write(code, ln)
-                    run -= 16
-                s, bits = _magnitude(v)
-                code, ln = ac_tabs[t][(run << 4) | s]
-                bw.write(code, ln)
-                bw.write(bits, s)
-                run = 0
-            if last < 63:
-                code, ln = ac_tabs[t][0x00]  # EOB
-                bw.write(code, ln)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(n_comp):
+                hi, vi = samp[ci]
+                t = 0 if ci == 0 else 1
+                for by in range(vi):
+                    for bx in range(hi):
+                        bidx = (my * vi + by) * grid_cols[ci] + mx * hi + bx
+                        pred[ci] = _encode_block(
+                            bw, comp_zz[ci][bidx], pred[ci], dc_tabs[t], ac_tabs[t]
+                        )
     bw.flush()
 
     # ---- marker layout -------------------------------------------------
@@ -321,7 +357,8 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
         out += seg(0xDB, b"\x01" + bytes(chrom_q.reshape(-1)[ZIGZAG].astype(np.uint8)))
     sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([n_comp])
     for ci in range(n_comp):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])  # 4:4:4
+        hi, vi = samp[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
     out += seg(0xC0, bytes(sof))
     for cls, tid, (bits, vals) in (
         (0, 0, DC_LUM),
@@ -459,9 +496,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             comps = []
             for ci in range(n_comp):
                 cid, hv, tq = payload[6 + 3 * ci : 9 + 3 * ci]
-                if hv != 0x11:
-                    raise ValueError("subsampled chroma unsupported (4:4:4 only)")
-                comps.append((cid, tq))
+                hi, vi = hv >> 4, hv & 0xF
+                if hi not in (1, 2) or vi not in (1, 2):
+                    raise ValueError(
+                        "sampling factor %dx%d unsupported (1 or 2 only)" % (hi, vi)
+                    )
+                comps.append((cid, tq, hi, vi))
             frame = (h, w, comps)
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
@@ -485,49 +525,65 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 def _decode_scan(ent, frame, qtabs, htabs, scan_tabs) -> np.ndarray:
     h, w, comps = frame
     n_comp = len(comps)
-    bh, bw_ = -(-h // 8), -(-w // 8)
-    n_blocks = bh * bw_
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    mcus_x, mcus_y = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    grid = [(mcus_y * c[3], mcus_x * c[2]) for c in comps]  # (rows, cols) of blocks
     br = _BitReader(ent)
-    zz = [np.zeros((n_blocks, 64), dtype=np.int32) for _ in range(n_comp)]
+    zz = [np.zeros((r * c, 64), dtype=np.int32) for r, c in grid]
     pred = [0] * n_comp
-    for b in range(n_blocks):
-        for ci in range(n_comp):
-            dc_t = htabs.get((0, scan_tabs[ci][0]))
-            ac_t = htabs.get((1, scan_tabs[ci][1]))
-            if dc_t is None or ac_t is None:
-                raise ValueError("scan references undefined Huffman table")
-            s = br.decode(dc_t)
-            diff = _extend(br.read(s), s) if s else 0
-            pred[ci] += diff
-            row = zz[ci][b]
-            row[0] = pred[ci]
-            k = 1
-            while k <= 63:
-                rs = br.decode(ac_t)
-                r, s = rs >> 4, rs & 0xF
-                if s == 0:
-                    if r == 15:
-                        k += 16  # ZRL
-                        continue
-                    break  # EOB
-                k += r
-                if k > 63:
-                    raise ValueError("AC coefficient index overflow")
-                row[k] = _extend(br.read(s), s)
-                k += 1
-    # vectorized dequantize + IDCT per component
+
+    def read_block(ci: int, bidx: int):
+        dc_t = htabs.get((0, scan_tabs[ci][0]))
+        ac_t = htabs.get((1, scan_tabs[ci][1]))
+        if dc_t is None or ac_t is None:
+            raise ValueError("scan references undefined Huffman table")
+        s = br.decode(dc_t)
+        diff = _extend(br.read(s), s) if s else 0
+        pred[ci] += diff
+        row = zz[ci][bidx]
+        row[0] = pred[ci]
+        k = 1
+        while k <= 63:
+            rs = br.decode(ac_t)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:
+                    k += 16  # ZRL
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("AC coefficient index overflow")
+            row[k] = _extend(br.read(s), s)
+            k += 1
+
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(n_comp):
+                hi, vi = comps[ci][2], comps[ci][3]
+                cols = grid[ci][1]
+                for by in range(vi):
+                    for bx in range(hi):
+                        read_block(ci, (my * vi + by) * cols + mx * hi + bx)
+
+    # vectorized dequantize + IDCT per component, then chroma upsample
     planes = []
     for ci in range(n_comp):
         q = qtabs.get(comps[ci][1])
         if q is None:
             raise ValueError("frame references undefined quantization table")
-        blocks = np.zeros((n_blocks, 64), dtype=np.float64)
+        rows, cols = grid[ci]
+        blocks = np.zeros((rows * cols, 64), dtype=np.float64)
         blocks[:, ZIGZAG] = zz[ci]
         blocks = blocks.reshape(-1, 8, 8) * q
         pix = np.einsum("ji,bjk,kl->bil", _DCT_T, blocks, _DCT_T) + 128.0
         plane = (
-            pix.reshape(bh, bw_, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw_ * 8)
+            pix.reshape(rows, cols, 8, 8).transpose(0, 2, 1, 3).reshape(rows * 8, cols * 8)
         )
+        fy, fx = vmax // comps[ci][3], hmax // comps[ci][2]
+        if fy > 1 or fx > 1:
+            plane = np.repeat(np.repeat(plane, fy, axis=0), fx, axis=1)
         planes.append(plane[:h, :w])
     if n_comp == 1:
         return np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)

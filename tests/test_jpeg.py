@@ -97,3 +97,28 @@ def test_dct_dims_mismatch_is_typed_error():
     data[at : at + len(b"/Width 16")] = b"/Width 99"
     with pytest.raises(ValueError, match="declares"):
         decode_pdf(bytes(data))
+
+
+def test_subsampled_chroma_roundtrip():
+    """4:2:2 and 4:2:0 — the sampling real-world scanners emit — decode
+    through the generalized MCU walk; luma stays sharp, chroma is
+    box-mean downsampled so flat regions stay close."""
+    img = np.zeros((37, 53, 3), np.uint8)
+    img[:] = (180, 160, 140)
+    img[8:25, 10:40] = (30, 80, 200)
+    for ss in ("422", "420"):
+        out = decode_jpeg(encode_jpeg(img, 90, subsampling=ss))
+        assert out.shape == img.shape
+        interior = np.abs(
+            out[12:20, 15:35].astype(int) - img[12:20, 15:35].astype(int)
+        ).max()
+        assert interior <= 20, (ss, interior)
+
+
+def test_sampling_factor_above_two_is_typed_error():
+    data = bytearray(encode_jpeg(np.zeros((8, 8, 3), np.uint8), subsampling="420"))
+    sof_at = bytes(data).find(b"\xff\xc0")
+    # component 1's h/v byte sits at SOF payload offset 6+1
+    data[sof_at + 4 + 6 + 1] = 0x33
+    with pytest.raises(ValueError, match="sampling factor"):
+        decode_jpeg(bytes(data))
