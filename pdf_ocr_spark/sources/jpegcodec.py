@@ -37,6 +37,8 @@ symbols), which keeps decode ~1-2 ms/page at fixture sizes.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 
 # --------------------------------------------------------------------------
@@ -280,10 +282,17 @@ def _encode_block(bw: _BitWriter, zz: np.ndarray, pred: int, dc_tab, ac_tab) -> 
     return int(zz[0])
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 90, subsampling: str = "444") -> bytes:
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
     """Encode H x W uint8 (grayscale) or H x W x 3 uint8 (RGB) to a
     baseline JFIF byte string. ``subsampling`` is '444', '422', or
-    '420' (chroma box-mean downsampling; ignored for grayscale)."""
+    '420' (chroma box-mean downsampling; ignored for grayscale);
+    ``restart_interval`` > 0 emits a DRI marker and RSTn markers
+    every that many MCUs (what scanners do for error resilience)."""
     if img.dtype != np.uint8 or img.ndim not in (2, 3):
         raise ValueError("image must be 2-D gray or 3-D RGB uint8")
     if img.ndim == 3 and img.shape[2] != 3:
@@ -333,8 +342,16 @@ def encode_jpeg(img: np.ndarray, quality: int = 90, subsampling: str = "444") ->
 
     bw = _BitWriter()
     pred = [0] * n_comp
+    mcu_i = 0
+    rst_n = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + rst_n])
+                rst_n = (rst_n + 1) % 8
+                pred = [0] * n_comp
+            mcu_i += 1
             for ci in range(n_comp):
                 hi, vi = samp[ci]
                 t = 0 if ci == 0 else 1
@@ -369,6 +386,8 @@ def encode_jpeg(img: np.ndarray, quality: int = 90, subsampling: str = "444") ->
         if n_comp == 1 and tid == 1:
             continue
         out += seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xDD, restart_interval.to_bytes(2, "big"))
     sos = bytearray([n_comp])
     for ci in range(n_comp):
         tid = 0 if ci == 0 else 1
@@ -453,7 +472,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
     htabs: dict[tuple[int, int], _HuffTable] = {}
-    frame = None  # (h, w, [(comp_id, qtab_id)])
+    dri = 0
+    frame = None  # (h, w, [(comp_id, qtab_id, h_samp, v_samp)])
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("marker desync at byte %d" % pos)
@@ -503,6 +523,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     )
                 comps.append((cid, tq, hi, vi))
             frame = (h, w, comps)
+        elif marker == 0xDD:  # DRI — restart interval
+            dri = int.from_bytes(payload[0:2], "big")
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
                 raise ValueError("SOS before SOF")
@@ -516,20 +538,25 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if ent_end == -1:
                 ent_end = len(data)
             return _decode_scan(
-                data[ent_start:ent_end], frame, qtabs, htabs, scan_tabs
+                data[ent_start:ent_end], frame, qtabs, htabs, scan_tabs, dri
             )
         pos += ln
     raise ValueError("no SOS marker (truncated JPEG)")
 
 
-def _decode_scan(ent, frame, qtabs, htabs, scan_tabs) -> np.ndarray:
+def _decode_scan(ent, frame, qtabs, htabs, scan_tabs, dri=0) -> np.ndarray:
     h, w, comps = frame
     n_comp = len(comps)
     hmax = max(c[2] for c in comps)
     vmax = max(c[3] for c in comps)
     mcus_x, mcus_y = -(-w // (8 * hmax)), -(-h // (8 * vmax))
     grid = [(mcus_y * c[3], mcus_x * c[2]) for c in comps]  # (rows, cols) of blocks
-    br = _BitReader(ent)
+    # restart markers (0xFFD0-D7) are unambiguous in entropy data
+    # (literal 0xFF is always stuffed as 0xFF00): split into restart
+    # segments; each resets the DC predictors and byte-aligns.
+    segments = re.split(b"\xff[\xd0-\xd7]", ent) if dri else [ent]
+    seg_iter = iter(segments)
+    br = _BitReader(next(seg_iter))
     zz = [np.zeros((r * c, 64), dtype=np.int32) for r, c in grid]
     pred = [0] * n_comp
 
@@ -558,8 +585,16 @@ def _decode_scan(ent, frame, qtabs, htabs, scan_tabs) -> np.ndarray:
             row[k] = _extend(br.read(s), s)
             k += 1
 
+    mcu_i = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if dri and mcu_i and mcu_i % dri == 0:
+                try:
+                    br = _BitReader(next(seg_iter))
+                except StopIteration:
+                    raise ValueError("missing restart marker in entropy stream") from None
+                pred[:] = [0] * n_comp
+            mcu_i += 1
             for ci in range(n_comp):
                 hi, vi = comps[ci][2], comps[ci][3]
                 cols = grid[ci][1]

@@ -122,3 +122,20 @@ def test_sampling_factor_above_two_is_typed_error():
     data[sof_at + 4 + 6 + 1] = 0x33
     with pytest.raises(ValueError, match="sampling factor"):
         decode_jpeg(bytes(data))
+
+
+def test_restart_markers_roundtrip():
+    """DRI/RSTn (scanner error-resilience layout): decoding a
+    restart-interval stream must equal the marker-free decode exactly —
+    predictors reset and byte-alignment handled per segment."""
+    x = np.linspace(0, 255, 64)
+    img = np.clip(np.add.outer(x, x) / 2, 0, 255).astype(np.uint8)
+    plain = decode_jpeg(encode_jpeg(img, 90))
+    for ri in (1, 2, 5):
+        data = encode_jpeg(img, 90, restart_interval=ri)
+        assert b"\xff\xdd" in data  # DRI present
+        assert (decode_jpeg(data) == plain).all()
+    rgb = np.dstack([img] * 3)
+    base = decode_jpeg(encode_jpeg(rgb, 90, subsampling="420"))
+    out = decode_jpeg(encode_jpeg(rgb, 90, subsampling="420", restart_interval=3))
+    assert (out == base).all()
