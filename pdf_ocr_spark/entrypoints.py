@@ -1094,15 +1094,16 @@ def _sql_simhash_votes(toks: str, bits: int = 32) -> str:
 )
 def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
     from pdf_ocr_spark.operators.analysis import tokens_col
-    from pdf_ocr_spark.operators.dedup import _ensure_parallelism, simhash_from_tokens
+    from pdf_ocr_spark.operators.dedup import _ensure_parallelism, simhash_from_hashes
 
     d = _ensure_parallelism(load_table(spark, sf, "documents").select("doc_id", "text"))
-    # materialize distinct tokens once; the 32 vote-aggregates then read
-    # a bound column instead of re-tokenizing (10x on this query)
+    # materialize distinct tokens, then their md5s, as bound columns:
+    # the 32 vote-aggregates each re-evaluate their input expression,
+    # so inline tokenize (10x) or inline md5 (2.5x) multiply the work
     toked = d.select(
         "doc_id", F.array_distinct(tokens_col(F.lower(F.col("text")))).alias("_toks")
-    )
-    return toked.select("doc_id", simhash_from_tokens(F.col("_toks")).alias("simhash"))
+    ).select("doc_id", F.transform(F.col("_toks"), F.md5).alias("_hashes"))
+    return toked.select("doc_id", simhash_from_hashes(F.col("_hashes")).alias("simhash"))
 
 
 @_register(
