@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "token_stats",
     "quality_score",
     "repetition_stats",
+    "corpus_filter_verdict",
     "lang_id",
     "pricing_summary",
     "window_offsets",

@@ -2114,6 +2114,74 @@ def q_domain_inlinks(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_register(
+    "corpus_filter_verdict",
+    f"""
+WITH scored AS (
+  SELECT doc_id,
+       round(0.4 * least(len(text)::DOUBLE / 200.0, 1.0)
+           + 0.3 * (1.0 - coalesce(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / nullif(len(text), 0), 0.0))
+           + 0.3 * (CASE WHEN len({sql_tokens('text')}) = 0 THEN 0.0
+                    ELSE {sql_stop_hits('text', 'en')}::DOUBLE / len({sql_tokens('lower(text)')}) END),
+           6) AS quality,
+       (SELECT CASE WHEN len(ls) = 0 THEN 0.0
+               ELSE round((len(ls) - len(list_distinct(ls)) * 1.0) / len(ls), 6) END
+        FROM (SELECT list_filter(string_split(replace(text, ' merge ', chr(10)), chr(10)), x -> x != '') AS ls)
+       ) AS dup_line_frac,
+       min(doc_id) OVER (PARTITION BY md5(regexp_replace(lower({sql_strip('text')}), '\\s+', ' ', 'g'))) AS keeper_id
+  FROM documents)
+SELECT doc_id, quality, dup_line_frac, keeper_id,
+       CASE WHEN doc_id != keeper_id THEN 'exact_dup'
+            WHEN quality < 0.5 THEN 'low_quality'
+            WHEN dup_line_frac > 0.3 THEN 'repetitive'
+            ELSE 'keep' END AS verdict
+FROM scored
+""",
+)
+def q_corpus_filter_verdict(spark: SparkSession, sf: str) -> DataFrame:
+    """The composed training-data admission filter: one verdict row per
+    document — exact-dup demotion (only the min-id keeper of each
+    normalized-text hash group survives), then a quality floor, then a
+    repetition cap, in that priority order. One shuffle total (the
+    window over the text-hash partition); quality and repetition are
+    pure JVM expressions, so at 100 TB this is scan -> window -> scan.
+    Thresholds compare the round(6) values both engines hash-match on,
+    so the verdict boundaries cannot drift between Spark and the
+    oracle."""
+    from pyspark.sql import Window
+
+    from pdf_ocr_spark.operators.analysis import dup_fraction_col, quality_score_col
+    from pdf_ocr_spark.operators.dedup import norm_text_col
+
+    d = load_table(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("text").cast("string").alias("text"),
+    )
+    lines = F.filter(
+        F.split(F.replace(F.col("text"), F.lit(" merge "), F.lit("\n")), r"\n"),
+        lambda x: x != "",
+    )
+    scored = d.select(
+        "doc_id",
+        quality_score_col(F.col("text")).alias("quality"),
+        dup_fraction_col(lines).alias("dup_line_frac"),
+        F.min("doc_id")
+        .over(Window.partitionBy(F.md5(norm_text_col(F.col("text")))))
+        .alias("keeper_id"),
+    )
+    return scored.select(
+        "doc_id",
+        "quality",
+        "dup_line_frac",
+        "keeper_id",
+        F.when(F.col("doc_id") != F.col("keeper_id"), F.lit("exact_dup"))
+        .when(F.col("quality") < 0.5, F.lit("low_quality"))
+        .when(F.col("dup_line_frac") > 0.3, F.lit("repetitive"))
+        .otherwise(F.lit("keep"))
+        .alias("verdict"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering for the driver's correctness window
 # ---------------------------------------------------------------------------
@@ -2127,6 +2195,7 @@ def q_domain_inlinks(spark: SparkSession, sf: str) -> DataFrame:
 _DEMOTE = [
     "cube_events",  # rollup/grouping-sets siblings stay in-window
     "pivot_event_counts",  # twice-green; zero-fill semantics pinned in r2
+    "json_extract_props",  # twice-green scalar JSON-path extraction
     "secure_filename",
     "allowed_file",
     "lang_map",
