@@ -379,3 +379,32 @@ def stream_static_extract_pages(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_extract_html(
+    spark: SparkSession,
+    input_path: str,
+    out_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming HTML boilerplate strip: the web main-content extractor
+    as a stateless streaming projection (``mapInPandas`` is stateless,
+    so the exact batch operator runs on the stream unchanged — no
+    foreachBatch needed, no state store). Input: parquet of
+    (doc_id: long, html: string); output: parquet of
+    (doc_id, main_text) in append mode."""
+    from pdf_ocr_spark.operators.webextract import extract_main_text
+
+    schema = "doc_id LONG, html STRING"
+    stream = spark.readStream.schema(schema).parquet(input_path)
+    writer = (
+        extract_main_text(stream)
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -142,3 +142,31 @@ def test_stream_static_join_ocr(spark, tmp_path):
         for r in ocr_pages(pages.join(media, "media_ref", "left")).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_extract_html_matches_batch(spark, tmp_path):
+    """The boilerplate-strip operator runs unchanged as a streaming
+    projection; streamed output must equal the batch extraction."""
+    from pdf_ocr_spark.operators.webextract import extract_main_text
+    from pdf_ocr_spark.sources.webgen import generate_html_corpus
+    from pdf_ocr_spark.streaming.stream import stream_extract_html
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc {i} " * (1 + i % 3), "en") for i in range(20)],
+        "doc_id LONG, text STRING, lang STRING",
+    )
+    corpus = generate_html_corpus(docs)
+    src = str(tmp_path / "html_in")
+    corpus.write.parquet(src)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = stream_extract_html(spark, src, out, ckpt)
+    q.awaitTermination(120)
+
+    got = {
+        r["doc_id"]: r["main_text"] for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r["doc_id"]: r["main_text"]
+        for r in extract_main_text(spark.read.parquet(src)).collect()
+    }
+    assert got == want and len(got) == 20
