@@ -79,7 +79,12 @@ def test_codec_rgb_round_trip_raw_and_flate():
 
 def test_codec_unsupported_filter_and_chain_are_typed_errors():
     data = encode_pdf([np.zeros((6, 6), dtype=np.uint8)], compress=True)
-    with pytest.raises(ValueError, match="/DCTDecode"):
+    with pytest.raises(ValueError, match="/JPXDecode"):
+        decode_pdf(data.replace(b"/FlateDecode", b"/JPXDecode\x20\x20"))
+    # /DCTDecode now routes to the JPEG codec — zlib bytes are not a
+    # JPEG, so the typed error names the real problem (round 3: this
+    # used to be 'unsupported stream filter')
+    with pytest.raises(ValueError, match="not a JPEG"):
         decode_pdf(data.replace(b"/FlateDecode", b"/DCTDecode\x20\x20"))
     chained = data.replace(
         b"/Filter /FlateDecode", b"/Filter [/LZWDecode /FlateDecode] %"
