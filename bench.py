@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "html_metadata",
     "url_parse",
     "domain_inlinks",
+    "warc_extract_text",
     "normalize_chain",
     "paragraph_explode",
     "reassemble_txt",

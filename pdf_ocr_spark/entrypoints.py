@@ -2114,6 +2114,64 @@ def q_domain_inlinks(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _warc_fixture_dir(spark: SparkSession, sf: str) -> str:
+    """Write (once per sf dir, executor-side) the WARC crawl-archive
+    fixture: the synthetic HTML corpus sharded into per-record-gzip
+    .warc.gz files. Content-fingerprint re-entry marker, same contract
+    as _pdf_fixture_dir."""
+    import os
+    import shutil
+
+    from pdf_ocr_spark.sources.warcsource import write_warc_corpus
+    from pdf_ocr_spark.sources.webgen import generate_html_corpus
+
+    tag = os.path.basename(os.path.normpath(sf)) or "sf"
+    out = os.path.join(_PDF_CACHE_ROOT, f"warc_{tag}")
+    docs = load_table(spark, sf, "documents")
+    agg = docs.agg(
+        F.count("*").alias("n"),
+        F.sum(F.crc32(F.concat_ws("\x00", F.col("doc_id").cast("string"), "text"))).alias("ck"),
+    ).first()
+    fingerprint = f"{agg['n']}:{agg['ck']}:warcgz"
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read().strip() == fingerprint:
+                return out
+        shutil.rmtree(out, ignore_errors=True)
+    html = generate_html_corpus(docs)
+    n_written = write_warc_corpus(html, out).agg(F.sum("n_records")).first()[0]
+    assert n_written == agg["n"], (n_written, agg["n"])
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(fingerprint)
+    os.replace(tmp, marker)
+    return out
+
+
+@_register("warc_extract_text")
+def q_warc_extract_text(spark: SparkSession, sf: str) -> DataFrame:
+    """The crawl-archive pipeline end to end: binaryFile scan of
+    per-record-gzip .warc.gz shards -> from-scratch WARC parse (record
+    fan-out by Content-Length cut) -> boilerplate strip -> main text.
+    Shares html_main_text's exact oracle: the WARC layer must be
+    lossless for the planted content to survive byte-exactly."""
+    from pdf_ocr_spark.operators.webextract import extract_main_text
+    from pdf_ocr_spark.sources.warcsource import read_warc_records
+
+    d = _warc_fixture_dir(spark, sf)
+    recs = read_warc_records(spark, d).select(
+        F.regexp_extract("record_id", r"^doc-(\d+)$", 1).cast("long").alias("doc_id"),
+        F.col("payload").alias("html"),
+    )
+    return extract_main_text(recs).select("doc_id", "main_text")
+
+
+# the WARC path plants the same content as the HTML corpus, so the
+# boilerplate-strip oracle carries over verbatim
+ORACLES["warc_extract_text"] = ORACLES["html_main_text"]
+
+
 @_register(
     "corpus_filter_verdict",
     f"""
@@ -2196,6 +2254,7 @@ _DEMOTE = [
     "cube_events",  # rollup/grouping-sets siblings stay in-window
     "pivot_event_counts",  # twice-green; zero-fill semantics pinned in r2
     "json_extract_props",  # twice-green scalar JSON-path extraction
+    "grouping_sets_customers",  # twice-green; rollup sibling stays via region_rollup
     "secure_filename",
     "allowed_file",
     "lang_map",

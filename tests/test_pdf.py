@@ -110,15 +110,21 @@ def test_rgb_pdf_extracts_through_ocr(spark, tmp_path):
     assert rows[0].text == text.upper() and rows[0].error is False
 
 
-def test_dct_pdf_becomes_typed_error_row(spark, tmp_path):
-    """A JPEG-compressed (DCTDecode) scan is outside the subset: the
-    source must emit one parse_error row NAMING the filter, not crash."""
+def test_unsupported_filter_pdf_becomes_typed_error_row(spark, tmp_path):
+    """A scan with a filter outside the subset (JPXDecode/JPEG 2000)
+    must emit one parse_error row NAMING the filter, not crash. (Round
+    3: /DCTDecode moved from this category to a real decode path — see
+    test_jpeg for its e2e coverage; corrupt DCT data still becomes a
+    typed error row via the JPEG codec's own errors.)"""
     data = encode_pdf([np.zeros((8, 8), dtype=np.uint8)], compress=True)
     with open(f"{tmp_path}/doc_j.pdf", "wb") as f:
+        f.write(data.replace(b"/FlateDecode", b"/JPXDecode\x20\x20"))
+    with open(f"{tmp_path}/doc_k.pdf", "wb") as f:
         f.write(data.replace(b"/FlateDecode", b"/DCTDecode\x20\x20"))
-    rows = read_pdf_pages(spark, str(tmp_path)).collect()
-    assert len(rows) == 1
-    assert rows[0].payload is None and "/DCTDecode" in rows[0].parse_error
+    rows = {r.doc_id: r for r in read_pdf_pages(spark, str(tmp_path)).collect()}
+    assert len(rows) == 2
+    assert rows["j"].payload is None and "/JPXDecode" in rows["j"].parse_error
+    assert rows["k"].payload is None and "not a JPEG" in rows["k"].parse_error
 
 
 def test_page_texts_chunking():
