@@ -2160,7 +2160,7 @@ def q_warc_extract_text(spark: SparkSession, sf: str) -> DataFrame:
     from pdf_ocr_spark.sources.warcsource import read_warc_records
 
     d = _warc_fixture_dir(spark, sf)
-    recs = read_warc_records(spark, d).select(
+    recs = read_warc_records(spark, d).where(F.col("parse_error").isNull()).select(
         F.regexp_extract("record_id", r"^doc-(\d+)$", 1).cast("long").alias("doc_id"),
         F.col("payload").alias("html"),
     )

@@ -116,7 +116,7 @@ _LINK_REGIONS = frozenset("nav header aside footer".split())
 
 
 class _Block:
-    __slots__ = ("kind", "parts", "link_chars", "containers", "src", "order")
+    __slots__ = ("kind", "parts", "link_chars", "containers", "src", "order", "_text")
 
     def __init__(self, kind, containers, order, src=None):
         self.kind = kind  # 'text' | 'heading' | 'image'
@@ -125,9 +125,15 @@ class _Block:
         self.containers = containers  # tuple of container element ids
         self.src = src
         self.order = order
+        self._text: str | None = None
 
     def text(self) -> str:
-        return " ".join("".join(self.parts).split())
+        # cached: the density filter, container scoring, and span
+        # emission all read it — recomputing the join+split tripled
+        # the per-document normalization work
+        if self._text is None:
+            self._text = " ".join("".join(self.parts).split())
+        return self._text
 
 
 class _Extractor(HTMLParser):
@@ -257,7 +263,7 @@ class _Extractor(HTMLParser):
         region = "content"
         for t in reversed(self.stack):
             if t in _LINK_REGIONS:
-                region = t if t != "header" else "header"
+                region = t
                 break
         anchor = " ".join("".join(self._cur_anchor).split())
         self.links.append((self._cur_href, anchor, region))
@@ -314,15 +320,19 @@ def _main_blocks(p: _Extractor) -> list[_Block]:
     return out
 
 
-def main_spans_of(html: str) -> list[tuple[str, str | None, str | None]]:
-    """(kind, text, media_ref) span sequence of the main content."""
+def _spans_from(p: _Extractor) -> list[tuple[str, str | None, str | None]]:
     spans = []
-    for b in _main_blocks(_parse(html)):
+    for b in _main_blocks(p):
         if b.kind == "image":
             spans.append(("image", None, b.src))
         else:
             spans.append((b.kind, b.text(), None))
     return spans
+
+
+def main_spans_of(html: str) -> list[tuple[str, str | None, str | None]]:
+    """(kind, text, media_ref) span sequence of the main content."""
+    return _spans_from(_parse(html))
 
 
 def main_text_of(html: str) -> str:
@@ -337,7 +347,7 @@ def links_of(html: str) -> list[tuple[str, str, str]]:
 
 def metadata_of(html: str) -> tuple[str, str, str, int, int, int]:
     p = _parse(html)
-    spans = main_spans_of(html)
+    spans = _spans_from(p)  # reuse the parse — parsing dominates cost
     title = " ".join("".join(p.title_parts).split())
     n_par = sum(1 for k, _, _ in spans if k == "text")
     n_img = sum(1 for k, _, _ in spans if k == "image")

@@ -466,7 +466,18 @@ def _extend(v: int, s: int) -> int:
 
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Decode baseline JFIF bytes to H x W (gray) or H x W x 3 (RGB)
-    uint8. Non-baseline features raise ``ValueError`` naming them."""
+    uint8. Non-baseline features — and structural damage of any kind —
+    raise ``ValueError`` naming the problem (never IndexError etc., so
+    the PDF source's error-as-row containment holds)."""
+    try:
+        return _decode_jpeg(data)
+    except ValueError:
+        raise
+    except (IndexError, KeyError, OverflowError) as e:
+        raise ValueError("truncated or malformed JPEG (%s)" % type(e).__name__) from e
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
     if len(data) < 4 or data[0:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -477,6 +488,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("marker desync at byte %d" % pos)
+        # ISO 10918-1 B.1.1.2: any number of 0xFF fill bytes may
+        # precede a marker — skip them so other producers' files parse
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= len(data):
+            raise ValueError("truncated JPEG (stream ends inside a marker)")
         marker = data[pos + 1]
         pos += 2
         if marker in (0xD8, 0xD9):
@@ -534,9 +551,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 _cid, tsel = payload[1 + 2 * ci : 3 + 2 * ci]
                 scan_tabs.append((tsel >> 4, tsel & 0xF))
             ent_start = pos + ln
-            ent_end = data.rfind(b"\xff\xd9")
+            # entropy data cannot contain a bare FF D9 (0xFF is always
+            # stuffed; restarts are FFD0-D7), so the first EOI AFTER the
+            # scan start is the true end — a global rfind could land on
+            # FF D9 bytes inside a table segment of a truncated file
+            # and silently decode an empty stream as all-gray garbage
+            ent_end = data.find(b"\xff\xd9", ent_start)
             if ent_end == -1:
-                ent_end = len(data)
+                raise ValueError("truncated JPEG (missing EOI)")
             return _decode_scan(
                 data[ent_start:ent_end], frame, qtabs, htabs, scan_tabs, dri
             )

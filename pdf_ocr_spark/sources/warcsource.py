@@ -37,11 +37,12 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 WARC_RECORDS_SCHEMA = StructType(
     [
         StructField("path", StringType(), False),
-        StructField("record_id", StringType(), False),
-        StructField("warc_type", StringType(), False),
+        StructField("record_id", StringType(), True),
+        StructField("warc_type", StringType(), True),
         StructField("target_uri", StringType(), True),
         StructField("content_type", StringType(), True),
-        StructField("payload", StringType(), False),
+        StructField("payload", StringType(), True),
+        StructField("parse_error", StringType(), True),
     ]
 )
 
@@ -144,7 +145,16 @@ def read_warc_records(spark: SparkSession, path: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for p, content in zip(pdf["path"], pdf["content"]):
-                for rec in parse_warc(bytes(content)):
+                # error-as-row, never a task failure: one damaged
+                # archive file in a 10^12-record scan must cost one
+                # diagnosable row, not the job (same contract as the
+                # PDF source's parse_error rows)
+                try:
+                    recs = parse_warc(bytes(content))
+                except Exception as e:  # noqa: BLE001 — contained per file
+                    rows.append((p, None, None, None, None, None, str(e)))
+                    continue
+                for rec in recs:
                     rows.append(
                         (
                             p,
@@ -153,6 +163,7 @@ def read_warc_records(spark: SparkSession, path: str) -> DataFrame:
                             rec["target_uri"],
                             rec["content_type"],
                             rec["payload"],
+                            None,
                         )
                     )
             yield pd.DataFrame(
@@ -164,6 +175,7 @@ def read_warc_records(spark: SparkSession, path: str) -> DataFrame:
                     "target_uri",
                     "content_type",
                     "payload",
+                    "parse_error",
                 ],
             )
 

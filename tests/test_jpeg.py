@@ -139,3 +139,19 @@ def test_restart_markers_roundtrip():
     base = decode_jpeg(encode_jpeg(rgb, 90, subsampling="420"))
     out = decode_jpeg(encode_jpeg(rgb, 90, subsampling="420", restart_interval=3))
     assert (out == base).all()
+
+
+def test_truncated_and_fill_byte_streams():
+    """Structural damage must always surface as ValueError (the PDF
+    source catches exactly that), and legal 0xFF fill bytes before
+    markers (ISO 10918-1 B.1.1.2) must parse."""
+    img = np.zeros((8, 8), np.uint8)
+    data = encode_jpeg(img, 90)
+    # truncations at every early byte boundary: ValueError, never IndexError
+    for cut in (3, 10, 21, len(data) // 2, len(data) - 3):
+        with pytest.raises(ValueError):
+            decode_jpeg(data[:cut])
+    # fill bytes before a marker are legal padding
+    at = data.find(b"\xff\xdb")
+    padded = data[:at] + b"\xff\xff" + data[at:]
+    assert (decode_jpeg(padded) == decode_jpeg(data)).all()

@@ -102,3 +102,22 @@ def test_spark_warc_corpus_roundtrip(spark, tmp_path):
     got = {r["doc_id"]: r["main_text"] for r in extract_main_text(recs).collect()}
     want = {r["doc_id"]: r["main_text"] for r in extract_main_text(html).collect()}
     assert got == want and len(got) == 25
+
+
+def test_poison_pill_file_becomes_error_row(spark, tmp_path):
+    """One damaged archive in the scan directory costs one diagnosable
+    parse_error row, not the job."""
+    from pdf_ocr_spark.sources.warcsource import read_warc_records, write_warc
+
+    good = write_warc([("doc-1", "https://a/1", "<p>fine</p>")])
+    (tmp_path / "a.warc").write_bytes(good)
+    (tmp_path / "b.warc").write_bytes(b"GARBAGE not a warc at all")
+    bad_len = good.replace(b"Content-Length", b"X-Length")
+    (tmp_path / "c.warc").write_bytes(bad_len)
+
+    rows = read_warc_records(spark, str(tmp_path)).collect()
+    ok = [r for r in rows if r["parse_error"] is None]
+    bad = {r["path"].rsplit("/", 1)[-1]: r["parse_error"] for r in rows if r["parse_error"]}
+    assert len(ok) == 1 and ok[0]["record_id"] == "doc-1"
+    assert set(bad) == {"b.warc", "c.warc"}
+    assert "version line" in bad["b.warc"] and "Content-Length" in bad["c.warc"]
