@@ -167,6 +167,7 @@ def main() -> None:
     # fixture generation).
     _exec(ep.QUERIES["normalize_chain"](spark, sf_dir))
     ep._pdf_fixture_dir(spark, sf_dir)
+    ep._warc_fixture_dir(spark, sf_dir)
     ep._media_manifest(spark)
     ep._layout_manifest(spark)
     ep._hocr_manifest(spark)
