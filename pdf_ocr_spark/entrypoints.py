@@ -2206,38 +2206,9 @@ def q_corpus_filter_verdict(spark: SparkSession, sf: str) -> DataFrame:
     Thresholds compare the round(6) values both engines hash-match on,
     so the verdict boundaries cannot drift between Spark and the
     oracle."""
-    from pyspark.sql import Window
+    from pdf_ocr_spark.operators.curation import filter_verdicts
 
-    from pdf_ocr_spark.operators.analysis import dup_fraction_col, quality_score_col
-    from pdf_ocr_spark.operators.dedup import norm_text_col
-
-    d = load_table(spark, sf, "documents").select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.col("text").cast("string").alias("text"),
-    )
-    lines = F.filter(
-        F.split(F.replace(F.col("text"), F.lit(" merge "), F.lit("\n")), r"\n"),
-        lambda x: x != "",
-    )
-    scored = d.select(
-        "doc_id",
-        quality_score_col(F.col("text")).alias("quality"),
-        dup_fraction_col(lines).alias("dup_line_frac"),
-        F.min("doc_id")
-        .over(Window.partitionBy(F.md5(norm_text_col(F.col("text")))))
-        .alias("keeper_id"),
-    )
-    return scored.select(
-        "doc_id",
-        "quality",
-        "dup_line_frac",
-        "keeper_id",
-        F.when(F.col("doc_id") != F.col("keeper_id"), F.lit("exact_dup"))
-        .when(F.col("quality") < 0.5, F.lit("low_quality"))
-        .when(F.col("dup_line_frac") > 0.3, F.lit("repetitive"))
-        .otherwise(F.lit("keep"))
-        .alias("verdict"),
-    )
+    return filter_verdicts(load_table(spark, sf, "documents"))
 
 
 # ---------------------------------------------------------------------------
