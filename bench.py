@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "url_parse",
     "domain_inlinks",
     "warc_extract_text",
+    "robots_decisions",
     "normalize_chain",
     "paragraph_explode",
     "reassemble_txt",

@@ -2173,6 +2173,91 @@ ORACLES["warc_extract_text"] = ORACLES["html_main_text"]
 
 
 @_register(
+    "robots_decisions",
+    """
+WITH l AS (SELECT doc_id, doc_id % 7 AS k,
+  list_transform(range(1, 2 + doc_id % 4),
+      j -> struct_pack(href := 'https://site-' || (doc_id % 7) || '.example.' || (['com','org','net','io','co.uk'][doc_id % 5 + 1]) || '/doc/' || doc_id || '-' || j,
+                       kind := 'nav'))
+  || [struct_pack(href := 'https://ads.example.com/click/' || (doc_id % 13), kind := 'other')]
+  || list_transform(range(3), i -> struct_pack(href := 'https://tags.example.com/tag/' || ((doc_id*7 + i) % 100), kind := 'other'))
+  || [struct_pack(href := 'https://site-' || (doc_id % 7) || '.example.' || (['com','org','net','io','co.uk'][doc_id % 5 + 1]) || '/about', kind := 'about'),
+      struct_pack(href := 'https://site-' || (doc_id % 7) || '.example.' || (['com','org','net','io','co.uk'][doc_id % 5 + 1]) || '/privacy', kind := 'privacy')]
+  AS links FROM documents),
+e AS (SELECT doc_id, k, generate_subscripts(links, 1) - 1 AS "offset",
+             unnest(links, recursive := true) FROM l)
+SELECT doc_id, "offset", href,
+  CASE WHEN kind = 'nav' AND k % 3 = 0 THEN starts_with(doc_id::VARCHAR, k::VARCHAR)
+       WHEN kind = 'privacy' AND k % 3 = 1 THEN false
+       ELSE true END AS allowed,
+  CASE WHEN kind = 'nav' AND k % 3 = 0 THEN
+            CASE WHEN starts_with(doc_id::VARCHAR, k::VARCHAR)
+                 THEN 'allow /doc/' || k ELSE 'disallow /doc/' END
+       WHEN kind = 'privacy' AND k % 3 = 1 THEN 'disallow /privacy'
+       ELSE NULL END AS matched_rule
+FROM e
+""",
+)
+def q_robots_decisions(spark: SparkSession, sf: str) -> DataFrame:
+    """RFC 9309 crawl-permission verdict for every extracted link: the
+    from-scratch robots.txt evaluator (group selection past a decoy
+    agent, longest-match precedence with allow-wins ties, wildcard
+    translation) over per-site planted robots files. The oracle
+    re-derives every decision arithmetically — e.g. the Allow
+    ``/doc/{k}`` vs Disallow ``/doc/`` precedence reduces to a
+    starts_with on the doc id — so one wrong precedence or group pick
+    fails the hash."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from pdf_ocr_spark.operators.robots import robots_decisions, robots_rules_table
+    from pdf_ocr_spark.operators.webextract import extract_links
+    from pdf_ocr_spark.operators.weburl import parse_links
+
+    # one robots.txt per distinct site host (the fixture's hosts are
+    # keyed by the (doc_id % 7, doc_id % 5) residues)
+    hosts = load_table(spark, sf, "documents").select(
+        (F.col("doc_id") % 7).cast("int").alias("k"),
+        (F.col("doc_id") % 5).cast("int").alias("t"),
+    ).distinct()
+
+    def gen_robots(batches):
+        import pandas as pd
+
+        from pdf_ocr_spark.sources.webgen import SITE_TLDS, robots_for_site
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                [
+                    (
+                        f"site-{int(k)}.example.{SITE_TLDS[int(t)]}",
+                        robots_for_site(int(k)),
+                    )
+                    for k, t in zip(pdf["k"], pdf["t"])
+                ],
+                columns=["host", "robots_txt"],
+            )
+
+    robots = hosts.mapInPandas(
+        gen_robots,
+        StructType(
+            [
+                StructField("host", StringType(), False),
+                StructField("robots_txt", StringType(), False),
+            ]
+        ),
+    )
+    rules = robots_rules_table(robots)
+    links = parse_links(extract_links(_html_corpus(spark, sf)))
+    return robots_decisions(links, rules).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("offset").cast("long").alias("offset"),
+        "href",
+        "allowed",
+        "matched_rule",
+    )
+
+
+@_register(
     "corpus_filter_verdict",
     f"""
 WITH scored AS (
@@ -2226,6 +2311,7 @@ _DEMOTE = [
     "pivot_event_counts",  # twice-green; zero-fill semantics pinned in r2
     "json_extract_props",  # twice-green scalar JSON-path extraction
     "grouping_sets_customers",  # twice-green; rollup sibling stays via region_rollup
+    "argmax_per_user",  # twice-green; struct-argmax also exercised by repetition_stats
     "secure_filename",
     "allowed_file",
     "lang_map",

@@ -198,3 +198,30 @@ def generate_html_corpus(documents: DataFrame) -> DataFrame:
             )
 
     return cols.mapInPandas(gen, HTML_CORPUS_SCHEMA)
+
+
+def site_host(doc_id: int) -> str:
+    return f"site-{doc_id % 7}.example.{SITE_TLDS[doc_id % 5]}"
+
+
+def robots_for_site(k: int) -> str:
+    """robots.txt for site index ``k`` (RFC 9309 format). Planted rule
+    shapes exercise real evaluator behavior: a decoy non-* group (must
+    be ignored for the default agent), longest-match precedence
+    (``Disallow: /doc/`` vs the longer ``Allow: /doc/{k}``), comments,
+    and a Crawl-delay extension line. Derivable from ``k`` alone, so
+    the oracle can reconstruct every decision arithmetically."""
+    lines = [
+        "# synthetic fixture robots",
+        "User-agent: badbot",
+        "Disallow: /",
+        "",
+        "User-agent: *",
+    ]
+    if k % 3 == 0:
+        lines += [f"Allow: /doc/{k}", "Disallow: /doc/"]
+    elif k % 3 == 1:
+        lines += ["Disallow: /privacy"]
+    # k % 3 == 2: no path rules — everything allowed
+    lines += [f"Crawl-delay: {k + 1}", ""]
+    return "\n".join(lines)

@@ -1,0 +1,106 @@
+"""Unit tests for the RFC 9309 robots.txt evaluator on handcrafted
+files — cases the planted fixture corpus does not produce."""
+
+from pyspark.sql import Row
+
+from pdf_ocr_spark.operators.robots import (
+    _rule_regex,
+    parse_robots,
+    robots_decisions,
+    robots_rules_table,
+)
+
+
+def test_group_selection_ignores_other_agents():
+    txt = """
+User-agent: googlebot
+Disallow: /g/
+
+User-agent: *
+Disallow: /a/
+Allow: /a/b
+"""
+    assert parse_robots(txt) == [("disallow", "/a/"), ("allow", "/a/b")]
+    assert parse_robots(txt, agent="googlebot") == [("disallow", "/g/")]
+
+
+def test_multi_agent_group_and_comments():
+    txt = """# header comment
+User-agent: alpha
+User-agent: *
+Disallow: /x  # trailing comment
+User-agent: beta
+Disallow: /y
+"""
+    assert parse_robots(txt) == [("disallow", "/x")]
+    assert parse_robots(txt, agent="beta") == [("disallow", "/y")]
+
+
+def test_empty_disallow_is_noop():
+    assert parse_robots("User-agent: *\nDisallow:\n") == []
+
+
+def test_rule_regex_wildcards_and_anchor():
+    import re
+
+    assert re.match(_rule_regex("/a/*/c"), "/a/bbb/c/d")
+    assert not re.match(_rule_regex("/a/*/c"), "/a/bbb/d")
+    assert re.match(_rule_regex("/x.pdf$"), "/x.pdf")
+    assert not re.match(_rule_regex("/x.pdf$"), "/x.pdfz")
+    # regex metacharacters in paths are literal
+    assert not re.match(_rule_regex("/x.pdf$"), "/xapdf")
+
+
+def _decide(spark, robots_txt, links):
+    robots = spark.createDataFrame(
+        [Row(host="h.example.com", robots_txt=robots_txt)]
+    )
+    rules = robots_rules_table(robots)
+    parsed = spark.createDataFrame(
+        [
+            Row(
+                doc_id=i,
+                offset=0,
+                href=f"https://h.example.com{p}",
+                host="h.example.com",
+                path=p,
+            )
+            for i, p in enumerate(links)
+        ]
+    )
+    out = robots_decisions(parsed, rules).collect()
+    return {r["href"].split(".com")[1]: (r["allowed"], r["matched_rule"]) for r in out}
+
+def test_longest_match_and_allow_tie_break(spark):
+    txt = """User-agent: *
+Disallow: /p/
+Allow: /p/ok
+Disallow: /q
+Allow: /q
+"""
+    got = _decide(spark, txt, ["/p/ok/1", "/p/no", "/q/anything", "/elsewhere"])
+    assert got["/p/ok/1"] == (True, "allow /p/ok")  # longer allow wins
+    assert got["/p/no"] == (False, "disallow /p/")
+    assert got["/q/anything"] == (True, "allow /q")  # tie -> allow wins
+    assert got["/elsewhere"] == (True, None)  # no rule -> allowed
+
+
+def test_wildcard_rules_apply_in_plan(spark):
+    txt = """User-agent: *
+Disallow: /*.pdf$
+"""
+    got = _decide(spark, txt, ["/a/x.pdf", "/a/x.pdfs"])
+    assert got["/a/x.pdf"] == (False, "disallow /*.pdf$")
+    assert got["/a/x.pdfs"][0] is True
+
+
+def test_host_without_robots_defaults_to_allowed(spark):
+    rules = robots_rules_table(
+        spark.createDataFrame([Row(host="other.com", robots_txt="User-agent: *\nDisallow: /")])
+    )
+    parsed = spark.createDataFrame(
+        [Row(doc_id=0, offset=0, href="https://h.com/x", host="h.com", path="/x")]
+    )
+    out = robots_decisions(parsed, rules).collect()[0]
+    assert out["allowed"] is True and out["matched_rule"] is None
+    assert out["href"] == "https://h.com/x"
