@@ -283,3 +283,26 @@ def test_pdf15_malformed_objstm_header_is_typed_error():
     data[stream_at : stream_at + 4] = b"\x00\x00\x00\x00"
     with pytest.raises(ValueError):
         decode_pdf(bytes(data))
+
+
+def test_interop_page_count_on_real_world_pdfs():
+    """The subset parser's metadata scan works on PDFs from real
+    producers (pdfTeX/docbook files shipped with system packages use
+    compressed object streams — the PDF 1.5 path): page counts resolve
+    through trailer/XRef -> Root -> Pages. Raster extraction is out of
+    subset for these (text content, no full-page scan images) and must
+    stay a typed error, never a crash. Skipped where absent."""
+    import os
+
+    candidates = {
+        "/usr/share/doc/libtasn1-doc/libtasn1.pdf": 36,
+        "/usr/share/doc/shared-mime-info/shared-mime-info-spec.pdf": 17,
+    }
+    present = {p: n for p, n in candidates.items() if os.path.exists(p)}
+    if not present:
+        pytest.skip("no third-party PDFs on this system")
+    for p, expected in present.items():
+        data = open(p, "rb").read()
+        assert page_count(data) == expected
+        with pytest.raises(ValueError):
+            decode_pdf(data)  # typed, not a crash
