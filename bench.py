@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "domain_inlinks",
     "warc_extract_text",
     "robots_decisions",
+    "sitemap_entries",
     "normalize_chain",
     "paragraph_explode",
     "reassemble_txt",

@@ -2258,6 +2258,54 @@ def q_robots_decisions(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "sitemap_entries",
+    """
+SELECT 'site-' || (doc_id % 7) || '.example.' || (['com','org','net','io','co.uk'][doc_id % 5 + 1]) AS host,
+       'https://site-' || (doc_id % 7) || '.example.' || (['com','org','net','io','co.uk'][doc_id % 5 + 1]) || '/doc/' || doc_id AS loc,
+       '2026-' || lpad((1 + doc_id % 12)::VARCHAR, 2, '0') || '-' || lpad((1 + doc_id % 28)::VARCHAR, 2, '0') AS lastmod,
+       (doc_id % 10 + 1) / 10.0 AS priority
+FROM documents
+""",
+)
+def q_sitemap_entries(spark: SparkSession, sf: str) -> DataFrame:
+    """The crawl-discovery companion to robots_decisions: per-site
+    sitemaps.org XML is synthesized from each host's document list
+    (grouped-map), then parsed back by the from-scratch namespace-aware
+    parser into the crawl frontier (loc, lastmod, priority). The oracle
+    re-derives every entry arithmetically, so the XML round trip must
+    be lossless."""
+    import pandas as pd
+
+    from pdf_ocr_spark.operators.sitemap import sitemap_entries
+    from pdf_ocr_spark.sources.webgen import SITE_TLDS, sitemap_for_site
+
+    docs = load_table(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(
+            F.lit("site-"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example."),
+            F.element_at(
+                F.array(*[F.lit(t) for t in SITE_TLDS]),
+                ((F.col("doc_id") % 5) + 1).cast("int"),
+            ),
+        ).alias("host"),
+    )
+
+    def build(key, pdf):  # no hints: lets applyInPandas infer the grouped-map eval type
+        host = str(key[0])
+        xml = sitemap_for_site(host, [int(d) for d in pdf["doc_id"]])
+        return pd.DataFrame({"host": [host], "sitemap_xml": [xml]})
+
+    sitemaps = docs.groupBy("host").applyInPandas(
+        build, "host STRING, sitemap_xml STRING"
+    )
+    return sitemap_entries(sitemaps).where(F.col("parse_error").isNull()).select(
+        "host", "loc", "lastmod", "priority"
+    )
+
+
+@_register(
     "corpus_filter_verdict",
     f"""
 WITH scored AS (
@@ -2312,6 +2360,7 @@ _DEMOTE = [
     "json_extract_props",  # twice-green scalar JSON-path extraction
     "grouping_sets_customers",  # twice-green; rollup sibling stays via region_rollup
     "argmax_per_user",  # twice-green; struct-argmax also exercised by repetition_stats
+    "percentiles_exact",  # twice-green; interpolation semantics pinned since r1
     "secure_filename",
     "allowed_file",
     "lang_map",

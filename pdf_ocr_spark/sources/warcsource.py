@@ -191,7 +191,7 @@ def write_warc_corpus(
     executor-side. Returns the manifest (shard, path, n_records);
     triggering an action performs the writes."""
 
-    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(key, pdf):  # no hints: lets applyInPandas infer the grouped-map eval type
         shard = int(key[0])
         pdf = pdf.sort_values("doc_id")
         recs = [

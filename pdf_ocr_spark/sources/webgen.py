@@ -225,3 +225,26 @@ def robots_for_site(k: int) -> str:
     # k % 3 == 2: no path rules — everything allowed
     lines += [f"Crawl-delay: {k + 1}", ""]
     return "\n".join(lines)
+
+
+def sitemap_for_site(host: str, doc_ids: list[int]) -> str:
+    """sitemaps.org XML for one site: one <url> per document hosted
+    there, with lastmod/priority derived arithmetically from the doc id
+    (mirrored by the sitemap_entries oracle)."""
+    entries = []
+    for d in sorted(doc_ids):
+        lastmod = f"2026-{1 + d % 12:02d}-{1 + d % 28:02d}"
+        priority = (d % 10 + 1) / 10.0
+        entries.append(
+            "  <url>\n"
+            f"    <loc>https://{host}/doc/{d}</loc>\n"
+            f"    <lastmod>{lastmod}</lastmod>\n"
+            f"    <priority>{priority:.1f}</priority>\n"
+            "  </url>"
+        )
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+        + "\n".join(entries)
+        + "\n</urlset>\n"
+    )
