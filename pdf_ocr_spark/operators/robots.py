@@ -160,3 +160,45 @@ def robots_decisions(parsed_links: DataFrame, rules: DataFrame) -> DataFrame:
             F.concat_ws(" ", F.col("m.directive"), F.col("m.path_rule")),
         ).alias("matched_rule"),
     )
+
+
+def crawl_delay(text: str, agent: str = "*") -> float | None:
+    """The Crawl-delay extension value for ``agent`` (same group
+    selection as :func:`parse_robots`); None when absent/invalid —
+    the politeness knob a crawl scheduler rates hosts by."""
+    groups: list[tuple[list[str], float]] = []
+    current_agents: list[str] = []
+    current_delay: float | None = None
+    in_rules = False
+
+    def close():
+        if current_agents and current_delay is not None:
+            groups.append((current_agents.copy(), current_delay))
+
+    for raw in (text or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, _, value = line.partition(":")
+        key, value = key.strip().lower(), value.strip()
+        if key == "user-agent":
+            if in_rules:
+                close()
+                current_agents, current_delay, in_rules = [], None, False
+            current_agents.append(value.lower())
+            continue
+        in_rules = True
+        if key == "crawl-delay":
+            try:
+                current_delay = float(value)
+            except ValueError:
+                pass
+    close()
+    a = agent.lower()
+    for agents, delay in groups:
+        if a in agents:
+            return delay
+    for agents, delay in groups:
+        if "*" in agents:
+            return delay
+    return None

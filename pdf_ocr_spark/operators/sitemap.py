@@ -85,3 +85,25 @@ def sitemap_entries(sitemaps: DataFrame) -> DataFrame:
         F.col("host").cast("string").alias("host"),
         F.col("sitemap_xml").cast("string").alias("sitemap_xml"),
     ).mapInPandas(fan_out, SITEMAP_ENTRIES_SCHEMA)
+
+
+def parse_sitemap_index(xml: str) -> list[str]:
+    """<sitemapindex> support (the spec's sharding mechanism for sites
+    past 50k URLs): returns the child sitemap locations for the crawler
+    to recurse into. Typed errors on structural damage."""
+    try:
+        root = ElementTree.fromstring(xml or "")
+    except ElementTree.ParseError as e:
+        raise ValueError("malformed sitemap XML: %s" % e) from None
+    tag = root.tag.removeprefix(_NS)
+    if tag != "sitemapindex":
+        raise ValueError("not a sitemap index (root <%s>)" % tag)
+    locs = []
+    for sm in root.findall(f"{_NS}sitemap") + root.findall("sitemap"):
+        el = sm.find(f"{_NS}loc")
+        if el is None:
+            el = sm.find("loc")
+        if el is None or not el.text:
+            raise ValueError("sitemapindex <sitemap> entry without <loc>")
+        locs.append(el.text.strip())
+    return locs

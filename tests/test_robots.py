@@ -104,3 +104,20 @@ def test_host_without_robots_defaults_to_allowed(spark):
     out = robots_decisions(parsed, rules).collect()[0]
     assert out["allowed"] is True and out["matched_rule"] is None
     assert out["href"] == "https://h.com/x"
+
+
+def test_crawl_delay_extraction():
+    from pdf_ocr_spark.operators.robots import crawl_delay
+
+    from pdf_ocr_spark.sources.webgen import robots_for_site
+
+    assert crawl_delay(robots_for_site(3)) == 4.0
+    txt = """User-agent: fastbot
+Crawl-delay: 0.5
+User-agent: *
+Crawl-delay: 10
+"""
+    assert crawl_delay(txt) == 10.0
+    assert crawl_delay(txt, agent="fastbot") == 0.5
+    assert crawl_delay("User-agent: *\nDisallow: /x\n") is None
+    assert crawl_delay("User-agent: *\nCrawl-delay: soon\n") is None

@@ -50,3 +50,16 @@ def test_spark_fanout_contains_errors_as_rows(spark):
     assert rows["a.com"]["parse_error"] is None
     assert rows["bad.com"]["loc"] is None
     assert "malformed" in rows["bad.com"]["parse_error"]
+
+
+def test_sitemap_index_recursion_targets():
+    from pdf_ocr_spark.operators.sitemap import parse_sitemap_index
+
+    xml = """<?xml version="1.0"?>
+<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <sitemap><loc>https://s/a.xml</loc></sitemap>
+  <sitemap><loc>https://s/b.xml</loc></sitemap>
+</sitemapindex>"""
+    assert parse_sitemap_index(xml) == ["https://s/a.xml", "https://s/b.xml"]
+    with pytest.raises(ValueError, match="sitemap index"):
+        parse_sitemap_index("<urlset></urlset>")
