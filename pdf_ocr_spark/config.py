@@ -17,6 +17,11 @@ class ExtractionConfig:
     language: str = "eng"
     quality: str = "standard"  # 'high' -> 600 DPI
     preprocess: bool = False
+    #: True -> estimate and undo page rotation before decode (3-shear
+    #: derotation with decode-rescored angle refinement). Costs a
+    #: candidate-grid of decodes per page, so it is opt-in for corpora
+    #: known to contain rotated scans rather than a default.
+    derotate: bool = False
     output_formats: tuple[str, ...] = ("txt", "md", "html")
     #: >0 routes reassembly through the salted two-stage aggregate
     #: (pipeline.reassemble_with_metrics_salted) for corpora with

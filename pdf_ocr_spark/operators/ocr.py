@@ -52,7 +52,11 @@ SUPPORTED_ENGINES = ("glyph", "tesseract", "easyocr", "pyocr")
 def _decode_one(payload, media_ref: str, offset: int, config: ExtractionConfig):
     """Decode one page. Returns (text, confidence, is_error)."""
     # Lazy imports: once per python worker, not per task from Spark's view
-    from pdf_ocr_spark.operators.imaging import enhance_image, ocr_decode
+    from pdf_ocr_spark.operators.imaging import (
+        derotate_image,
+        enhance_image,
+        ocr_decode,
+    )
     from pdf_ocr_spark.sources.pngcodec import decode_png
 
     if config.ocr_engine not in SUPPORTED_ENGINES:
@@ -68,6 +72,8 @@ def _decode_one(payload, media_ref: str, offset: int, config: ExtractionConfig):
         img = decode_png(bytes(payload))
         if config.preprocess:
             img = enhance_image(img)
+        if config.derotate:
+            img = derotate_image(img)
         if config.ocr_engine == "glyph":
             text, conf = ocr_decode(img)
         elif config.ocr_engine == "tesseract":

@@ -78,6 +78,7 @@ def main() -> None:
     ap.add_argument("--language", default="eng")
     ap.add_argument("--quality", default="standard")
     ap.add_argument("--preprocess", action="store_true")
+    ap.add_argument("--derotate", action="store_true")
     ap.add_argument("--buckets", type=int, default=256)
     ap.add_argument("--seed", type=int, default=42)
     args = ap.parse_args()
@@ -110,6 +111,7 @@ def main() -> None:
         language=args.language,
         quality=args.quality,
         preprocess=args.preprocess,
+        derotate=args.derotate,
     )
     processed = run_extraction(
         spark,

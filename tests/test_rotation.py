@@ -69,3 +69,36 @@ def test_large_angle_recovers_most_glyphs():
         got_words = set(got.replace("\n", " ").split())
         overlap = len(want & got_words) / len(want)
         assert overlap >= 0.5, (theta, overlap, got)
+
+
+def test_pipeline_derotate_config(spark):
+    """Opt-in rotated-scan support end to end: pages rotated by ~2.3
+    degrees decode exactly with ExtractionConfig(derotate=True) and
+    fail without it."""
+    from pyspark.sql import Row
+
+    from pdf_ocr_spark.config import ExtractionConfig
+    from pdf_ocr_spark.operators.ocr import ocr_pages
+    from pdf_ocr_spark.sources.pngcodec import encode_png
+
+    texts = {0: "ROTATED PAGE ONE", 1: "SECOND ROTATED PAGE"}
+    rows = [
+        Row(
+            doc_id="d",
+            offset=i,
+            media_ref=f"mem://d/{i}",
+            payload=bytearray(
+                encode_png(rotate_image(render_text_image(t), 0.04 if i else -0.04))
+            ),
+        )
+        for i, t in texts.items()
+    ]
+    df = spark.createDataFrame(rows)
+    plain = {r.offset: r for r in ocr_pages(df).collect()}
+    fixed = {
+        r.offset: r
+        for r in ocr_pages(df, ExtractionConfig(derotate=True)).collect()
+    }
+    for i, t in texts.items():
+        assert fixed[i].text == t and fixed[i].error is False
+        assert plain[i].text != t  # rotation genuinely breaks the default path
