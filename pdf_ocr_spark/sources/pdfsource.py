@@ -196,17 +196,79 @@ def extract_pdf_documents(spark: SparkSession, pdf_dir: str, config=None) -> Dat
     """End-to-end real-PDF extraction: binaryFile -> parse -> OCR ->
     ordered per-document reassembly. Output: (doc_id, txt, n_pages,
     mean_confidence, n_errors) — raw OCR text, pages joined with a
-    blank line, byte-stable for the fixture corpus."""
+    blank line, byte-stable for the fixture corpus.
+
+    Parse and OCR are FUSED into one Arrow stage: the composable
+    two-stage form (``read_pdf_pages`` -> ``ocr_pages``) carries each
+    page between stages as PNG bytes, paying an encode+decode per page
+    purely for schema transport (measured ~1.8x the whole query);
+    here the parsed rasters feed the decoder directly. Error semantics
+    match the two-stage path exactly (parse failures become one
+    ``[Error: ...]`` row per file)."""
     from pyspark.sql import functions as F
 
     from pdf_ocr_spark.config import ExtractionConfig
-    from pdf_ocr_spark.operators.ocr import ocr_pages
 
-    pages = read_pdf_pages(spark, pdf_dir)
-    decoded = ocr_pages(
-        pages.select("doc_id", "offset", "media_ref", "payload", "parse_error"),
-        config or ExtractionConfig(),
+    cfg = config or ExtractionConfig()
+    if cfg.ocr_engine != "glyph":
+        # external engines go through the composable two-stage path,
+        # which carries the full engine dispatch / error-row semantics
+        from pdf_ocr_spark.operators.ocr import ocr_pages
+
+        pages = read_pdf_pages(spark, pdf_dir)
+        decoded = ocr_pages(
+            pages.select("doc_id", "offset", "media_ref", "payload", "parse_error"),
+            cfg,
+        )
+        return _reassemble_pdf_docs(decoded)
+    bf = _binary_scan(spark, os.path.join(pdf_dir, "*.pdf"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_ocr_spark.operators.imaging import (
+            derotate_image,
+            enhance_image,
+            ocr_decode,
+        )
+        from pdf_ocr_spark.sources.pdfcodec import decode_pdf
+
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "offset", "text", "confidence", "error")}
+
+            def emit(doc_id, offset, text, conf, err):
+                rows["doc_id"].append(doc_id)
+                rows["offset"].append(offset)
+                rows["text"].append(text)
+                rows["confidence"].append(conf)
+                rows["error"].append(err)
+
+            for path, content in zip(pdf["path"], pdf["content"]):
+                m = _DOC_RE.search(path)
+                doc_id = m.group(1) if m else path
+                try:
+                    images = decode_pdf(bytes(content))
+                except ValueError as e:
+                    emit(doc_id, 0, f"[Error: {e}]", 0.0, True)
+                    continue
+                for i, img in enumerate(images):
+                    if cfg.preprocess:
+                        img = enhance_image(img)
+                    if cfg.derotate:
+                        img = derotate_image(img)
+                    text, conf = ocr_decode(img)
+                    emit(doc_id, i, text, conf, False)
+            yield pd.DataFrame(rows)
+
+    decoded = bf.select("path", "content").mapInPandas(
+        kernel,
+        schema="doc_id string, offset int, text string, confidence double, error boolean",
     )
+    return _reassemble_pdf_docs(decoded)
+
+
+def _reassemble_pdf_docs(decoded: DataFrame) -> DataFrame:
+    """Per-document ordered reassembly of decoded page rows."""
+    from pyspark.sql import functions as F
+
     ordered = F.array_sort(
         F.collect_list(F.struct(F.col("offset"), F.col("text")))
     )
