@@ -214,6 +214,11 @@ def main() -> None:
             {
                 "metric": "suite_seconds",
                 "value": round(sum(timings.values()), 3),
+                # metric definition changed in r3: value = sum of
+                # per-query min-of-2 reps (reproducible capability);
+                # wall_seconds below is the pre-r3 wall-clock meaning —
+                # compare r1/r2 artifacts against wall_seconds, not value
+                "value_definition": "sum of per-query min-of-2 times",
                 "unit": "sec",
                 "queries": timings,
                 "wall_seconds": total,

@@ -608,15 +608,23 @@ def q_rollup(spark: SparkSession, sf: str) -> DataFrame:
 @_register(
     "set_except",
     """
-SELECT event_type FROM events WHERE value > 150
+SELECT event_type, CAST(floor(value / 20) AS INT) AS band FROM events WHERE value > 150
 EXCEPT
-SELECT event_type FROM events WHERE value < 50
+SELECT event_type, CAST(floor(value / 20) AS INT) FROM events WHERE value < 180
 """,
 )
 def q_set_except(spark: SparkSession, sf: str) -> DataFrame:
+    """EXCEPT on a value-derived composite whose high tail exists only
+    above the overlap cutoff — every event_type has both low and high
+    values, so a plain event_type EXCEPT is empty (0=0, verifies
+    nothing); the (event_type, band) form leaves a non-empty,
+    data-dependent difference at every scale factor (15/42/67 rows at
+    sf0.001/0.01/0.1). Band uses explicit floor on both sides: DuckDB's
+    double->int CAST rounds to nearest while Spark's truncates."""
     e = load_table(spark, sf, "events")
-    hi = e.where(F.col("value") > 150).select("event_type")
-    lo = e.where(F.col("value") < 50).select("event_type")
+    band = F.floor(F.col("value") / 20).cast("int").alias("band")
+    hi = e.where(F.col("value") > 150).select("event_type", band)
+    lo = e.where(F.col("value") < 180).select("event_type", band)
     return hi.distinct().exceptAll(lo.distinct())
 
 
@@ -2348,40 +2356,73 @@ def q_corpus_filter_verdict(spark: SparkSession, sf: str) -> DataFrame:
 # Registry ordering for the driver's correctness window
 # ---------------------------------------------------------------------------
 
-#: The round driver's correctness artifact compares only the FIRST 50
-#: registered queries against their oracles; later entries get no rows.
-#: Exact-oracle queries must therefore fill that window. Demote-past-
-#: the-window picks: trivial scalar/set kernels already green in BOTH
-#: prior driver artifacts (CORRECTNESS_r01 + r02) — losing driver
-#: visibility on them costs the least signal.
-_DEMOTE = [
-    "cube_events",  # rollup/grouping-sets siblings stay in-window
-    "pivot_event_counts",  # twice-green; zero-fill semantics pinned in r2
-    "json_extract_props",  # twice-green scalar JSON-path extraction
-    "grouping_sets_customers",  # twice-green; rollup sibling stays via region_rollup
-    "argmax_per_user",  # twice-green; struct-argmax also exercised by repetition_stats
-    "percentiles_exact",  # twice-green; interpolation semantics pinned since r1
-    "secure_filename",
-    "allowed_file",
-    "lang_map",
-    "dpi_select",
-    "set_except",
-    "set_intersect",
-    "distinct_pairs",
-    "window_offsets",
-    "lag_lead_values",
-    "deterministic_sample",
-]
+#: The round driver's correctness artifact compares only the FIRST
+#: ``_WINDOW`` registered queries against their oracles; later entries
+#: get no rows. With more exact-oracle queries than window slots, static
+#: demotion starves the demoted set of driver-green rows forever — so
+#: window membership ROTATES, driven by the prior rounds' own
+#: CORRECTNESS artifacts: queries that have never produced a green
+#: driver row come first, then previously-green queries stalest-first
+#: (ascending last-green round). Every exact-oracle query therefore
+#: regains a driver-green row at least every ceil(n_exact/_WINDOW)
+#: rounds (~every other round at current counts), with no hand-kept
+#: demote list to maintain.
+_WINDOW = 50
+
+#: Queries whose semantics/oracle changed THIS round: prior green rows
+#: no longer certify the current form, so they re-enter the window as
+#: if never green. Clear entries once the round's artifact is in.
+_FORCE_WINDOW = {
+    "set_except",  # r4: predicates made discriminating (was 0=0 rows)
+    "html_metadata",  # r4: extended with OpenGraph/meta-property fields
+}
+
+
+def _green_history() -> dict[str, int]:
+    """query name -> latest round number with a fully-green driver row
+    (rows+schema+hash all matching), read from CORRECTNESS_r*.json in
+    the repo root. Missing/unreadable artifacts are simply skipped, so
+    a fresh checkout degrades to registration order."""
+    import json
+    import re
+    from pathlib import Path
+
+    latest: dict[str, int] = {}
+    root = Path(__file__).resolve().parents[1]
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", p.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.loads(p.read_text())
+        except Exception:
+            continue
+        for name, row in rows.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match") is not False
+            ):
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
 
 
 def _reorder_registry() -> None:
-    """Rebuild QUERIES in priority order: exact-oracle queries first
-    (newest, least-seen ones included), then demoted twice-green scalar
-    queries, then rows-only queries (no SQL oracle) at the very tail."""
-    head = [q for q in QUERIES if q in ORACLES and q not in _DEMOTE]
-    demoted = [q for q in _DEMOTE if q in QUERIES]
+    """Rebuild QUERIES in window-priority order: never-driver-green
+    exact-oracle queries first, then green ones stalest-first (ties
+    broken by registration order for determinism), then rows-only
+    queries (no SQL oracle — the driver only row-counts them) at the
+    very tail so they never consume an exact-comparison slot."""
+    green = _green_history()
+    exact = [q for q in QUERIES if q in ORACLES]
+    reg_pos = {q: i for i, q in enumerate(exact)}
+    exact.sort(
+        key=lambda q: (0 if q in _FORCE_WINDOW else green.get(q, 0), reg_pos[q])
+    )
     tail = [q for q in QUERIES if q not in ORACLES]
-    ordered = head + demoted + tail
+    ordered = exact + tail
     assert len(ordered) == len(QUERIES), (len(ordered), len(QUERIES))
     reordered = {name: QUERIES[name] for name in ordered}
     QUERIES.clear()

@@ -243,6 +243,24 @@ def embedding_near_dup_lsh(
 _PLANE_MAX_DIM = 512
 
 
+def _width_guarded(vec: Column) -> Column:
+    """The vector, or a runtime error if it is wider than the plane
+    literals (``dim=0`` slices a ``_PLANE_MAX_DIM``-wide plane to
+    ``size(vec)``; a wider vector would zip against nulls and
+    null-poison every sign bit identically — silent misbucketing).
+    ``assert_true`` returns null on success, so the WHEN picks the
+    vector; on failure the job dies with the message instead."""
+    ok = F.assert_true(
+        F.size(vec) <= _PLANE_MAX_DIM,
+        F.concat(
+            F.lit(f"embedding wider than _PLANE_MAX_DIM={_PLANE_MAX_DIM}: "),
+            F.size(vec).cast("string"),
+            F.lit(" — pass the real dim explicitly"),
+        ),
+    )
+    return F.when(ok.isNull(), vec)
+
+
 @lru_cache(maxsize=None)
 def _plane_signs(plane: int, dim: int) -> tuple:
     """+1/-1 per coordinate from the top bit of md5('{plane}:{i}') —
@@ -286,10 +304,12 @@ def signature_bits_col(vec: Column, n_planes_total: int, dim: int) -> Column:
         rows.append(f"array({arr})")
     mat = F.expr("array(" + ",".join(rows) + ")")
 
+    guarded = vec if dim else _width_guarded(vec)
+
     def bit(h: Column) -> Column:
-        hh = h if dim else F.slice(h, 1, F.size(vec))
+        hh = h if dim else F.slice(h, 1, F.size(guarded))
         dot = F.aggregate(
-            F.zip_with(vec, hh, lambda x, s: x.cast("double") * s),
+            F.zip_with(guarded, hh, lambda x, s: x.cast("double") * s),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
@@ -302,11 +322,12 @@ def hyperplane_sign_col(vec: Column, plane: int, dim: int) -> Column:
     """Sign of <vec, h_plane> with the hyperplane embedded as an array
     literal (see :func:`_plane_signs`). ``dim=0`` means the vector
     width is unknown at plan time: a ``_PLANE_MAX_DIM``-wide literal is
-    sliced to ``size(vec)`` at runtime (vectors wider than that would
-    zip against nulls, so guard the contract)."""
+    sliced to ``size(vec)`` at runtime; wider vectors fail loudly via
+    :func:`_width_guarded` instead of null-poisoning the dot."""
     if dim:
         signs = _plane_signs_col(plane, dim)
     else:
+        vec = _width_guarded(vec)
         signs = F.slice(_plane_signs_col(plane, _PLANE_MAX_DIM), 1, F.size(vec))
     prods = F.zip_with(vec, signs, lambda x, h: x.cast("double") * h)
     s = F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)

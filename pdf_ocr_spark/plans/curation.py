@@ -85,6 +85,11 @@ def run_curation(
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        else:
+            # restore to unset, not leave 'dynamic' leaking into the
+            # caller's session (would silently change every later
+            # mode('overwrite').partitionBy() write)
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
 
     # phase 2: write committed -> manifest rows (admission metrics per
     # bucket, computed from the verdict table, not re-read)

@@ -38,6 +38,10 @@ WORDS_PER_PAGE = 20
 
 _DOC_RE = re.compile(r"doc_([^/]+)\.pdf$")
 
+#: id(SparkContext) -> the dedicated binaryFile scan session (see
+#: :func:`_binary_scan`); at most one live entry.
+_SCAN_SESSIONS: dict = {}
+
 PDF_PAGES_SCHEMA = (
     "doc_id string, offset int, media_ref string, payload binary, parse_error string"
 )
@@ -123,11 +127,20 @@ def _binary_scan(spark: SparkSession, pattern: str) -> DataFrame:
     SparkContext, isolated SQL conf), so concurrent queries or
     streaming jobs on the caller's session can never observe it —
     mutating the caller's session-global conf around the eager
-    ``load()`` was a documented race."""
-    scan_session = spark.newSession()
-    scan_session.conf.set(
-        "spark.sql.sources.parallelPartitionDiscovery.threshold", "100000"
-    )
+    ``load()`` was a documented race.
+
+    One scan session is cached per SparkContext (not created per call):
+    a long-lived driver issuing many scans would otherwise accumulate
+    JVM-side session state (listeners, conf, catalog) per scan."""
+    ctx = spark.sparkContext
+    scan_session = _SCAN_SESSIONS.get(id(ctx))
+    if scan_session is None or scan_session.sparkContext is not ctx:
+        scan_session = spark.newSession()
+        scan_session.conf.set(
+            "spark.sql.sources.parallelPartitionDiscovery.threshold", "100000"
+        )
+        _SCAN_SESSIONS.clear()  # a dead context's session is useless
+        _SCAN_SESSIONS[id(ctx)] = scan_session
     return scan_session.read.format("binaryFile").load(pattern)
 
 

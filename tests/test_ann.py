@@ -105,3 +105,19 @@ def test_embedding_near_dup_lsh_equals_exact_on_planted_dups(spark, emb):
     lsh = {(r.id_a, r.id_b) for r in embedding_near_dup_lsh(corpus, 0.99).collect()}
     assert exact  # the planted duplicates must exist
     assert lsh == exact
+
+
+def test_dim0_wide_vector_fails_loudly(spark):
+    """dim=0 slices a _PLANE_MAX_DIM-wide plane literal to size(vec);
+    a wider vector must raise, not null-poison every sign bit."""
+    from pdf_ocr_spark.operators.similarity import _PLANE_MAX_DIM, lsh_bucket_col
+
+    wide = spark.range(1).select(
+        F.array_repeat(F.lit(1.0), _PLANE_MAX_DIM + 1).alias("v")
+    )
+    with pytest.raises(Exception, match="_PLANE_MAX_DIM"):
+        wide.select(lsh_bucket_col(F.col("v"), n_planes=2, dim=0)).collect()
+    ok = spark.range(1).select(F.array_repeat(F.lit(1.0), 16).alias("v"))
+    assert ok.select(lsh_bucket_col(F.col("v"), n_planes=2, dim=0).alias("b")).first()[
+        "b"
+    ] == "11"
