@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "warc_extract_text",
     "robots_decisions",
     "sitemap_entries",
+    "audio_features",
     "normalize_chain",
     "paragraph_explode",
     "reassemble_txt",

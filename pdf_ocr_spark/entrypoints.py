@@ -2352,6 +2352,85 @@ def q_corpus_filter_verdict(spark: SparkSession, sf: str) -> DataFrame:
     return filter_verdicts(load_table(spark, sf, "documents"))
 
 
+def _audio_oracle_sql() -> str:
+    """The audio_features oracle: regenerate the modular-sawtooth sample
+    sequence with generate_series and aggregate it — pure arithmetic,
+    never touching WAV bytes, so a match certifies writer + chunk
+    walker + feature kernel together. Constants come from audiogen (the
+    derivation contract) so the two sides cannot drift."""
+    from pdf_ocr_spark.sources.audiogen import CORRUPT_RESIDUE
+
+    return f"""
+WITH params AS (
+    SELECT doc_id,
+           doc_id % 50 = {CORRUPT_RESIDUE} AS corrupt,
+           CASE WHEN doc_id % 3 = 0 THEN 129 + (doc_id % 7) * 18
+                ELSE 2001 + (doc_id % 7) * 500 END AS m,
+           8000 + (doc_id % 4) * 2000 AS rate,
+           1600 + (doc_id % 5) * 400 AS n,
+           7 + doc_id % 11 AS a,
+           doc_id % 97 AS b
+    FROM documents
+),
+samp AS (
+    -- DuckDB generate_series takes no lateral column args: cross-join a
+    -- fixed 0..max(n)-1 series and keep i < n (max n = 1600 + 4*400)
+    SELECT p.doc_id, g.i,
+           ((g.i * p.a + p.b) % p.m) - (p.m - 1) // 2 AS s
+    FROM params p, generate_series(0, 3199) AS g(i)
+    WHERE NOT p.corrupt AND g.i < p.n
+),
+lagged AS (
+    SELECT doc_id, i, s,
+           lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+    FROM samp
+),
+feats AS (
+    SELECT doc_id,
+           CAST(max(abs(s)) AS INT) AS peak,
+           round(sqrt(avg(CAST(s * s AS DOUBLE))), 6) AS rms,
+           sum(s) AS sum_amp,
+           CAST(sum(CASE WHEN prev IS NOT NULL AND ((prev < 0) != (s < 0))
+                    THEN 1 ELSE 0 END) AS INT) AS zero_crossings
+    FROM lagged GROUP BY doc_id
+)
+SELECT 'wav://' || CAST(p.doc_id AS VARCHAR) AS media_ref,
+       CASE WHEN p.corrupt THEN 'error: not a RIFF/WAVE payload'
+            ELSE 'ok' END AS valid,
+       CAST(CASE WHEN p.corrupt THEN NULL ELSE p.rate END AS INT) AS sample_rate,
+       CAST(CASE WHEN p.corrupt THEN NULL ELSE p.n END AS INT) AS n_samples,
+       CASE WHEN p.corrupt THEN NULL
+            ELSE round(CAST(p.n AS DOUBLE) / p.rate, 6) END AS duration_s,
+       f.peak, f.rms, f.sum_amp, f.zero_crossings
+FROM params p LEFT JOIN feats f USING (doc_id)
+"""
+
+
+@_register("audio_features", _audio_oracle_sql())
+def q_audio_features(spark: SparkSession, sf: str) -> DataFrame:
+    """From-scratch WAV audio over the documents table: synthesize one
+    RIFF/PCM payload per row (8/16-bit rotating, junk LIST chunks,
+    planted corrupt payloads), parse it back with the independent chunk
+    walker, and extract features — 0 shuffles, one narrow Arrow chain.
+    The oracle regenerates the waveform arithmetically in SQL (see
+    :func:`_audio_oracle_sql`)."""
+    from pdf_ocr_spark.operators.multimodal import audio_features
+    from pdf_ocr_spark.sources.audiogen import wav_corpus
+
+    feats = audio_features(wav_corpus(load_table(spark, sf, "documents")))
+    return feats.select(
+        "media_ref",
+        "valid",
+        "sample_rate",
+        "n_samples",
+        F.round("duration_s", 6).alias("duration_s"),
+        "peak",
+        F.round("rms", 6).alias("rms"),
+        "sum_amp",
+        "zero_crossings",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering for the driver's correctness window
 # ---------------------------------------------------------------------------

@@ -24,6 +24,7 @@ from pyspark.sql.types import (
     DoubleType,
     FloatType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -139,9 +140,14 @@ def image_features(media: DataFrame, grid: int = 4) -> DataFrame:
 AUDIO_FEATURES_SCHEMA = StructType(
     [
         StructField("media_ref", StringType(), False),
-        StructField("duration_s", DoubleType(), True),
+        StructField("valid", StringType(), False),  # 'ok' | error message
         StructField("sample_rate", IntegerType(), True),
+        StructField("n_samples", IntegerType(), True),
+        StructField("duration_s", DoubleType(), True),
+        StructField("peak", IntegerType(), True),
         StructField("rms", DoubleType(), True),
+        StructField("sum_amp", LongType(), True),
+        StructField("zero_crossings", IntegerType(), True),
     ]
 )
 
@@ -152,14 +158,6 @@ VIDEO_FRAMES_SCHEMA = StructType(
         StructField("frame_png", BinaryType(), True),
     ]
 )
-
-
-def _audio_decode_stub(payload: bytes):
-    """STUB: no audio backend (libsndfile/ffmpeg) in this container.
-    Contract: return (samples: np.ndarray float32 mono, sample_rate: int)."""
-    raise NotImplementedError(
-        "audio decode backend not installed; inject decode_fn (see audio_features)"
-    )
 
 
 def _video_decode_stub(payload: bytes, every_n: int):
@@ -173,31 +171,62 @@ def _video_decode_stub(payload: bytes, every_n: int):
 def audio_features(
     media: DataFrame, decode_fn: Callable | None = None
 ) -> DataFrame:
-    """Audio feature extraction over opaque payloads. The decode step is
-    injectable; the default stub raises (error-as-row)."""
-    decode = decode_fn or _audio_decode_stub
+    """Audio feature extraction over opaque payloads (0 shuffles).
+
+    Default decode is the from-scratch RIFF/PCM parser
+    (:func:`pdf_ocr_spark.sources.wavcodec.decode_wav`); other codecs
+    can be injected via ``decode_fn`` (contract: payload -> (samples
+    int/float array, rate)). Malformed/unsupported payloads become
+    error rows (``valid != 'ok'``), never task failures — the
+    reference's error-as-data pages, /root/reference/app.py:323-337.
+
+    Features are computed over centered integer sample values in
+    float64; sums of squares of 16-bit audio stay exact in double up to
+    ~2^21 samples, so the values are engine-portable bit-for-bit.
+    """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from pdf_ocr_spark.sources.wavcodec import decode_wav
+
+        decode = decode_fn or decode_wav
         for pdf in batches:
-            durs, rates, rmss = [], [], []
+            rows = {
+                k: []
+                for k in (
+                    "valid", "sample_rate", "n_samples", "duration_s",
+                    "peak", "rms", "sum_amp", "zero_crossings",
+                )
+            }
             for payload in pdf["payload"]:
                 try:
-                    samples, rate = decode(bytes(payload))
-                    durs.append(len(samples) / rate)
-                    rates.append(rate)
-                    rmss.append(float((samples.astype("float64") ** 2).mean() ** 0.5))
-                except Exception:
-                    durs.append(None)
-                    rates.append(None)
-                    rmss.append(None)
-            yield pd.DataFrame(
-                {
-                    "media_ref": pdf["media_ref"],
-                    "duration_s": durs,
-                    "sample_rate": pd.array(rates, dtype="Int32"),
-                    "rms": rmss,
-                }
-            )
+                    samples, rate = decode(bytes(payload) if payload is not None else b"")
+                    s = np.asarray(samples, dtype=np.float64)
+                    if s.ndim > 1:  # downmix for features; fixtures are mono
+                        s = s.mean(axis=1)
+                    if not len(s):
+                        raise ValueError("empty audio stream")
+                    neg = s < 0
+                    rows["valid"].append("ok")
+                    rows["sample_rate"].append(rate)
+                    rows["n_samples"].append(len(s))
+                    rows["duration_s"].append(len(s) / rate)
+                    rows["peak"].append(int(np.abs(s).max()))
+                    rows["rms"].append(float(np.sqrt((s * s).mean())))
+                    rows["sum_amp"].append(int(round(s.sum())))
+                    rows["zero_crossings"].append(int((neg[1:] != neg[:-1]).sum()))
+                except Exception as e:
+                    rows["valid"].append(f"error: {e}")
+                    for k in rows:
+                        if k != "valid":
+                            rows[k].append(None)
+            out = pd.DataFrame({"media_ref": pdf["media_ref"]})
+            for k, v in rows.items():
+                dtype = {"sample_rate": "Int32", "n_samples": "Int32", "peak": "Int32",
+                         "zero_crossings": "Int32", "sum_amp": "Int64"}.get(k)
+                out[k] = pd.array(v, dtype=dtype) if dtype else v
+            yield out
 
     return media.mapInPandas(kernel, schema=AUDIO_FEATURES_SCHEMA)
 

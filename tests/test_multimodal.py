@@ -54,10 +54,13 @@ def test_image_features(spark, media):
     assert out["m://bad"]["embedding"] is None
 
 
-def test_audio_stub_is_error_row(spark, media):
+def test_audio_non_wav_is_error_row(spark, media):
+    """Default decode is the real WAV parser now; PNG/garbage payloads
+    must come back as error rows, never task failures."""
     out = audio_features(media).collect()
     assert len(out) == 3
-    assert all(r["rms"] is None for r in out)  # stub -> error rows
+    assert all(r["rms"] is None for r in out)
+    assert all(r["valid"].startswith("error:") for r in out)
 
 
 def test_audio_with_injected_decoder(spark, media):
