@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "robots_decisions",
     "sitemap_entries",
     "audio_features",
+    "video_frame_sample",
     "normalize_chain",
     "paragraph_explode",
     "reassemble_txt",

@@ -2406,6 +2406,61 @@ FROM params p LEFT JOIN feats f USING (doc_id)
 """
 
 
+def _video_oracle_sql() -> str:
+    """The video_frame_sample oracle: regenerate the sampled frame set
+    and half-plane lumas arithmetically — flat 8x8-aligned blocks
+    survive q=100 baseline JPEG bit-exactly (pinned by
+    tests/test_video.py), so the SQL never touches container or JPEG
+    bytes yet the compare is exact."""
+    from pdf_ocr_spark.sources.videogen import CORRUPT_RESIDUE
+
+    return f"""
+WITH params AS (
+    SELECT doc_id,
+           doc_id % 47 = {CORRUPT_RESIDUE} AS corrupt,
+           5 + doc_id % 6 AS n_frames,
+           48 + (doc_id % 5) * 16 AS w,
+           32 + (doc_id % 4) * 8 AS h
+    FROM documents
+),
+frames AS (
+    SELECT p.doc_id, p.w, p.h, g.f,
+           (p.doc_id * 7 + g.f * 31) % 256 AS left_luma,
+           (p.doc_id * 11 + g.f * 13) % 256 AS right_luma
+    FROM params p, generate_series(0, 9) AS g(f)
+    WHERE NOT p.corrupt AND g.f < p.n_frames AND g.f % 2 = 0
+)
+SELECT 'avi://' || CAST(doc_id AS VARCHAR) AS media_ref,
+       CAST(f AS INT) AS frame_no,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(left_luma AS INT) AS left_luma,
+       CAST(right_luma AS INT) AS right_luma,
+       CAST(h * (w // 2) * (left_luma + right_luma) AS BIGINT) AS sum_luma
+FROM frames
+UNION ALL
+SELECT 'avi://' || CAST(doc_id AS VARCHAR), -1, NULL, NULL, NULL, NULL, NULL
+FROM params WHERE corrupt
+"""
+
+
+@_register("video_frame_sample", _video_oracle_sql())
+def q_video_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """From-scratch MJPEG/AVI video over the documents table: one AVI
+    per row (5-10 flat-half-plane JPEG frames, planted corrupt
+    payloads), container-walked + JPEG-decoded + every-2nd-frame
+    sampled by the default :func:`video_frame_sample` path, then
+    per-frame pixel stats — a narrow Arrow chain, 0 shuffles. Oracle:
+    :func:`_video_oracle_sql`."""
+    from pdf_ocr_spark.operators.multimodal import frame_features, video_frame_sample
+    from pdf_ocr_spark.sources.videogen import avi_corpus
+
+    frames = video_frame_sample(
+        avi_corpus(load_table(spark, sf, "documents")), every_n=2
+    )
+    return frame_features(frames)
+
+
 @_register("audio_features", _audio_oracle_sql())
 def q_audio_features(spark: SparkSession, sf: str) -> DataFrame:
     """From-scratch WAV audio over the documents table: synthesize one

@@ -1,13 +1,13 @@
 """Multimodal media operators: typed metadata + decode/feature plumbing.
 
 Media payloads are opaque ``binary`` columns with typed metadata
-extracted by Arrow-batched kernels. The PNG path is fully real (the
-pure-Python codec); audio/video decode backends don't exist in this
-container, so their decode steps are STUBS behind clearly-marked
-``NotImplementedError`` — but the Spark-side plumbing (schemas, batch
-shapes, kernel signatures, partitioning) is real and tested with an
-injectable fake decoder, so swapping in a real backend (ffmpeg,
-torchaudio, ...) is a one-function change inside the kernel.
+extracted by Arrow-batched kernels. Every default decode path is real
+and from-scratch: PNG (pngcodec), WAV/RIFF-PCM audio (wavcodec), and
+MJPEG/AVI video (avicodec + jpegcodec). Other codecs (mp3, h264, ...)
+have no backend in this container and surface as typed error rows;
+alternative decoders are injectable via ``decode_fn`` (contract
+documented per operator), so swapping in ffmpeg/torchaudio is a
+one-function change inside the kernel.
 """
 
 from __future__ import annotations
@@ -160,12 +160,17 @@ VIDEO_FRAMES_SCHEMA = StructType(
 )
 
 
-def _video_decode_stub(payload: bytes, every_n: int):
-    """STUB: no video backend in this container. Contract: yield
-    (frame_no: int, frame: np.ndarray HxW or HxWx3 uint8)."""
-    raise NotImplementedError(
-        "video decode backend not installed; inject decode_fn (see video_frame_sample)"
-    )
+def _decode_avi_mjpeg(payload: bytes, every_n: int):
+    """Default video decode: the from-scratch MJPEG/AVI chunk walker +
+    baseline JPEG codec. Contract: yield (frame_no, HxW[x3] uint8) for
+    every ``every_n``-th frame. Other containers/codecs can be injected
+    via ``decode_fn``; unsupported payloads raise (error-as-row)."""
+    from pdf_ocr_spark.sources.avicodec import decode_avi
+    from pdf_ocr_spark.sources.jpegcodec import decode_jpeg
+
+    _w, _h, frames = decode_avi(payload)
+    for frame_no in range(0, len(frames), max(1, every_n)):
+        yield frame_no, decode_jpeg(frames[frame_no])
 
 
 def audio_features(
@@ -234,9 +239,12 @@ def audio_features(
 def video_frame_sample(
     media: DataFrame, every_n: int = 10, decode_fn: Callable | None = None
 ) -> DataFrame:
-    """1 input row -> N frame rows (UDTF-shaped fan-out). Frames are
-    re-encoded PNG so downstream ops (OCR, features) compose."""
-    decode = decode_fn or _video_decode_stub
+    """1 input row -> N frame rows (UDTF-shaped fan-out, 0 shuffles).
+    Frames are re-encoded PNG so downstream ops (OCR, features)
+    compose. Default decode is the from-scratch MJPEG/AVI path
+    (:func:`_decode_avi_mjpeg`); undecodable payloads become one
+    ``frame_no = -1`` error row, never task failures."""
+    decode = decode_fn or _decode_avi_mjpeg
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pdf_ocr_spark.sources.pngcodec import encode_png
@@ -256,3 +264,53 @@ def video_frame_sample(
             yield pd.DataFrame({"media_ref": refs, "frame_no": nos, "frame_png": frames})
 
     return media.mapInPandas(kernel, schema=VIDEO_FRAMES_SCHEMA)
+
+
+FRAME_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType(), False),
+        StructField("frame_no", IntegerType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("left_luma", IntegerType(), True),
+        StructField("right_luma", IntegerType(), True),
+        StructField("sum_luma", LongType(), True),
+    ]
+)
+
+
+def frame_features(frames: DataFrame) -> DataFrame:
+    """Per-frame pixel statistics over :func:`video_frame_sample`
+    output (PNG frame payloads): dimensions, the mean of each half
+    plane (integers on the fixture corpus — flat half-planes), and the
+    exact integer pixel sum. Error rows (``frame_no = -1``, null
+    payload) pass through with null features."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from pdf_ocr_spark.operators.imaging import to_grayscale
+        from pdf_ocr_spark.sources.pngcodec import decode_png
+
+        for pdf in batches:
+            rows = {k: [] for k in ("width", "height", "left_luma", "right_luma", "sum_luma")}
+            for payload in pdf["frame_png"]:
+                try:
+                    img = to_grayscale(decode_png(bytes(payload)))
+                    h, w = img.shape
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["left_luma"].append(int(img[:, : w // 2].mean()))
+                    rows["right_luma"].append(int(img[:, w // 2 :].mean()))
+                    rows["sum_luma"].append(int(img.sum(dtype=np.int64)))
+                except Exception:
+                    for k in rows:
+                        rows[k].append(None)
+            out = pd.DataFrame(
+                {"media_ref": pdf["media_ref"], "frame_no": pdf["frame_no"]}
+            )
+            for k, v in rows.items():
+                out[k] = pd.array(v, dtype="Int64" if k == "sum_luma" else "Int32")
+            yield out
+
+    return frames.mapInPandas(kernel, schema=FRAME_FEATURES_SCHEMA)
