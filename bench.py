@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "warc_extract_text",
     "robots_decisions",
     "sitemap_entries",
+    "recrawl_frontier",
     "audio_features",
     "video_frame_sample",
     "normalize_chain",

@@ -1930,13 +1930,25 @@ SELECT doc_id,
        'Synthetic fixture page for document ' || doc_id || ' (' || len(toks) || ' tokens).' AS description,
        (7 + doc_id % 4)::BIGINT AS n_links,
        ceil(len(toks)/15.0)::BIGINT AS n_paragraphs,
-       (ceil(len(toks)/15.0)::BIGINT // 3) AS n_images
+       (ceil(len(toks)/15.0)::BIGINT // 3) AS n_images,
+       'Document ' || doc_id AS og_title,
+       CASE WHEN doc_id % 2 = 1 THEN 'article' ELSE 'website' END AS og_type,
+       'https://site-' || (doc_id % 7) || '.example.' ||
+           (['com','org','net','io','co.uk'][doc_id % 5 + 1]) ||
+           '/doc/' || doc_id AS og_url,
+       CASE WHEN doc_id % 3 != 2 THEN 'img://' || doc_id || '/og' END AS og_image,
+       CASE WHEN doc_id % 2 = 1 THEN
+           strftime(DATE '2020-01-01' + INTERVAL ((doc_id * 37) % 1500) DAY, '%Y-%m-%d')
+           || 'T' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') || ':00:00Z'
+       END AS published_time
 FROM (SELECT doc_id, lang, {_WEB_TOKS} AS toks FROM documents)
 """,
 )
 def q_html_metadata(spark: SparkSession, sf: str) -> DataFrame:
-    """<title>/lang/meta-description plus content-shape counters
-    (links, main paragraphs, in-flow images)."""
+    """<title>/lang/meta-description, content-shape counters (links,
+    main paragraphs, in-flow images), and the OpenGraph/meta-property
+    fields real crawls key on (og:title/type/url/image +
+    article:published_time; absent tags -> null)."""
     from pdf_ocr_spark.operators.webextract import extract_metadata
 
     return extract_metadata(_html_corpus(spark, sf)).select(
@@ -1947,6 +1959,11 @@ def q_html_metadata(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_links").cast("long").alias("n_links"),
         F.col("n_paragraphs").cast("long").alias("n_paragraphs"),
         F.col("n_images").cast("long").alias("n_images"),
+        "og_title",
+        "og_type",
+        "og_url",
+        "og_image",
+        "published_time",
     )
 
 
@@ -2215,14 +2232,29 @@ def q_robots_decisions(spark: SparkSession, sf: str) -> DataFrame:
     ``/doc/{k}`` vs Disallow ``/doc/`` precedence reduces to a
     starts_with on the doc id — so one wrong precedence or group pick
     fails the hash."""
-    from pyspark.sql.types import StringType, StructField, StructType
-
-    from pdf_ocr_spark.operators.robots import robots_decisions, robots_rules_table
+    from pdf_ocr_spark.operators.robots import robots_decisions
     from pdf_ocr_spark.operators.webextract import extract_links
     from pdf_ocr_spark.operators.weburl import parse_links
 
-    # one robots.txt per distinct site host (the fixture's hosts are
-    # keyed by the (doc_id % 7, doc_id % 5) residues)
+    rules = _robots_rules_df(spark, sf)
+    links = parse_links(extract_links(_html_corpus(spark, sf)))
+    return robots_decisions(links, rules).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("offset").cast("long").alias("offset"),
+        "href",
+        "allowed",
+        "matched_rule",
+    )
+
+
+def _robots_rules_df(spark: SparkSession, sf: str) -> DataFrame:
+    """Parsed robots rules for every fixture site host — one
+    robots.txt per distinct (doc_id % 7, doc_id % 5) residue pair.
+    Shared by robots_decisions and recrawl_frontier."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from pdf_ocr_spark.operators.robots import robots_rules_table
+
     hosts = load_table(spark, sf, "documents").select(
         (F.col("doc_id") % 7).cast("int").alias("k"),
         (F.col("doc_id") % 5).cast("int").alias("t"),
@@ -2254,15 +2286,7 @@ def q_robots_decisions(spark: SparkSession, sf: str) -> DataFrame:
             ]
         ),
     )
-    rules = robots_rules_table(robots)
-    links = parse_links(extract_links(_html_corpus(spark, sf)))
-    return robots_decisions(links, rules).select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.col("offset").cast("long").alias("offset"),
-        "href",
-        "allowed",
-        "matched_rule",
-    )
+    return robots_rules_table(robots)
 
 
 @_register(
@@ -2282,6 +2306,12 @@ def q_sitemap_entries(spark: SparkSession, sf: str) -> DataFrame:
     parser into the crawl frontier (loc, lastmod, priority). The oracle
     re-derives every entry arithmetically, so the XML round trip must
     be lossless."""
+    return _sitemap_frontier(spark, sf)
+
+
+def _sitemap_frontier(spark: SparkSession, sf: str) -> DataFrame:
+    """Parsed sitemap entries (host, loc, lastmod, priority) for every
+    fixture site — shared by sitemap_entries and recrawl_frontier."""
     import pandas as pd
 
     from pdf_ocr_spark.operators.sitemap import sitemap_entries
@@ -2310,6 +2340,111 @@ def q_sitemap_entries(spark: SparkSession, sf: str) -> DataFrame:
     )
     return sitemap_entries(sitemaps).where(F.col("parse_error").isNull()).select(
         "host", "loc", "lastmod", "priority"
+    )
+
+
+@_register(
+    "recrawl_frontier",
+    """
+WITH sm AS (
+    SELECT doc_id,
+           'site-' || (doc_id % 7) || '.example.' || (['com','org','net','io','co.uk'][doc_id % 5 + 1]) AS host,
+           'https://site-' || (doc_id % 7) || '.example.' || (['com','org','net','io','co.uk'][doc_id % 5 + 1]) || '/doc/' || doc_id AS loc,
+           '2026-' || lpad((1 + doc_id % 12)::VARCHAR, 2, '0') || '-' || lpad((1 + doc_id % 28)::VARCHAR, 2, '0') AS lastmod,
+           (doc_id % 10 + 1) / 10.0 AS priority
+    FROM documents
+),
+fl AS (
+    SELECT doc_id,
+           list_max(list_transform(range(0, 1 + doc_id % 3), j ->
+               '2026-' || lpad((1 + (doc_id + 2*j) % 12)::VARCHAR, 2, '0')
+                       || '-' || lpad((1 + (3*doc_id + 7*j) % 28)::VARCHAR, 2, '0')))
+           AS last_fetch
+    FROM documents WHERE doc_id % 4 != 3
+)
+SELECT host, loc, lastmod, fl.last_fetch, priority
+FROM sm LEFT JOIN fl USING (doc_id)
+WHERE (CASE WHEN (doc_id % 7) % 3 = 0
+            THEN starts_with(doc_id::VARCHAR, (doc_id % 7)::VARCHAR)
+            ELSE true END)
+  AND (fl.last_fetch IS NULL OR lastmod > fl.last_fetch)
+""",
+)
+def q_recrawl_frontier(spark: SparkSession, sf: str) -> DataFrame:
+    """The fetch-next frontier a crawler actually schedules — three
+    round-3 operators composed into one pipeline:
+
+    1. discovery: sitemaps.org XML parsed into (loc, lastmod, priority)
+       (:func:`_sitemap_frontier` — grouped-map synthesis + the
+       namespace-aware parser);
+    2. permissions: the RFC 9309 evaluator's verdict on every frontier
+       URL (rules broadcast, struct-max longest-match);
+    3. freshness: as-of semantics against a fetch log — the latest
+       fetch per URL (loc-keyed max), refetch due iff never fetched or
+       ``lastmod`` is newer (ISO date strings compare correctly).
+
+    Scale shape: rules are broadcast (~1 row/host); the fetch-log max
+    and the frontier joins are all loc-keyed, so AQE co-partitions
+    them; nothing touches the driver. The oracle re-derives discovery,
+    permission, and freshness arithmetically in one SQL statement."""
+    from pdf_ocr_spark.operators.robots import robots_decisions
+    from pdf_ocr_spark.operators.weburl import parse_links
+
+    sm = _sitemap_frontier(spark, sf)
+
+    # fetch log: 1 + doc_id % 3 attempts for 3 of every 4 docs, dates
+    # arithmetic over (doc_id, attempt) — pure JVM expressions
+    d = F.col("doc_id")
+    site = F.concat(
+        F.lit("https://site-"),
+        (d % 7).cast("string"),
+        F.lit(".example."),
+        F.element_at(
+            F.array(*[F.lit(t) for t in ("com", "org", "net", "io", "co.uk")]),
+            ((d % 5) + 1).cast("int"),
+        ),
+    )
+    j = F.col("j")
+    fetched_at = F.concat(
+        F.lit("2026-"),
+        F.lpad(((d + 2 * j) % 12 + 1).cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad(((d * 3 + 7 * j) % 28 + 1).cast("string"), 2, "0"),
+    )
+    fetch_log = (
+        load_table(spark, sf, "documents")
+        .where(d % 4 != 3)
+        .select(
+            F.concat(site, F.lit("/doc/"), d.cast("string")).alias("loc"),
+            F.explode(F.sequence(F.lit(0).cast("long"), d % 3)).alias("j"),
+            d.alias("doc_id"),
+        )
+        .select("loc", fetched_at.alias("fetched_at"))
+        .groupBy("loc")
+        .agg(F.max("fetched_at").alias("last_fetch"))
+    )
+
+    # robots verdict on the frontier URLs themselves (loc is unique, so
+    # (doc_id=0, offset=0) grouping keys are inert)
+    links = sm.select(
+        F.lit(0).alias("doc_id"),
+        F.lit(0).alias("offset"),
+        F.col("loc").alias("href"),
+        F.lit("").alias("anchor"),
+        F.lit("sitemap").alias("region"),
+    )
+    verdicts = robots_decisions(parse_links(links), _robots_rules_df(spark, sf)).select(
+        F.col("href").alias("loc"), "allowed"
+    )
+
+    return (
+        sm.join(verdicts, "loc")
+        .join(fetch_log, "loc", "left")
+        .where(
+            F.col("allowed")
+            & (F.col("last_fetch").isNull() | (F.col("lastmod") > F.col("last_fetch")))
+        )
+        .select("host", "loc", "lastmod", "last_fetch", "priority")
     )
 
 

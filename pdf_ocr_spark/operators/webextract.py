@@ -108,6 +108,13 @@ METADATA_SCHEMA = StructType(
         StructField("n_links", LongType(), False),
         StructField("n_paragraphs", LongType(), False),
         StructField("n_images", LongType(), False),
+        # OpenGraph / meta-property fields — null when the page does
+        # not declare them (real crawls key on these as often as title)
+        StructField("og_title", StringType(), True),
+        StructField("og_type", StringType(), True),
+        StructField("og_url", StringType(), True),
+        StructField("og_image", StringType(), True),
+        StructField("published_time", StringType(), True),
     ]
 )
 
@@ -161,6 +168,10 @@ class _Extractor(HTMLParser):
         self._in_title = False
         self.html_lang = ""
         self.description = ""
+        #: <meta property="..." content="..."> pairs (OpenGraph et al),
+        #: first occurrence wins (the OG spec's array rule — the first
+        #: tag is the canonical value)
+        self.meta_props: dict[str, str] = {}
 
     # -- block plumbing ----------------------------------------------
     def _flush(self):
@@ -207,6 +218,10 @@ class _Extractor(HTMLParser):
         ad = dict(attrs)
         if tag == "meta" and (ad.get("name") or "").lower() == "description":
             self.description = ad.get("content") or ""
+        if tag == "meta":
+            prop = (ad.get("property") or "").lower()
+            if prop:
+                self.meta_props.setdefault(prop, ad.get("content") or "")
         if tag == "img" and not self.drop_depth:
             src = ad.get("src")
             if src:
@@ -345,13 +360,18 @@ def links_of(html: str) -> list[tuple[str, str, str]]:
     return _parse(html).links
 
 
-def metadata_of(html: str) -> tuple[str, str, str, int, int, int]:
+def metadata_of(html: str) -> tuple:
     p = _parse(html)
     spans = _spans_from(p)  # reuse the parse — parsing dominates cost
     title = " ".join("".join(p.title_parts).split())
     n_par = sum(1 for k, _, _ in spans if k == "text")
     n_img = sum(1 for k, _, _ in spans if k == "image")
-    return (title, p.html_lang, p.description, len(p.links), n_par, n_img)
+    og = p.meta_props
+    return (
+        title, p.html_lang, p.description, len(p.links), n_par, n_img,
+        og.get("og:title"), og.get("og:type"), og.get("og:url"),
+        og.get("og:image"), og.get("article:published_time"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -435,6 +455,11 @@ def extract_metadata(df: DataFrame) -> DataFrame:
                     "n_links",
                     "n_paragraphs",
                     "n_images",
+                    "og_title",
+                    "og_type",
+                    "og_url",
+                    "og_image",
+                    "published_time",
                 ],
             )
 

@@ -110,6 +110,36 @@ def planted_links(doc_id: int) -> list[tuple[str, str, str]]:
     return links
 
 
+def planted_og(doc_id: int) -> dict:
+    """The OpenGraph/meta-property values planted in the page head —
+    all arithmetic over doc_id (oracle-reconstructible):
+
+    * og:title = the <title> text
+    * og:type  = 'article' for odd doc_ids, 'website' for even
+    * og:url   = the site's canonical /doc/{id} URL
+    * og:image = ``img://{id}/og`` except when ``doc_id % 3 == 2``
+      (absent -> null, so extractors must handle missing tags)
+    * article:published_time = ISO-8601 at
+      2020-01-01 + (doc_id*37) % 1500 days, hour = doc_id % 24 —
+      only on articles
+    """
+    import datetime
+
+    site = f"https://site-{doc_id % 7}.example.{SITE_TLDS[doc_id % 5]}"
+    og_type = "article" if doc_id % 2 else "website"
+    og = {
+        "og:title": f"Document {doc_id}",
+        "og:type": og_type,
+        "og:url": f"{site}/doc/{doc_id}",
+    }
+    if doc_id % 3 != 2:
+        og["og:image"] = f"img://{doc_id}/og"
+    if og_type == "article":
+        day = datetime.date(2020, 1, 1) + datetime.timedelta(days=(doc_id * 37) % 1500)
+        og["article:published_time"] = f"{day.isoformat()}T{doc_id % 24:02d}:00:00Z"
+    return og
+
+
 def html_for_doc(doc_id: int, text: str, lang: str) -> str:
     """Render one synthetic page. Layout rotates by ``doc_id % 3``; the
     planted content is identical across layouts."""
@@ -118,6 +148,10 @@ def html_for_doc(doc_id: int, text: str, lang: str) -> str:
     title = f"Document {doc_id}"
     description = f"Synthetic fixture page for document {doc_id} ({len(toks)} tokens)."
     links = planted_links(doc_id)
+    og_tags = "\n".join(
+        f'<meta property="{k}" content="{escape_html(v)}">'
+        for k, v in planted_og(doc_id).items()
+    )
     nav_items = "".join(
         f'<li><a href="{h}">{a}</a></li>' for h, a, r in links if r == "nav"
     )
@@ -152,6 +186,7 @@ def html_for_doc(doc_id: int, text: str, lang: str) -> str:
 <meta charset="utf-8">
 <title>{escape_html(title)}</title>
 <meta name="description" content="{escape_html(description)}">
+{og_tags}
 <style>body {{ margin: 0; font: 16px serif; }} .ad {{ color: red; }}</style>
 </head>
 <body>

@@ -126,9 +126,23 @@ def test_metadata_fields():
     html = """<html lang="fr"><head><title>T &amp; U</title>
     <meta name="description" content="desc here"></head>
     <body><article><p>x y z</p></body></html>"""
-    title, lang, desc, n_links, n_par, n_img = metadata_of(html)
+    title, lang, desc, n_links, n_par, n_img, *og = metadata_of(html)
     assert (title, lang, desc) == ("T & U", "fr", "desc here")
     assert (n_links, n_par, n_img) == (0, 1, 0)
+    assert og == [None] * 5  # no meta-property tags -> all null
+
+
+def test_metadata_opengraph_fields():
+    html = """<html><head><title>T</title>
+    <meta property="og:title" content="OG T">
+    <meta property="og:type" content="article">
+    <meta property="og:title" content="second wins NOT">
+    <meta property="article:published_time" content="2021-02-03T04:00:00Z">
+    </head><body><p>x</p></body></html>"""
+    *_, og_title, og_type, og_url, og_image, pub = metadata_of(html)
+    assert (og_title, og_type) == ("OG T", "article")  # first tag wins
+    assert og_url is None and og_image is None
+    assert pub == "2021-02-03T04:00:00Z"
 
 
 def test_empty_and_pathological_inputs():
