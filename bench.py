@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "hocr_pages",
     "pdf_page_count",
     "pdf_extract_text",
+    "pdf_extract_text_dct",
     "html_main_spans",
     "html_main_text",
     "html_links",
@@ -92,6 +93,7 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard_capped",
     "dedup_embedding_lsh",
     "knn_ivf_topk",
+    "knn_int8_topk",
     "profit_by_nation",
 ]
 
@@ -172,6 +174,10 @@ def main() -> None:
     # fixture generation).
     _exec(ep.QUERIES["normalize_chain"](spark, sf_dir))
     ep._pdf_fixture_dir(spark, sf_dir)
+    # the JPEG-scan corpus renders once (~minutes cold) into the same
+    # content-fingerprinted /tmp cache; timed reps then measure the
+    # scan+DCT-decode+OCR path, not fixture generation
+    ep._pdf_fixture_dir(spark, sf_dir, dct=True)
     ep._warc_fixture_dir(spark, sf_dir)
     ep._media_manifest(spark)
     ep._layout_manifest(spark)

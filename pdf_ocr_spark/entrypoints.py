@@ -1213,6 +1213,50 @@ def q_knn(spark: SparkSession, sf: str) -> DataFrame:
     return cosine_topk(emb.where(F.col("vec_id") < 5), emb, k=3)
 
 
+def _sql_dot_int(a: str, b: str) -> str:
+    return f"list_sum([{a}[i] * {b}[i] for i in generate_series(1, len({a}))])"
+
+
+@_register(
+    "knn_int8_topk",
+    f"""
+WITH e8 AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(floor(
+               x::DOUBLE * 127.0
+               / list_max(list_transform(embedding, y -> abs(y::DOUBLE)))
+               + 0.5) AS BIGINT)) AS v8
+    FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v8 AS qv FROM e8 WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, v8 AS cv FROM e8),
+scored AS (
+    SELECT query_id, neighbor_id,
+           round({_sql_dot_int('qv', 'cv')}::DOUBLE
+                 / (sqrt({_sql_dot_int('qv', 'qv')}::DOUBLE)
+                    * sqrt({_sql_dot_int('cv', 'cv')}::DOUBLE)), 6) AS score
+    FROM q CROSS JOIN c WHERE query_id != neighbor_id
+)
+SELECT query_id, rank, neighbor_id, score FROM (
+    SELECT query_id, neighbor_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+    FROM scored
+) WHERE rank <= 3
+""",
+)
+def q_knn_int8(spark: SparkSession, sf: str) -> DataFrame:
+    """Int8-quantized top-k — and, unlike the float path, an EXACT
+    oracle: floor(x+0.5) quantization is rounding-mode-free and the
+    integer dot products are exact longs, so both engines compute
+    bit-identical scores (the float baseline needs its summation-order
+    discipline; the int8 variant needs none). Recall vs the float path
+    is pinned in tests/test_ann.py."""
+    from pdf_ocr_spark.operators.similarity import int8_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    return int8_topk(emb.where(F.col("vec_id") < 5), emb, k=3)
+
+
 @_register("knn_ivf_topk")
 def q_knn_ivf(spark: SparkSession, sf: str) -> DataFrame:
     """IVF-style ANN (rows-only like the LSH variant: recall is

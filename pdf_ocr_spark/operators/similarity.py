@@ -67,6 +67,73 @@ def cosine_topk(
     )
 
 
+def quantize_int8_col(vec: Column) -> Column:
+    """Symmetric per-vector int8 quantization:
+    ``q_i = floor(127 * v_i / max|v| + 0.5)`` (range [-127, 127]).
+
+    ``floor(x + 0.5)`` instead of ``round``: round-half modes differ
+    between engines (Spark HALF_UP vs DuckDB/numpy variants) while
+    floor is defined identically everywhere — the quantized vector,
+    and therefore the oracle compare, is bit-portable. Cosine is
+    scale-invariant, so the per-vector scale needs no storage: int8
+    ranking works on the codes alone (4x smaller vectors, exact
+    integer dot products — at 100 TB the win is scan bandwidth and
+    SIMD-width, not arithmetic)."""
+    mx = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+    q = F.transform(
+        vec, lambda x: F.floor(x.cast("double") * 127.0 / mx + 0.5).cast("int")
+    )
+    return F.when(mx > 0, q).otherwise(
+        F.transform(vec, lambda x: F.lit(0))  # all-zero vector -> zero codes
+    )
+
+
+def _dot_int_col(a: Column, b: Column) -> Column:
+    """Exact integer dot product (|q| <= 127 -> no overflow below
+    ~2^17 dims in long arithmetic)."""
+    prods = F.zip_with(a, b, lambda x, y: (x * y).cast("long"))
+    return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def int8_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k over int8-quantized embeddings: quantize at write (here:
+    plan time), rank entirely in integer space — dots are exact longs,
+    only the final cosine normalization touches doubles, so scores are
+    engine-portable bit-for-bit (unlike the float path, whose
+    summation order matters). Same broadcast-queries shape as
+    :func:`cosine_topk`; recall vs the float path is pinned by
+    tests/test_ann.py."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantize_int8_col(F.col(vec_col)).alias("qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), quantize_int8_col(F.col(vec_col)).alias("cvec")
+    )
+    qa, qb = F.col("qvec"), F.col("cvec")
+    cos = _dot_int_col(qa, qb).cast("double") / (
+        F.sqrt(_dot_int_col(qa, qa).cast("double"))
+        * F.sqrt(_dot_int_col(qb, qb).cast("double"))
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(cos, 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float,

@@ -51,19 +51,28 @@ def expire_manifest(spark: SparkSession, out_dir: str, ttl_seconds: float) -> in
     reference deletes stale uploads/tasks by mtime,
     /root/reference/app.py:76-102). Parquet has no row deletes, so this
     rewrites the manifest filtered — with Iceberg it would be a
-    metadata-only ``DELETE WHERE ts < cutoff``. Returns rows kept."""
-    import tempfile
+    metadata-only ``DELETE WHERE ts < cutoff``. Returns rows kept.
+
+    The rewrite stays distributed end to end: kept rows go to a
+    sibling staging directory (same filesystem as the manifest, so
+    this works on HDFS/S3A paths too, unlike a driver-local tempdir)
+    and are then re-read and swapped in — rows never round-trip
+    through the driver, so manifest size is bounded by executor, not
+    driver, memory."""
+    import shutil
 
     m = read_manifest(spark, out_dir)
     kept = m.where(
         F.col("ts") >= F.from_unixtime(F.unix_timestamp(F.current_timestamp()) - F.lit(int(ttl_seconds))).cast("timestamp")
     )
-    rows = kept.collect()
     path = _manifest_dir(out_dir)
-    with tempfile.TemporaryDirectory() as td:
-        spark.createDataFrame(rows, MANIFEST_SCHEMA).coalesce(1).write.mode("overwrite").parquet(td + "/m")
-        spark.read.schema(MANIFEST_SCHEMA).parquet(td + "/m").write.mode("overwrite").parquet(path)
-    return len(rows)
+    staging = path + "_expiring"
+    kept.write.mode("overwrite").parquet(staging)
+    staged = spark.read.schema(MANIFEST_SCHEMA).parquet(staging)
+    n_kept = staged.count()
+    staged.write.mode("overwrite").parquet(path)
+    shutil.rmtree(staging, ignore_errors=True)
+    return n_kept
 
 
 def completed_buckets(spark: SparkSession, out_dir: str, run_id: str) -> DataFrame:
@@ -116,6 +125,11 @@ def run_extraction(
     finally:
         if with_overwrite is not None:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", with_overwrite)
+        else:
+            # restore to unset — leaving 'dynamic' behind would change
+            # the semantics of later partitioned overwrites in the
+            # caller's session (same leak run_curation fixed)
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
 
     # Phase 2: the write committed — derive per-bucket lineage metrics
     # from the freshly written output (cheap: metadata + two narrow

@@ -121,3 +121,28 @@ def test_dim0_wide_vector_fails_loudly(spark):
     assert ok.select(lsh_bucket_col(F.col("v"), n_planes=2, dim=0).alias("b")).first()[
         "b"
     ] == "11"
+
+
+def test_int8_recall_vs_float_path(spark, emb):
+    """Quantized ranking must track the float baseline closely: 127
+    levels keep cosine error ~1e-3, so top-3 overlap stays high."""
+    from pdf_ocr_spark.operators.similarity import int8_topk
+
+    q = emb.where(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(q, emb, k=3).collect()}
+    quant = {(r.query_id, r.neighbor_id) for r in int8_topk(q, emb, k=3).collect()}
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.8, recall
+
+
+def test_int8_quantization_range_and_scale_invariance(spark):
+    from pdf_ocr_spark.operators.similarity import quantize_int8_col
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.0, 4.0]), (2, [0.25, -0.5, 1.0]), (3, [0.0, 0.0, 0.0])],
+        "id int, v array<float>",
+    )
+    out = {r["id"]: r["q"] for r in df.select("id", quantize_int8_col(F.col("v")).alias("q")).collect()}
+    assert out[1] == [32, -63, 127]  # floor(127*x/4 + 0.5)
+    assert out[2] == out[1]  # same direction, 4x smaller scale -> same codes
+    assert out[3] == [0, 0, 0]  # zero vector guard
