@@ -81,8 +81,13 @@ def media_ref_for(doc_id: int) -> str:
 
 def wav_corpus(documents: DataFrame) -> DataFrame:
     """(media_ref, payload) rows, one WAV per ``documents`` row —
-    synthesized on executors from ``doc_id`` alone (0 shuffles, any
-    parallelism)."""
+    synthesized on executors from ``doc_id`` alone. Payload synthesis
+    is an expensive narrow projection, so the few-splits parallelism
+    guard applies (no-op at scale, where inputs carry thousands of
+    splits)."""
+    from pdf_ocr_spark.operators.dedup import _ensure_parallelism
+
+    documents = _ensure_parallelism(documents.select("doc_id"))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -1,5 +1,5 @@
-"""From-scratch baseline JPEG (JFIF) codec — pure numpy, no external
-image libraries (the container has none).
+"""From-scratch JPEG (JFIF) codec, baseline + progressive — pure
+numpy, no external image libraries (the container has none).
 
 Why it exists: real-world scanned color PDFs store pages as
 ``/DCTDecode`` (JPEG) image XObjects — the one filter the PDF subset
@@ -9,20 +9,26 @@ gives :mod:`pdf_ocr_spark.sources.pdfcodec` a real decode path, and an
 encoder so fixtures can round-trip the full binaryFile -> parse ->
 DCT-decode -> OCR pipeline.
 
-Scope (baseline sequential DCT, the overwhelmingly common scan shape):
+Scope:
 
-* SOF0 (baseline), 8-bit samples, 1 component (grayscale) or 3
-  components (YCbCr — 4:4:4, 4:2:2, or 4:2:0 chroma subsampling; the
-  MCU walk handles any sampling factors in {1,2}, which covers what
-  real producers emit), JFIF marker layout.
+* SOF0 (baseline sequential) and — round 4 — SOF2 (progressive:
+  spectral selection, successive approximation with correction bits,
+  EOB runs, interleaved and non-interleaved scans; ISO 10918-1 G.2).
+  8-bit samples, 1 component (grayscale) or 3 components (YCbCr —
+  4:4:4, 4:2:2, or 4:2:0 chroma subsampling; the MCU walk handles any
+  sampling factors in {1,2}, which covers what real producers emit),
+  JFIF marker layout. Real libjpeg-progressive files (custom tables,
+  genuine EOB runs) decode — pinned by the interop test.
 * Standard Annex-K quantization + Huffman tables (the tables are
   published constants in ISO/IEC 10918-1; every JPEG implementation
   embeds them). Encoder and decoder share the constants below, and the
   decoder *reads the tables from the file* (DQT/DHT), so files from
-  other producers with custom tables decode too.
-* Progressive (SOF2), arithmetic coding, 12-bit, and sampling factors
-  above 2 raise ``ValueError`` naming the feature, so the PDF source
-  can surface a typed error row — never a crash.
+  other producers with custom tables decode too. The progressive
+  encoder emits per-block EOBs only (Annex-K has no EOB-run codes);
+  the decoder handles full EOB runs regardless.
+* Arithmetic coding, lossless/hierarchical frames, 12-bit, and
+  sampling factors above 2 raise ``ValueError`` naming the feature,
+  so the PDF source can surface a typed error row — never a crash.
 
 JPEG is lossy: round-trip tests assert bounded error (and the OCR
 path's binarization absorbs the quantization noise at the qualities
@@ -282,17 +288,169 @@ def _encode_block(bw: _BitWriter, zz: np.ndarray, pred: int, dc_tab, ac_tab) -> 
     return int(zz[0])
 
 
+def _progressive_encode_scans(
+    comp_zz, grid_cols, samp, n_comp, mcus_x, mcus_y, h, w, dc_tabs, ac_tabs
+) -> list[tuple[bytes, bytes]]:
+    """The libjpeg-style progressive scan script over already-quantized
+    coefficients: DC first (Al=1) -> per-component AC first (Al=1) ->
+    DC refinement -> per-component AC refinement (Al 1->0). EOB *runs*
+    are never emitted (per-block EOB only), so the fixed Annex-K
+    Huffman tables stay legal — (r<<4)|0 symbols for r in 1..14 do not
+    exist in them; the decoder still handles full EOB runs from other
+    producers. Returns [(sos_payload, entropy_bytes)]."""
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    nat = []
+    for hi, vi in samp:
+        ch, cw = -(-(h * vi) // vmax), -(-(w * hi) // hmax)
+        nat.append((-(-ch // 8), -(-cw // 8)))
+
+    def sos(ids_tabs, ss, se, ah, al) -> bytes:
+        p = bytearray([len(ids_tabs)])
+        for ci, dct, act in ids_tabs:
+            p += bytes([ci + 1, (dct << 4) | act])
+        p += bytes([ss, se, (ah << 4) | al])
+        return bytes(p)
+
+    scans: list[tuple[bytes, bytes]] = []
+
+    def dc_scan(ah, al):
+        bw = _BitWriter()
+        preds = [0] * n_comp
+
+        def one(ci, bidx):
+            v = int(comp_zz[ci][bidx][0]) >> al  # arithmetic shift (G.1.2.1)
+            if ah == 0:
+                t = 0 if ci == 0 else 1
+                diff = v - preds[ci]
+                preds[ci] = v
+                s, bits = _magnitude(diff)
+                code, ln = dc_tabs[t][s]
+                bw.write(code, ln)
+                if s:
+                    bw.write(bits, s)
+            else:
+                bw.write(v & 1, 1)  # refinement: raw bit, no Huffman
+
+        if n_comp > 1:  # interleaved MCU order over padded grids
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    for ci in range(n_comp):
+                        hi, vi = samp[ci]
+                        for by in range(vi):
+                            for bx in range(hi):
+                                one(ci, (my * vi + by) * grid_cols[ci] + mx * hi + bx)
+            ids = [(ci, 0 if ci == 0 else 1, 0) for ci in range(n_comp)]
+        else:  # single component: non-interleaved natural grid
+            rows_u, cols_u = nat[0]
+            for by in range(rows_u):
+                for bx in range(cols_u):
+                    one(0, by * grid_cols[0] + bx)
+            ids = [(0, 0, 0)]
+        bw.flush()
+        scans.append((sos(ids, 0, 0, ah, al), bytes(bw.out)))
+
+    def ac_first_scan(ci, al):
+        bw = _BitWriter()
+        t = 0 if ci == 0 else 1
+        act = ac_tabs[t]
+        rows_u, cols_u = nat[ci]
+        for by in range(rows_u):
+            for bx in range(cols_u):
+                blk = comp_zz[ci][by * grid_cols[ci] + bx]
+                run = 0
+                for k in range(1, 64):
+                    v = int(blk[k])
+                    v = (v >> al) if v >= 0 else -((-v) >> al)  # trunc toward 0
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = act[0xF0]
+                        bw.write(code, ln)
+                        run -= 16
+                    s, bits = _magnitude(v)
+                    code, ln = act[(run << 4) | s]
+                    bw.write(code, ln)
+                    bw.write(bits, s)
+                    run = 0
+                if run > 0:
+                    code, ln = act[0x00]  # per-block EOB (run of 1)
+                    bw.write(code, ln)
+        bw.flush()
+        scans.append((sos([(ci, 0, t)], 1, 63, 0, al), bytes(bw.out)))
+
+    def ac_refine_scan(ci, ah, al):
+        bw = _BitWriter()
+        t = 0 if ci == 0 else 1
+        act = ac_tabs[t]
+        rows_u, cols_u = nat[ci]
+        for by in range(rows_u):
+            for bx in range(cols_u):
+                blk = comp_zz[ci][by * grid_cols[ci] + bx]
+                pending: list[int] = []  # correction bits awaiting flush
+
+                def flush():
+                    for b in pending:
+                        bw.write(b, 1)
+                    pending.clear()
+
+                r = 0  # run of zero-HISTORY coefficients
+                for k in range(1, 64):
+                    v = int(blk[k])
+                    av = abs(v) >> al
+                    if av == 0:
+                        r += 1
+                        continue
+                    # ZRL check precedes the history test (jcphuff order)
+                    while r > 15:
+                        code, ln = act[0xF0]
+                        bw.write(code, ln)
+                        r -= 16
+                        flush()
+                    if av > 1:  # already significant: one correction bit
+                        pending.append(av & 1)
+                        continue
+                    # newly significant this scan
+                    code, ln = act[(r << 4) | 1]
+                    bw.write(code, ln)
+                    bw.write(1 if v > 0 else 0, 1)  # sign
+                    flush()
+                    r = 0
+                if r > 0 or pending:
+                    code, ln = act[0x00]  # EOB, then trailing corrections
+                    bw.write(code, ln)
+                    flush()
+        bw.flush()
+        scans.append((sos([(ci, 0, t)], 1, 63, ah, al), bytes(bw.out)))
+
+    dc_scan(0, 1)
+    for ci in range(n_comp):
+        ac_first_scan(ci, 1)
+    dc_scan(1, 0)
+    for ci in range(n_comp):
+        ac_refine_scan(ci, 1, 0)
+    return scans
+
+
 def encode_jpeg(
     img: np.ndarray,
     quality: int = 90,
     subsampling: str = "444",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """Encode H x W uint8 (grayscale) or H x W x 3 uint8 (RGB) to a
     baseline JFIF byte string. ``subsampling`` is '444', '422', or
     '420' (chroma box-mean downsampling; ignored for grayscale);
     ``restart_interval`` > 0 emits a DRI marker and RSTn markers
-    every that many MCUs (what scanners do for error resilience)."""
+    every that many MCUs (what scanners do for error resilience).
+    ``progressive`` emits an SOF2 multi-scan file (spectral selection +
+    successive approximation, the libjpeg-style script) — same
+    quantized coefficients, so progressive and baseline decodes of the
+    same image are pixel-identical."""
+    if progressive and restart_interval:
+        raise ValueError("restart intervals unsupported in the progressive encoder")
     if img.dtype != np.uint8 or img.ndim not in (2, 3):
         raise ValueError("image must be 2-D gray or 3-D RGB uint8")
     if img.ndim == 3 and img.shape[2] != 3:
@@ -340,28 +498,39 @@ def encode_jpeg(
     dc_tabs = [_build_codes(*DC_LUM), _build_codes(*DC_CHROM)]
     ac_tabs = [_build_codes(*AC_LUM), _build_codes(*AC_CHROM)]
 
-    bw = _BitWriter()
-    pred = [0] * n_comp
-    mcu_i = 0
-    rst_n = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
-                bw.flush()
-                bw.out += bytes([0xFF, 0xD0 + rst_n])
-                rst_n = (rst_n + 1) % 8
-                pred = [0] * n_comp
-            mcu_i += 1
-            for ci in range(n_comp):
-                hi, vi = samp[ci]
-                t = 0 if ci == 0 else 1
-                for by in range(vi):
-                    for bx in range(hi):
-                        bidx = (my * vi + by) * grid_cols[ci] + mx * hi + bx
-                        pred[ci] = _encode_block(
-                            bw, comp_zz[ci][bidx], pred[ci], dc_tabs[t], ac_tabs[t]
-                        )
-    bw.flush()
+    if progressive:
+        scans = _progressive_encode_scans(
+            comp_zz, grid_cols, samp, n_comp, mcus_x, mcus_y, h, w, dc_tabs, ac_tabs
+        )
+    else:
+        bw = _BitWriter()
+        pred = [0] * n_comp
+        mcu_i = 0
+        rst_n = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                    bw.flush()
+                    bw.out += bytes([0xFF, 0xD0 + rst_n])
+                    rst_n = (rst_n + 1) % 8
+                    pred = [0] * n_comp
+                mcu_i += 1
+                for ci in range(n_comp):
+                    hi, vi = samp[ci]
+                    t = 0 if ci == 0 else 1
+                    for by in range(vi):
+                        for bx in range(hi):
+                            bidx = (my * vi + by) * grid_cols[ci] + mx * hi + bx
+                            pred[ci] = _encode_block(
+                                bw, comp_zz[ci][bidx], pred[ci], dc_tabs[t], ac_tabs[t]
+                            )
+        bw.flush()
+        sos = bytearray([n_comp])
+        for ci in range(n_comp):
+            tid = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (tid << 4) | tid])
+        sos += bytes([0, 63, 0])
+        scans = [(bytes(sos), bytes(bw.out))]
 
     # ---- marker layout -------------------------------------------------
     def seg(marker: int, payload: bytes) -> bytes:
@@ -376,7 +545,7 @@ def encode_jpeg(
     for ci in range(n_comp):
         hi, vi = samp[ci]
         sof += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
-    out += seg(0xC0, bytes(sof))
+    out += seg(0xC2 if progressive else 0xC0, bytes(sof))
     for cls, tid, (bits, vals) in (
         (0, 0, DC_LUM),
         (1, 0, AC_LUM),
@@ -388,13 +557,9 @@ def encode_jpeg(
         out += seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
     if restart_interval:
         out += seg(0xDD, restart_interval.to_bytes(2, "big"))
-    sos = bytearray([n_comp])
-    for ci in range(n_comp):
-        tid = 0 if ci == 0 else 1
-        sos += bytes([ci + 1, (tid << 4) | tid])
-    sos += bytes([0, 63, 0])
-    out += seg(0xDA, bytes(sos))
-    out += bw.out
+    for sos_payload, ent in scans:
+        out += seg(0xDA, sos_payload)
+        out += ent
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -485,6 +650,8 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     htabs: dict[tuple[int, int], _HuffTable] = {}
     dri = 0
     frame = None  # (h, w, [(comp_id, qtab_id, h_samp, v_samp)])
+    progressive = False
+    coeff: list[np.ndarray] | None = None  # progressive coefficient state
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("marker desync at byte %d" % pos)
@@ -496,10 +663,17 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             raise ValueError("truncated JPEG (stream ends inside a marker)")
         marker = data[pos + 1]
         pos += 2
-        if marker in (0xD8, 0xD9):
+        if marker == 0xD9:  # EOI — progressive files land here after scans
+            if progressive and coeff is not None:
+                return _reconstruct(coeff, frame, qtabs)
             continue
-        if marker in (0xC2, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise ValueError("unsupported JPEG frame type SOF%d (baseline only)" % (marker - 0xC0))
+        if marker == 0xD8:
+            continue
+        if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError(
+                "unsupported JPEG frame type SOF%d (baseline + progressive only)"
+                % (marker - 0xC0)
+            )
         ln = int.from_bytes(data[pos : pos + 2], "big")
         payload = data[pos + 2 : pos + ln]
         if marker == 0xDB:  # DQT (possibly multiple tables per marker)
@@ -521,7 +695,8 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(payload[p + 17 : p + 17 + n])
                 htabs[(cls, tid)] = _HuffTable(bits, vals)
                 p += 17 + n
-        elif marker == 0xC0:  # SOF0
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             prec = payload[0]
             if prec != 8:
                 raise ValueError("%d-bit samples unsupported (8-bit only)" % prec)
@@ -546,24 +721,76 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("SOS before SOF")
             n_scan = payload[0]
+            scan_ids = []
             scan_tabs = []
             for ci in range(n_scan):
-                _cid, tsel = payload[1 + 2 * ci : 3 + 2 * ci]
+                cid, tsel = payload[1 + 2 * ci : 3 + 2 * ci]
+                scan_ids.append(cid)
                 scan_tabs.append((tsel >> 4, tsel & 0xF))
             ent_start = pos + ln
-            # entropy data cannot contain a bare FF D9 (0xFF is always
-            # stuffed; restarts are FFD0-D7), so the first EOI AFTER the
-            # scan start is the true end — a global rfind could land on
-            # FF D9 bytes inside a table segment of a truncated file
-            # and silently decode an empty stream as all-gray garbage
-            ent_end = data.find(b"\xff\xd9", ent_start)
-            if ent_end == -1:
-                raise ValueError("truncated JPEG (missing EOI)")
-            return _decode_scan(
-                data[ent_start:ent_end], frame, qtabs, htabs, scan_tabs, dri
+            if not progressive:
+                # entropy data cannot contain a bare FF D9 (0xFF is
+                # always stuffed; restarts are FFD0-D7), so the first
+                # EOI AFTER the scan start is the true end — a global
+                # rfind could land on FF D9 bytes inside a table
+                # segment of a truncated file and silently decode an
+                # empty stream as all-gray garbage
+                ent_end = data.find(b"\xff\xd9", ent_start)
+                if ent_end == -1:
+                    raise ValueError("truncated JPEG (missing EOI)")
+                return _decode_scan(
+                    data[ent_start:ent_end], frame, qtabs, htabs, scan_tabs, dri
+                )
+            # progressive: this is one of several scans over persistent
+            # coefficient state; spectral band + successive-approximation
+            # parameters follow the component selectors
+            ss, se = payload[1 + 2 * n_scan], payload[2 + 2 * n_scan]
+            a = payload[3 + 2 * n_scan]
+            ah, al = a >> 4, a & 0xF
+            geom = _geometry(frame)
+            if coeff is None:
+                coeff = [
+                    np.zeros((r * c, 64), dtype=np.int32) for r, c in geom[4]
+                ]
+            # map scan component ids -> frame component indices
+            frame_ids = [c[0] for c in frame[2]]
+            try:
+                scan_idx = [frame_ids.index(cid) for cid in scan_ids]
+            except ValueError:
+                raise ValueError("scan references unknown component id") from None
+            ent_end = _entropy_end(data, ent_start)
+            _progressive_scan(
+                data[ent_start:ent_end], frame, geom, htabs, scan_idx,
+                scan_tabs, ss, se, ah, al, coeff, dri,
             )
+            pos = ent_end
+            continue
         pos += ln
+    if progressive and coeff is not None:
+        # tolerate a missing EOI if all scans parsed (some producers
+        # truncate the trailer)
+        return _reconstruct(coeff, frame, qtabs)
     raise ValueError("no SOS marker (truncated JPEG)")
+
+
+def _entropy_end(data: bytes, start: int) -> int:
+    """Index of the first real marker after ``start``: skips stuffed
+    0x00 bytes, restart markers, and 0xFF fill bytes — the scan
+    delimiter progressive files need (the next marker is DHT/SOS/EOI,
+    not necessarily EOI)."""
+    i = start
+    while True:
+        i = data.find(b"\xff", i)
+        if i == -1 or i + 1 >= len(data):
+            raise ValueError("truncated JPEG (unterminated entropy data)")
+        nxt = data[i + 1]
+        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+            i += 2
+            continue
+        if nxt == 0xFF:
+            i += 1
+            continue
+        return i
 
 
 def _decode_scan(ent, frame, qtabs, htabs, scan_tabs, dri=0) -> np.ndarray:
@@ -624,7 +851,31 @@ def _decode_scan(ent, frame, qtabs, htabs, scan_tabs, dri=0) -> np.ndarray:
                     for bx in range(hi):
                         read_block(ci, (my * vi + by) * cols + mx * hi + bx)
 
-    # vectorized dequantize + IDCT per component, then chroma upsample
+    return _reconstruct(zz, frame, qtabs)
+
+
+def _geometry(frame):
+    """(hmax, vmax, mcus_x, mcus_y, padded block grid per comp,
+    natural (non-interleaved, unpadded) block grid per comp)."""
+    h, w, comps = frame
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    mcus_x, mcus_y = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    grid = [(mcus_y * c[3], mcus_x * c[2]) for c in comps]
+    nat = []
+    for _cid, _tq, hi, vi in comps:
+        ch, cw = -(-(h * vi) // vmax), -(-(w * hi) // hmax)  # A.1.1 dims
+        nat.append((-(-ch // 8), -(-cw // 8)))
+    return hmax, vmax, mcus_x, mcus_y, grid, nat
+
+
+def _reconstruct(zz, frame, qtabs) -> np.ndarray:
+    """Dequantize + IDCT the per-component zigzag coefficient arrays
+    (padded-grid layout) into the final image — shared by the baseline
+    single-scan path and the progressive multi-scan path."""
+    h, w, comps = frame
+    n_comp = len(comps)
+    hmax, vmax, _mx, _my, grid, _nat = _geometry(frame)
     planes = []
     for ci in range(n_comp):
         q = qtabs.get(comps[ci][1])
@@ -645,3 +896,150 @@ def _decode_scan(ent, frame, qtabs, htabs, scan_tabs, dri=0) -> np.ndarray:
     if n_comp == 1:
         return np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
     return _ycbcr_to_rgb(np.stack(planes, axis=-1))
+
+
+def _progressive_scan(
+    ent, frame, geom, htabs, scan_idx, scan_tabs, ss, se, ah, al, coeff, dri
+) -> None:
+    """Decode one progressive scan into the persistent coefficient
+    state (ISO 10918-1 G.2): DC first/refinement (interleaved or not),
+    AC first with EOB runs, AC successive-approximation refinement
+    with correction bits. Restart markers reset DC predictors and the
+    EOB run and byte-align, as in sequential mode."""
+    _h, _w, comps = frame
+    _hmax, _vmax, mcus_x, mcus_y, grid, nat = geom
+    segments = re.split(b"\xff[\xd0-\xd7]", ent) if dri else [ent]
+    seg_iter = iter(segments)
+    br = _BitReader(next(seg_iter))
+    state = {"eobrun": 0, "pred": dict.fromkeys(scan_idx, 0), "mcu": 0, "br": br}
+
+    def restart_check():
+        if dri and state["mcu"] and state["mcu"] % dri == 0:
+            try:
+                state["br"] = _BitReader(next(seg_iter))
+            except StopIteration:
+                raise ValueError("missing restart marker in entropy stream") from None
+            state["pred"] = dict.fromkeys(scan_idx, 0)
+            state["eobrun"] = 0
+        state["mcu"] += 1
+
+    def dc_block(ci, bidx):
+        br = state["br"]
+        blk = coeff[ci][bidx]
+        if ah == 0:
+            tab = htabs.get((0, scan_tabs[scan_idx.index(ci)][0]))
+            if tab is None:
+                raise ValueError("scan references undefined Huffman table")
+            s = br.decode(tab)
+            diff = _extend(br.read(s), s) if s else 0
+            state["pred"][ci] += diff
+            blk[0] = state["pred"][ci] << al
+        else:
+            if br.read(1):
+                blk[0] = int(blk[0]) | (1 << al)
+
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        if len(scan_idx) > 1:  # interleaved: MCU order over padded grids
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    restart_check()
+                    for ci in scan_idx:
+                        _cid, _tq, hi, vi = comps[ci]
+                        cols = grid[ci][1]
+                        for by in range(vi):
+                            for bx in range(hi):
+                                dc_block(ci, (my * vi + by) * cols + mx * hi + bx)
+        else:  # non-interleaved: natural (unpadded) grid, 1 block/MCU
+            ci = scan_idx[0]
+            rows_u, cols_u = nat[ci]
+            cols_p = grid[ci][1]
+            for by in range(rows_u):
+                for bx in range(cols_u):
+                    restart_check()
+                    dc_block(ci, by * cols_p + bx)
+        return
+
+    # AC scans are always non-interleaved (G.1.1.1.1)
+    if len(scan_idx) != 1:
+        raise ValueError("progressive AC scan must cover exactly one component")
+    ci = scan_idx[0]
+    ac_tab = htabs.get((1, scan_tabs[0][1]))
+    if ac_tab is None:
+        raise ValueError("scan references undefined Huffman table")
+    rows_u, cols_u = nat[ci]
+    cols_p = grid[ci][1]
+
+    def ac_first(blk):
+        br = state["br"]
+        if state["eobrun"]:
+            state["eobrun"] -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = br.decode(ac_tab)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:
+                    k += 16  # ZRL
+                    continue
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += br.read(r)
+                return
+            k += r
+            if k > se:
+                raise ValueError("AC coefficient index overflow")
+            blk[k] = _extend(br.read(s), s) << al
+            k += 1
+
+    p1, m1 = 1 << al, -(1 << al)
+
+    def refine_nonzero(br, blk, k):
+        c = int(blk[k])
+        if br.read(1) and (c & p1) == 0:
+            blk[k] = c + (p1 if c >= 0 else m1)
+
+    def ac_refine(blk):
+        # ISO 10918-1 G.2 / the jdphuff correction-bit walk
+        br = state["br"]
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = br.decode(ac_tab)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r != 15:
+                        state["eobrun"] = 1 << r
+                        if r:
+                            state["eobrun"] += br.read(r)
+                        break
+                    val = 0  # ZRL: skip 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise ValueError("invalid refinement magnitude category")
+                    val = p1 if br.read(1) else m1
+                while k <= se:
+                    if blk[k] != 0:
+                        refine_nonzero(br, blk, k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    blk[k] = val
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:
+                if blk[k] != 0:
+                    refine_nonzero(br, blk, k)
+                k += 1
+            state["eobrun"] -= 1
+
+    body = ac_first if ah == 0 else ac_refine
+    for by in range(rows_u):
+        for bx in range(cols_u):
+            restart_check()
+            body(coeff[ci][by * cols_p + bx])

@@ -48,6 +48,7 @@ def encode_pdf(
     object_streams: bool = False,
     dct: bool = False,
     dct_quality: int = 90,
+    dct_progressive: bool = False,
 ) -> bytes:
     """Serialize page images into a PDF — H x W uint8 (DeviceGray) or
     H x W x 3 uint8 (DeviceRGB) arrays; ``compress=True`` Flate-encodes
@@ -90,7 +91,7 @@ def encode_pdf(
         if dct:
             from pdf_ocr_spark.sources.jpegcodec import encode_jpeg
 
-            raw = encode_jpeg(img, dct_quality)
+            raw = encode_jpeg(img, dct_quality, progressive=dct_progressive)
             filt = "/Filter /DCTDecode "
         else:
             raw = np.ascontiguousarray(img).tobytes()

@@ -82,7 +82,14 @@ def media_ref_for(doc_id: int) -> str:
 
 def avi_corpus(documents: DataFrame) -> DataFrame:
     """(media_ref, payload) rows, one MJPEG AVI per ``documents`` row —
-    synthesized on executors from ``doc_id`` alone (0 shuffles)."""
+    synthesized on executors from ``doc_id`` alone. JPEG encoding is an
+    expensive narrow projection, so the few-splits parallelism guard
+    applies (measured: the sf0.1 bench query ran on ~2 of 32 cores
+    without it; no-op at scale where inputs carry thousands of
+    splits)."""
+    from pdf_ocr_spark.operators.dedup import _ensure_parallelism
+
+    documents = _ensure_parallelism(documents.select("doc_id"))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -53,8 +53,8 @@ def test_typed_errors_name_the_feature():
         decode_jpeg(b"not a jpeg")
     data = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
     sof_at = bytes(data).find(b"\xff\xc0")
-    data[sof_at + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(ValueError, match="SOF2"):
+    data[sof_at + 1] = 0xC3  # rewrite SOF0 -> SOF3 (lossless — unsupported)
+    with pytest.raises(ValueError, match="SOF3"):
         decode_jpeg(bytes(data))
 
 
@@ -179,3 +179,126 @@ def test_interop_decodes_real_third_party_jpegs():
         if min(img.shape[:2]) >= 100:  # photo-sized: check smoothness
             grad = np.abs(np.diff(img.astype(int), axis=1)).mean()
             assert grad < 30, grad
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) — round 4
+# ---------------------------------------------------------------------------
+
+
+def test_progressive_equals_baseline_pixels():
+    """Progressive and baseline encode the same quantized coefficients,
+    so their decodes must be pixel-identical — a full equivalence
+    oracle over every scan type (DC first/refine, AC first/refine)."""
+    rng = np.random.RandomState(7)
+    cases = [
+        ((32, 48), "444"),
+        ((17, 23), "444"),       # non-multiple-of-8
+        ((40, 56, 3), "422"),
+        ((24, 24, 3), "420"),    # padded-vs-natural luma grid asymmetry
+        ((30, 42, 3), "420"),
+    ]
+    for shape, sub in cases:
+        img = rng.randint(0, 256, size=shape).astype(np.uint8)
+        for q in (60, 90, 100):
+            base = decode_jpeg(encode_jpeg(img, quality=q, subsampling=sub))
+            prog = decode_jpeg(
+                encode_jpeg(img, quality=q, subsampling=sub, progressive=True)
+            )
+            np.testing.assert_array_equal(base, prog, err_msg=f"{shape} {sub} q{q}")
+
+
+def test_progressive_text_page_ocr_quality():
+    """A rendered text page through the progressive path keeps the
+    binarization-survival contract (same as the baseline test)."""
+    img = render_text_image("PROGRESSIVE SCAN TEST 123")
+    out = decode_jpeg(encode_jpeg(img, quality=90, progressive=True))
+    assert out.shape == img.shape
+    assert np.array_equal(out < 128, img < 128)
+
+
+def test_progressive_flat_frame_still_bit_exact():
+    img = np.full((32, 48), 77, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=100, progressive=True))
+    np.testing.assert_array_equal(out, img)
+
+
+def test_progressive_truncated_raises():
+    data = encode_jpeg(np.zeros((16, 16), np.uint8), progressive=True)
+    with pytest.raises(ValueError):
+        decode_jpeg(data[: len(data) // 2])
+
+
+def test_progressive_restart_interval_rejected_by_encoder():
+    with pytest.raises(ValueError, match="restart"):
+        encode_jpeg(np.zeros((16, 16), np.uint8), progressive=True, restart_interval=2)
+
+
+def _seg(marker, payload):
+    return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+
+def test_progressive_eob_run_decode():
+    """Real progressive producers emit EOB *runs* with custom Huffman
+    tables (Annex-K has no (r<<4)|0 codes for r in 1..14, which is why
+    our encoder sticks to per-block EOBs). Hand-craft a two-block scan
+    whose AC band is one EOBRUN=2 symbol and check the decoder consumes
+    it: the image must equal the DC-only reconstruction."""
+    # frame: gray 8x16 -> two 8x8 blocks; all-1s quant table
+    dqt = _seg(0xDB, b"\x00" + bytes([1] * 64))
+    sof = _seg(0xC2, bytes([8]) + (8).to_bytes(2, "big") + (16).to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+    # DC table: symbol 3 with a 1-bit code (DC diffs of magnitude cat 3)
+    dht_dc = _seg(0xC4, bytes([0x00, 1] + [0] * 15 + [3]))
+    # AC table: single symbol 0x10 (EOBRUN with r=1) with a 1-bit code
+    dht_ac = _seg(0xC4, bytes([0x10, 1] + [0] * 15 + [0x10]))
+    # scan 1: DC first, Al=0. blocks DC values 4 and 5 (diffs 4, then 1
+    # ... use cat-3 diffs: 4 then -3 -> values 4, 1)
+    # cat 3 appended bits: 4 -> 100 ; -3 -> 100 (v + 2^3 - 1 = 4 -> 100)
+    ent_dc = bytes([0b0_100_0_100])  # [code=0][bits=100][code=0][bits=100]
+    sos_dc = _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00]))
+    # scan 2: AC first 1..63, Al=0: symbol 0x10 -> EOBRUN = (1<<1) + 1 extra bit
+    # code '0' + extra bit 0 -> EOBRUN=2 -> both blocks all-zero AC
+    ent_ac = bytes([0b00_111111])  # padded with 1-fill
+    sos_ac = _seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00]))
+    data = b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos_dc + ent_dc + sos_ac + ent_ac + b"\xff\xd9"
+    out = decode_jpeg(data)
+    assert out.shape == (8, 16)
+    # DC-only blocks: flat value round(128 + dc/8) per orthonormal DCT
+    assert np.all(out[:, :8] == out[0, 0]) and np.all(out[:, 8:] == out[0, 8])
+    assert out[0, 0] != out[0, 8]  # the two DC values differ
+
+
+def test_interop_decodes_real_progressive_jpegs():
+    """Real libjpeg-produced PROGRESSIVE files (custom Huffman tables,
+    genuine EOB runs, successive approximation — paths our own encoder
+    deliberately avoids) must decode smoothly. Skipped where absent."""
+    import os
+
+    candidates = [
+        "/usr/share/doc/nodejs/thin-white-stripe.jpg",
+        "/usr/share/doc/nodejs/full-white-stripe.jpg",
+        "/root/.rustup/toolchains/stable-x86_64-unknown-linux-gnu/share/doc/rust/html/embedded-book/assets/f3.jpg",
+    ]
+    present = [p for p in candidates if os.path.exists(p)]
+    if not present:
+        pytest.skip("no third-party progressive JPEGs on this system")
+    for p in present:
+        data = open(p, "rb").read()
+        assert b"\xff\xc2" in data[:4096]  # really progressive
+        img = decode_jpeg(data)
+        assert img.dtype == np.uint8 and img.ndim == 3
+        grad = np.abs(np.diff(img.astype(int), axis=1)).mean()
+        assert grad < 30, (p, grad)  # desynced Huffman would be ~85
+
+
+def test_progressive_dct_pdf_roundtrip_and_ocr():
+    """Scanned-PDF chain with PROGRESSIVE JPEG scans (/DCTDecode SOF2 —
+    what web-optimized PDF producers emit): parse -> progressive decode
+    -> OCR recovers the exact text."""
+    text = "PROGRESSIVE PDF SCAN 456"
+    page = render_text_image(text)
+    data = encode_pdf([page], dct=True, dct_quality=90, dct_progressive=True)
+    assert b"/DCTDecode" in data and b"\xff\xc2" in data
+    imgs = decode_pdf(data)
+    got, conf = ocr_decode(imgs[0])
+    assert got == text and conf == 1.0
