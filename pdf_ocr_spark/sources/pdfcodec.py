@@ -49,6 +49,7 @@ def encode_pdf(
     dct: bool = False,
     dct_quality: int = 90,
     dct_progressive: bool = False,
+    encrypt: bool = False,
 ) -> bytes:
     """Serialize page images into a PDF — H x W uint8 (DeviceGray) or
     H x W x 3 uint8 (DeviceRGB) arrays; ``compress=True`` Flate-encodes
@@ -108,8 +109,39 @@ def encode_pdf(
         f"<< /Type /Pages /Kids [{' '.join(kids)}] /Count {len(pages)} >>"
     ).encode()
 
+    trailer_extra = b""
+    enc = None
+    extra_toplevel: set[int] = set()
+    if encrypt:
+        # standard security handler, RC4-128 R3, empty user+owner
+        # passwords (readable without a prompt, encrypted on disk) —
+        # /ID from a content hash so output stays byte-stable
+        import hashlib
+
+        from pdf_ocr_spark.sources import pdfcrypt
+
+        id1 = hashlib.md5(b"".join(objects[n] for n in sorted(objects))).digest()
+        perms = -1
+        o = pdfcrypt.owner_entry(16, 3)
+        fkey = pdfcrypt.file_key(o, perms, id1, 3, 16)
+        u = pdfcrypt.user_entry(fkey, id1, 3)
+
+        def enc(num: int, raw: bytes) -> bytes:
+            return pdfcrypt.encrypt_object(fkey, num, raw)
+
+        for num in list(objects):
+            objects[num] = _encrypt_body_stream(objects[num], num, enc)
+        enc_num = max(objects) + 1
+        objects[enc_num] = (
+            b"<< /Filter /Standard /V 2 /R 3 /Length 128 /P %d /O <%s> /U <%s> >>"
+            % (perms, o.hex().upper().encode(), u.hex().upper().encode())
+        )
+        extra_toplevel.add(enc_num)
+        idhex = id1.hex().upper().encode()
+        trailer_extra = b" /Encrypt %d 0 R /ID [<%s> <%s>]" % (enc_num, idhex, idhex)
+
     if object_streams:
-        return _emit_pdf15(objects)
+        return _emit_pdf15(objects, extra_toplevel, enc, trailer_extra)
     out = bytearray(_HEADER)
     offsets: dict[int, int] = {}
     for num in sorted(objects):
@@ -122,25 +154,49 @@ def encode_pdf(
     for num in range(1, n):
         out += b"%010d 00000 n \n" % offsets[num]
     out += (
-        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-        % (n, xref_at)
+        b"trailer\n<< /Size %d /Root 1 0 R%s >>\nstartxref\n%d\n%%%%EOF\n"
+        % (n, trailer_extra, xref_at)
     )
     return bytes(out)
+
+
+def _encrypt_body_stream(body: bytes, num: int, enc) -> bytes:
+    """RC4 the stream payload of an already-serialized object body
+    (no-op for dict-only objects). Length-preserving, so /Length and
+    all offsets stay valid."""
+    m = re.search(rb"stream\r?\n", body)
+    if m is None:
+        return body
+    length = _int(_dict_of(body), b"Length")
+    start = m.end()
+    return body[:start] + enc(num, body[start : start + length]) + body[start + length :]
 
 
 _HEADER15 = b"%PDF-1.5\n"
 
 
-def _emit_pdf15(objects: dict[int, bytes]) -> bytes:
+def _emit_pdf15(
+    objects: dict[int, bytes],
+    extra_toplevel: set[int] | None = None,
+    enc=None,
+    trailer_extra: bytes = b"",
+) -> bytes:
     """PDF 1.5 emission: non-stream objects packed into one compressed
     /ObjStm; stream objects (contents, rasters) stay top-level (the
     spec forbids streams inside object streams); binary xref stream
-    (/W [1 4 2]) carrying the trailer fields, no ``trailer`` keyword."""
+    (/W [1 4 2]) carrying the trailer fields, no ``trailer`` keyword.
+    With encryption, the /Encrypt dict stays top-level (the spec
+    forbids it inside an object stream), the ObjStm payload is
+    RC4-encrypted under its own object number, and the xref stream
+    stays plaintext — all per ISO 32000-1 §7.5.7/§7.6.2."""
     # catalog (1), pages tree (2), page dicts (3+3i) are dict-only;
     # contents (4+3i) and rasters (5+3i) are stream objects and must
     # stay top-level (the spec forbids streams inside object streams)
+    extra_toplevel = extra_toplevel or set()
     packed = {
-        n: b for n, b in objects.items() if n < 3 or (n - 3) % 3 == 0
+        n: b
+        for n, b in objects.items()
+        if (n < 3 or (n - 3) % 3 == 0) and n not in extra_toplevel
     }
     toplevel = {n: b for n, b in objects.items() if n not in packed}
     objstm_num = max(objects) + 1
@@ -153,6 +209,8 @@ def _emit_pdf15(objects: dict[int, bytes]) -> bytes:
         payload += packed[num] + b"\n"
         index_in_stm[num] = i
     content = zlib.compress(bytes(header) + bytes(payload), 6)
+    if enc is not None:
+        content = enc(objstm_num, content)
     objstm_body = (
         b"<< /Type /ObjStm /N %d /First %d /Filter /FlateDecode /Length %d >>\n"
         b"stream\n%s\nendstream" % (len(packed), len(header), len(content), content)
@@ -181,8 +239,8 @@ def _emit_pdf15(objects: dict[int, bytes]) -> bytes:
             t, f2, f3 = 1, offsets[num], 0
         rows += bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
     xref_body = (
-        b"<< /Type /XRef /Size %d /W [1 4 2] /Root 1 0 R /Length %d >>\n"
-        b"stream\n%s\nendstream" % (size, len(rows), bytes(rows))
+        b"<< /Type /XRef /Size %d /W [1 4 2] /Root 1 0 R%s /Length %d >>\n"
+        b"stream\n%s\nendstream" % (size, trailer_extra, len(rows), bytes(rows))
     )
     out += _obj(xref_num, xref_body)
     out += b"startxref\n%d\n%%%%EOF\n" % xref_at
@@ -323,29 +381,117 @@ def _decode_stream(d: bytes, raw: bytes) -> bytes:
         raise ValueError("corrupt FlateDecode stream: %s" % e) from None
 
 
+def _pdf_string(d: bytes, key: bytes) -> bytes:
+    """A dictionary entry's string value: hex ``<...>`` or literal
+    ``(...)`` with the basic escapes the security handler needs."""
+    m = re.search(rb"/" + key + rb"\s*<([0-9A-Fa-f\s]*)>", d)
+    if m is not None:
+        return bytes.fromhex(m.group(1).decode().replace(" ", "").replace("\n", ""))
+    m = re.search(rb"/" + key + rb"\s*\(", d)
+    if m is None:
+        raise ValueError("missing /%s string" % key.decode())
+    out = bytearray()
+    i = m.end()
+    while i < len(d):
+        c = d[i]
+        if c == 0x5C:  # backslash escape
+            nxt = d[i + 1]
+            table = {0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12}
+            out.append(table.get(nxt, nxt))
+            i += 2
+        elif c == 0x29:  # ')'
+            return bytes(out)
+        else:
+            out.append(c)
+            i += 1
+    raise ValueError("unterminated /%s string" % key.decode())
+
+
+def _decrypt_fn(data: bytes, body, trailer: bytes):
+    """Standard-security-handler detection (ISO 32000-1 §7.6.3): when
+    the trailer names an /Encrypt dictionary, derive the file key from
+    the EMPTY user password (the common "encrypted but freely
+    readable" shape), validate it against /U, and return a per-object
+    stream decryptor. A failed /U check means a real password is
+    required -> typed error. Returns None for unencrypted files."""
+    em = re.search(rb"/Encrypt\s+(\d+)\s+0\s+R", trailer)
+    if em is None:
+        return None
+    from pdf_ocr_spark.sources import pdfcrypt
+
+    d = _dict_of(body(int(em.group(1))))
+    if not re.search(rb"/Filter\s*/Standard\b", d):
+        raise ValueError("unsupported PDF security handler (Standard only)")
+    v = _int(d, b"V")
+    r = _int(d, b"R")
+    if v not in (1, 2) or r not in (2, 3):
+        raise ValueError(
+            "unsupported encryption V=%d R=%d (RC4 V1/V2 R2/R3 only; AES needs V4+)"
+            % (v, r)
+        )
+    lm = re.search(rb"/Length\s+(\d+)", d)
+    key_bytes = (int(lm.group(1)) // 8) if lm else 5
+    pm = re.search(rb"/P\s+(-?\d+)", d)
+    if pm is None:
+        raise ValueError("missing /P")
+    o, u = _pdf_string(d, b"O"), _pdf_string(d, b"U")
+    idm = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f]+)>", trailer)
+    if idm is None:
+        raise ValueError("encrypted file missing /ID")
+    id1 = bytes.fromhex(idm.group(1).decode())
+    fkey = pdfcrypt.file_key(o, int(pm.group(1)), id1, r, key_bytes)
+    if not pdfcrypt.check_user_password(fkey, u, id1, r):
+        raise ValueError("password required (standard security handler)")
+    return lambda num, raw: pdfcrypt.decrypt_object(fkey, num, raw)
+
+
 def _load(data: bytes):
     """Resolve the object graph: top-level ``N 0 obj`` spans plus the
     members of every **/ObjStm** (PDF 1.5 object streams — decompressed
     and indexed via their ``N``/``First`` header), and the trailer
     dictionary — the classic ``trailer`` keyword when present, else the
     cross-reference stream's own dict (1.5 files have no keyword).
-    Returns ``(body, trailer_dict)`` where ``body(num)`` yields an
-    object's bytes wherever it lives."""
+    RC4-encrypted files (standard handler, empty user password) are
+    transparently decrypted. Returns ``(body, trailer_dict, decrypt)``
+    where ``body(num)`` yields an object's bytes wherever it lives and
+    ``decrypt`` is None or a ``(num, raw) -> bytes`` stream decryptor
+    for top-level stream objects."""
     spans = _objects(data)
-    packed: dict[int, bytes] = {}
     xref_dict: bytes | None = None
+    dicts: dict[int, bytes] = {}
     for num in spans:
         s, e = spans[num]
-        raw = data[s:e]
         try:
-            d = _dict_of(raw)
+            dicts[num] = _dict_of(data[s:e])
         except ValueError:
             continue
-        if re.search(rb"/Type\s*/XRef\b", d):
-            xref_dict = d
+        if re.search(rb"/Type\s*/XRef\b", dicts[num]):
+            xref_dict = dicts[num]
+
+    def span_body(num: int) -> bytes:
+        if num not in spans:
+            raise ValueError("dangling reference to object %d" % num)
+        s, e = spans[num]
+        return data[s:e]
+
+    troot = data.rfind(b"trailer")
+    if troot != -1:
+        trailer = data[troot:]
+    elif xref_dict is not None:
+        trailer = xref_dict
+    else:
+        raise ValueError("missing trailer")
+
+    decrypt = _decrypt_fn(data, span_body, trailer)
+
+    packed: dict[int, bytes] = {}
+    for num, d in dicts.items():
         if not re.search(rb"/Type\s*/ObjStm\b", d):
             continue
-        content = _decode_stream(d, _stream_of(raw, _int(d, b"Length")))
+        raw = _stream_of(span_body(num), _int(d, b"Length"))
+        if decrypt is not None:
+            raw = decrypt(num, raw)
+        content = _decode_stream(d, raw)
         first = _int(d, b"First")
         pairs = [int(x) for x in content[:first].split()]
         nums, offs = pairs[0::2], pairs[1::2]
@@ -357,27 +503,19 @@ def _load(data: bytes):
 
     def body(num: int) -> bytes:
         if num in spans:
-            s, e = spans[num]
-            return data[s:e]
+            return span_body(num)
         if num in packed:
             return packed[num]
         raise ValueError("dangling reference to object %d" % num)
 
-    troot = data.rfind(b"trailer")
-    if troot != -1:
-        trailer = data[troot:]
-    elif xref_dict is not None:
-        trailer = xref_dict
-    else:
-        raise ValueError("missing trailer")
-    return body, trailer
+    return body, trailer, decrypt
 
 
 def decode_pdf(data: bytes) -> list[np.ndarray]:
     """Parse a scanned-page-subset PDF into its page images, in order."""
     if not data.startswith(b"%PDF-"):
         raise ValueError("not a PDF (missing %PDF- header)")
-    body, trailer = _load(data)
+    body, trailer, decrypt = _load(data)
     catalog = _dict_of(body(_ref(trailer, b"Root")))
     pages_dict = _dict_of(body(_ref(catalog, b"Pages")))
     kids_m = re.search(rb"/Kids\s*\[([^\]]*)\]", pages_dict)
@@ -393,7 +531,8 @@ def decode_pdf(data: bytes) -> list[np.ndarray]:
         xobj_m = re.search(rb"/XObject\s*<<([^>]*)>>", page)
         if xobj_m is None:
             raise ValueError("page %d has no image XObject" % kid)
-        img_body = body(_ref(xobj_m.group(1), b"Im0"))
+        img_num = _ref(xobj_m.group(1), b"Im0")
+        img_body = body(img_num)
         d = _dict_of(img_body)
         if re.search(rb"/DeviceGray\b", d):
             channels = 1
@@ -407,6 +546,8 @@ def decode_pdf(data: bytes) -> list[np.ndarray]:
             )
         w, h = _int(d, b"Width"), _int(d, b"Height")
         stream = _stream_of(img_body, _int(d, b"Length"))
+        if decrypt is not None:
+            stream = decrypt(img_num, stream)
         if _filter_of(d) == b"DCTDecode":
             from pdf_ocr_spark.sources.jpegcodec import decode_jpeg
 
@@ -436,6 +577,6 @@ def page_count(data: bytes) -> int:
     app.py:415-430 uses the rasterizer's page list length)."""
     if not data.startswith(b"%PDF-"):
         raise ValueError("not a PDF (missing %PDF- header)")
-    body, trailer = _load(data)
+    body, trailer, _decrypt = _load(data)
     catalog = _dict_of(body(_ref(trailer, b"Root")))
     return _int(_dict_of(body(_ref(catalog, b"Pages"))), b"Count")
