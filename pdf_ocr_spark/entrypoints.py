@@ -1771,8 +1771,9 @@ def _pdf_fixture_dir(spark: SparkSession, sf: str, dct: bool = False) -> str:
     ).first()
     # codec-shape tag — bumps the cache when the fixture writer's
     # encoding changes (r3: compressed, then PDF 1.5 object streams,
-    # plus the /DCTDecode JPEG-scan variant corpus).
-    fingerprint = f"{agg['n']}:{agg['ck']}:{variant}"
+    # plus the /DCTDecode JPEG-scan variant corpus; r4: 1-in-5 docs
+    # RC4-encrypted, 1-in-3 DCT docs progressive).
+    fingerprint = f"{agg['n']}:{agg['ck']}:{variant}:r4enc"
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker):
         with open(marker) as f:
@@ -2688,6 +2689,12 @@ _WINDOW = 50
 _FORCE_WINDOW = {
     "set_except",  # r4: predicates made discriminating (was 0=0 rows)
     "html_metadata",  # r4: extended with OpenGraph/meta-property fields
+    # r4: fixture corpus now plants RC4-encrypted files (1 in 5) and
+    # progressive JPEG scans (1 in 3 of the DCT corpus) — a green row
+    # re-certifies the whole path including the new decode branches
+    "pdf_page_count",
+    "pdf_extract_text",
+    "pdf_extract_text_dct",
 }
 
 

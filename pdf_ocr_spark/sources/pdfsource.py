@@ -42,6 +42,13 @@ _DOC_RE = re.compile(r"doc_([^/]+)\.pdf$")
 #: :func:`_binary_scan`); at most one live entry.
 _SCAN_SESSIONS: dict = {}
 
+#: Fixture-corpus heterogeneity residues (see write_pdf_corpus):
+#: doc id % ENCRYPT_RESIDUES == 1 -> RC4-encrypted file;
+#: doc id % PROGRESSIVE_RESIDUES == 1 -> progressive JPEG scans (DCT
+#: corpus only).
+ENCRYPT_RESIDUES = 5
+PROGRESSIVE_RESIDUES = 3
+
 PDF_PAGES_SCHEMA = (
     "doc_id string, offset int, media_ref string, payload binary, parse_error string"
 )
@@ -78,7 +85,16 @@ def write_pdf_corpus(
     the inflate + object-stream paths, not just the raw fixture
     shape. ``dct=True`` instead stores each raster as a baseline JPEG
     (``/Filter /DCTDecode``) — the real-world color-scan layout,
-    decoded by the from-scratch codec in jpegcodec.py."""
+    decoded by the from-scratch codec in jpegcodec.py.
+
+    Round 4 — corpus heterogeneity, so the driver's exact-oracle gate
+    (not just pytest) certifies the new decode paths: every doc whose
+    numeric id satisfies ``id % ENCRYPT_RESIDUES`` is RC4-encrypted
+    (standard security handler, empty user password), and in the DCT
+    corpus every ``id % PROGRESSIVE_RESIDUES`` doc stores progressive
+    (SOF2) JPEG scans. Both transforms are content-transparent, so the
+    SQL oracles are unchanged — a hash match proves the decrypt and
+    progressive-decode paths return byte-identical text."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np  # noqa: F401  (renderer dependency, worker-side)
@@ -92,6 +108,10 @@ def write_pdf_corpus(
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 pages = page_texts(text or "", words_per_page)
                 images = [render_text_image(p) for p in pages]
+                try:
+                    d = int(doc_id)
+                except ValueError:
+                    d = 0
                 path = os.path.join(out_dir, f"doc_{doc_id}.pdf")
                 tmp = path + ".tmp"
                 with open(tmp, "wb") as f:
@@ -101,6 +121,8 @@ def write_pdf_corpus(
                             compress=compress,
                             object_streams=object_streams,
                             dct=dct,
+                            dct_progressive=dct and d % PROGRESSIVE_RESIDUES == 1,
+                            encrypt=d % ENCRYPT_RESIDUES == 1,
                         )
                     )
                 os.replace(tmp, path)  # atomic: readers never see partials

@@ -113,3 +113,30 @@ def test_spark_source_reads_encrypted_pdfs(spark, tmp_path):
     assert by_doc["enc"]["parse_error"] is None
     assert by_doc["enc"]["payload"] is not None
     assert "password" in by_doc["locked"]["parse_error"]
+
+
+def test_fixture_corpus_contains_variant_files(spark, tmp_path):
+    """The oracle fixture corpus must really carry the planted
+    heterogeneity: encrypted files at id % 5 == 1 and progressive
+    scans at id % 3 == 1 (DCT corpus), all decoding to the same text."""
+    import pandas as pd
+
+    from pdf_ocr_spark.sources.pdfsource import (
+        ENCRYPT_RESIDUES,
+        PROGRESSIVE_RESIDUES,
+        write_pdf_corpus,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [str(i) for i in range(8)],
+                      "text": [f"alpha beta gamma delta {i}" for i in range(8)]})
+    )
+    out = str(tmp_path / "corpus")
+    write_pdf_corpus(docs, out, dct=True).count()
+    for i in range(8):
+        data = open(f"{out}/doc_{i}.pdf", "rb").read()
+        assert (b"/Encrypt" in data) == (i % ENCRYPT_RESIDUES == 1), i
+        if i % ENCRYPT_RESIDUES != 1:  # SOF marker visible only in plaintext
+            assert (b"\xff\xc2" in data) == (i % PROGRESSIVE_RESIDUES == 1), i
+        imgs = decode_pdf(data)
+        assert len(imgs) >= 1
