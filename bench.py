@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "robots_decisions",
     "sitemap_entries",
     "recrawl_frontier",
+    "crawl_schedule",
     "audio_features",
     "video_frame_sample",
     "normalize_chain",

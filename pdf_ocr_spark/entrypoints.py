@@ -2389,6 +2389,102 @@ def _sitemap_frontier(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "crawl_schedule",
+    """
+WITH sm AS (
+    SELECT doc_id,
+           'site-' || (doc_id % 7) || '.example.' || (['com','org','net','io','co.uk'][doc_id % 5 + 1]) AS host,
+           'https://site-' || (doc_id % 7) || '.example.' || (['com','org','net','io','co.uk'][doc_id % 5 + 1]) || '/doc/' || doc_id AS loc,
+           '2026-' || lpad((1 + doc_id % 12)::VARCHAR, 2, '0') || '-' || lpad((1 + doc_id % 28)::VARCHAR, 2, '0') AS lastmod,
+           (doc_id % 10 + 1) / 10.0 AS priority
+    FROM documents
+),
+fl AS (
+    SELECT doc_id,
+           list_max(list_transform(range(0, 1 + doc_id % 3), j ->
+               '2026-' || lpad((1 + (doc_id + 2*j) % 12)::VARCHAR, 2, '0')
+                       || '-' || lpad((1 + (3*doc_id + 7*j) % 28)::VARCHAR, 2, '0')))
+           AS last_fetch
+    FROM documents WHERE doc_id % 4 != 3
+),
+frontier AS (
+    SELECT doc_id, host, loc, priority
+    FROM sm LEFT JOIN fl USING (doc_id)
+    WHERE (CASE WHEN (doc_id % 7) % 3 = 0
+                THEN starts_with(doc_id::VARCHAR, (doc_id % 7)::VARCHAR)
+                ELSE true END)
+      AND (fl.last_fetch IS NULL OR lastmod > fl.last_fetch)
+)
+SELECT host, loc, fetch_rank,
+       CAST((doc_id % 7) + 1 AS DOUBLE) AS delay_s,
+       CAST((fetch_rank - 1) * ((doc_id % 7) + 1) AS DOUBLE) AS fetch_at_s
+FROM (
+    SELECT doc_id, host, loc,
+           CAST(row_number() OVER (PARTITION BY host ORDER BY priority DESC, loc) AS INT) AS fetch_rank
+    FROM frontier
+)
+""",
+)
+def q_crawl_schedule(spark: SparkSession, sf: str) -> DataFrame:
+    """Politeness scheduling — the step after the frontier: per host,
+    due URLs are ranked (priority desc, loc tie-break) and assigned a
+    fetch offset of ``(rank-1) * Crawl-delay``, with the delay parsed
+    from each site's robots.txt by the REAL extension parser
+    (operators.robots.crawl_delay, same group selection as the RFC
+    evaluator). One host-keyed window shuffle over the frontier; the
+    per-host delay table is broadcast. The oracle re-derives the
+    schedule arithmetically (planted delay = site index + 1)."""
+    from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+    frontier = q_recrawl_frontier(spark, sf)
+
+    hosts = load_table(spark, sf, "documents").select(
+        (F.col("doc_id") % 7).cast("int").alias("k"),
+        (F.col("doc_id") % 5).cast("int").alias("t"),
+    ).distinct()
+
+    def gen_delays(batches):
+        import pandas as pd
+
+        from pdf_ocr_spark.operators.robots import crawl_delay
+        from pdf_ocr_spark.sources.webgen import SITE_TLDS, robots_for_site
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                [
+                    (
+                        f"site-{int(k)}.example.{SITE_TLDS[int(t)]}",
+                        crawl_delay(robots_for_site(int(k))) or 1.0,
+                    )
+                    for k, t in zip(pdf["k"], pdf["t"])
+                ],
+                columns=["host", "delay_s"],
+            )
+
+    delays = hosts.mapInPandas(
+        gen_delays,
+        StructType(
+            [
+                StructField("host", StringType(), False),
+                StructField("delay_s", DoubleType(), False),
+            ]
+        ),
+    )
+    w = Window.partitionBy("host").orderBy(F.col("priority").desc(), "loc")
+    return (
+        frontier.join(F.broadcast(delays), "host")
+        .withColumn("fetch_rank", F.row_number().over(w).cast("int"))
+        .select(
+            "host",
+            "loc",
+            "fetch_rank",
+            "delay_s",
+            ((F.col("fetch_rank") - 1) * F.col("delay_s")).cast("double").alias("fetch_at_s"),
+        )
+    )
+
+
+@_register(
     "recrawl_frontier",
     """
 WITH sm AS (
