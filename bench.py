@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "sitemap_entries",
     "recrawl_frontier",
     "crawl_schedule",
+    "sitemap_discovery",
     "audio_features",
     "video_frame_sample",
     "normalize_chain",

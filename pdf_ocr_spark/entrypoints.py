@@ -2311,16 +2311,13 @@ def _robots_rules_df(spark: SparkSession, sf: str) -> DataFrame:
         from pdf_ocr_spark.sources.webgen import SITE_TLDS, robots_for_site
 
         for pdf in batches:
-            yield pd.DataFrame(
-                [
-                    (
-                        f"site-{int(k)}.example.{SITE_TLDS[int(t)]}",
-                        robots_for_site(int(k)),
-                    )
-                    for k, t in zip(pdf["k"], pdf["t"])
-                ],
-                columns=["host", "robots_txt"],
-            )
+            rows = []
+            for k, t in zip(pdf["k"], pdf["t"]):
+                host = f"site-{int(k)}.example.{SITE_TLDS[int(t)]}"
+                # host passed so Sitemap: discovery lines are present —
+                # the rule evaluator must ignore them (oracle unchanged)
+                rows.append((host, robots_for_site(int(k), host)))
+            yield pd.DataFrame(rows, columns=["host", "robots_txt"])
 
     robots = hosts.mapInPandas(
         gen_robots,
@@ -2385,6 +2382,60 @@ def _sitemap_frontier(spark: SparkSession, sf: str) -> DataFrame:
     )
     return sitemap_entries(sitemaps).where(F.col("parse_error").isNull()).select(
         "host", "loc", "lastmod", "priority"
+    )
+
+
+@_register(
+    "sitemap_discovery",
+    """
+WITH hosts AS (
+    SELECT DISTINCT doc_id % 7 AS k,
+           'site-' || (doc_id % 7) || '.example.' || (['com','org','net','io','co.uk'][doc_id % 5 + 1]) AS host
+    FROM documents
+)
+SELECT host, CAST(0 AS INT) AS sm_pos,
+       'https://' || host || '/sitemap.xml' AS sitemap_url
+FROM hosts
+UNION ALL
+SELECT host, CAST(1 AS INT), 'https://' || host || '/sitemap-news.xml'
+FROM hosts WHERE k % 2 = 0
+""",
+)
+def q_sitemap_discovery(spark: SparkSession, sf: str) -> DataFrame:
+    """How a crawler finds sitemaps in the first place: the global
+    ``Sitemap:`` lines of each site's robots.txt (sitemaps.org robots
+    extension), parsed by the real discovery scanner — order-preserving
+    and independent of User-agent groups. Host-cardinality work only."""
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    hosts = load_table(spark, sf, "documents").select(
+        (F.col("doc_id") % 7).cast("int").alias("k"),
+        (F.col("doc_id") % 5).cast("int").alias("t"),
+    ).distinct()
+
+    def gen(batches):
+        import pandas as pd
+
+        from pdf_ocr_spark.operators.robots import sitemap_urls
+        from pdf_ocr_spark.sources.webgen import SITE_TLDS, robots_for_site
+
+        for pdf in batches:
+            rows = []
+            for k, t in zip(pdf["k"], pdf["t"]):
+                host = f"site-{int(k)}.example.{SITE_TLDS[int(t)]}"
+                for pos, url in enumerate(sitemap_urls(robots_for_site(int(k), host))):
+                    rows.append((host, pos, url))
+            yield pd.DataFrame(rows, columns=["host", "sm_pos", "sitemap_url"])
+
+    return hosts.mapInPandas(
+        gen,
+        StructType(
+            [
+                StructField("host", StringType(), False),
+                StructField("sm_pos", IntegerType(), False),
+                StructField("sitemap_url", StringType(), False),
+            ]
+        ),
     )
 
 

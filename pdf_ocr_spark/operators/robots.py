@@ -93,6 +93,20 @@ def parse_robots(text: str, agent: str = "*") -> list[tuple[str, str]]:
     return [r for agents, rules_ in groups for r in rules_ if "*" in agents]
 
 
+def sitemap_urls(text: str) -> list[str]:
+    """``Sitemap:`` discovery lines (sitemaps.org robots extension) in
+    file order. Per the protocol they are global — independent of any
+    User-agent group — so this is a plain line scan, case-insensitive
+    key, comments stripped."""
+    out: list[str] = []
+    for raw in (text or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        key, _, value = line.partition(":")
+        if key.strip().lower() == "sitemap" and value.strip():
+            out.append(value.strip())
+    return out
+
+
 def robots_rules_table(robots: DataFrame) -> DataFrame:
     """(host, robots_txt) -> exploded rule rows for the default agent.
     One Arrow pass; at web scale this table is ~1 row per host-rule —

@@ -239,15 +239,23 @@ def site_host(doc_id: int) -> str:
     return f"site-{doc_id % 7}.example.{SITE_TLDS[doc_id % 5]}"
 
 
-def robots_for_site(k: int) -> str:
+def robots_for_site(k: int, host: str | None = None) -> str:
     """robots.txt for site index ``k`` (RFC 9309 format). Planted rule
     shapes exercise real evaluator behavior: a decoy non-* group (must
     be ignored for the default agent), longest-match precedence
     (``Disallow: /doc/`` vs the longer ``Allow: /doc/{k}``), comments,
-    and a Crawl-delay extension line. Derivable from ``k`` alone, so
-    the oracle can reconstruct every decision arithmetically."""
-    lines = [
-        "# synthetic fixture robots",
+    and a Crawl-delay extension line. With ``host``, global
+    ``Sitemap:`` discovery lines are planted before any group (one
+    sitemap always, a second news sitemap on even ``k``) — the rule
+    evaluator must ignore them, the discovery parser must return them
+    in order. Derivable from ``(k, host)`` alone, so the oracle can
+    reconstruct every decision arithmetically."""
+    lines = ["# synthetic fixture robots"]
+    if host is not None:
+        lines.append(f"Sitemap: https://{host}/sitemap.xml")
+        if k % 2 == 0:
+            lines.append(f"Sitemap: https://{host}/sitemap-news.xml")
+    lines += [
         "User-agent: badbot",
         "Disallow: /",
         "",

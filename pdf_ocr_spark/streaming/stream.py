@@ -408,3 +408,32 @@ def stream_extract_html(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_audio_features(
+    spark: SparkSession,
+    input_path: str,
+    out_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming audio ingestion: the WAV decode + feature kernel as a
+    stateless streaming projection — the exact batch operator runs on
+    the stream unchanged (``mapInPandas`` is stateless). Input: parquet
+    of (media_ref: string, payload: binary); output: parquet of
+    AUDIO_FEATURES_SCHEMA rows in append mode, error payloads included
+    as error rows (a poisoned record can never wedge the stream)."""
+    from pdf_ocr_spark.operators.multimodal import audio_features
+
+    schema = "media_ref STRING, payload BINARY"
+    stream = spark.readStream.schema(schema).parquet(input_path)
+    writer = (
+        audio_features(stream)
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -121,3 +121,23 @@ Crawl-delay: 10
     assert crawl_delay(txt, agent="fastbot") == 0.5
     assert crawl_delay("User-agent: *\nDisallow: /x\n") is None
     assert crawl_delay("User-agent: *\nCrawl-delay: soon\n") is None
+
+
+def test_sitemap_discovery_lines():
+    """Sitemap: lines are global (any position, any group), order-
+    preserving, case-insensitive, comment-stripped; rule evaluation
+    must ignore them entirely."""
+    from pdf_ocr_spark.operators.robots import parse_robots, sitemap_urls
+
+    text = (
+        "SiTeMaP: https://a.example/s1.xml  # inline comment\n"
+        "User-agent: *\n"
+        "Disallow: /x\n"
+        "sitemap: https://a.example/s2.xml\n"
+    )
+    assert sitemap_urls(text) == [
+        "https://a.example/s1.xml",
+        "https://a.example/s2.xml",
+    ]
+    assert parse_robots(text) == [("disallow", "/x")]
+    assert sitemap_urls("") == [] and sitemap_urls(None) == []

