@@ -50,6 +50,7 @@ def encode_pdf(
     dct_quality: int = 90,
     dct_progressive: bool = False,
     encrypt: bool = False,
+    cipher: str = "rc4",
 ) -> bytes:
     """Serialize page images into a PDF — H x W uint8 (DeviceGray) or
     H x W x 3 uint8 (DeviceRGB) arrays; ``compress=True`` Flate-encodes
@@ -113,29 +114,52 @@ def encode_pdf(
     enc = None
     extra_toplevel: set[int] = set()
     if encrypt:
-        # standard security handler, RC4-128 R3, empty user+owner
-        # passwords (readable without a prompt, encrypted on disk) —
-        # /ID from a content hash so output stays byte-stable
+        # standard security handler — RC4-128 R3 (cipher='rc4') or
+        # AES-128-CBC V4/R4 /AESV2 (cipher='aes') — empty user+owner
+        # passwords (readable without a prompt, encrypted on disk);
+        # /ID and AES IVs from content hashes so output is byte-stable
         import hashlib
 
         from pdf_ocr_spark.sources import pdfcrypt
 
+        if cipher not in ("rc4", "aes"):
+            raise ValueError("cipher must be 'rc4' or 'aes'")
+        rev = 4 if cipher == "aes" else 3
         id1 = hashlib.md5(b"".join(objects[n] for n in sorted(objects))).digest()
         perms = -1
-        o = pdfcrypt.owner_entry(16, 3)
-        fkey = pdfcrypt.file_key(o, perms, id1, 3, 16)
-        u = pdfcrypt.user_entry(fkey, id1, 3)
+        o = pdfcrypt.owner_entry(16, rev)
+        fkey = pdfcrypt.file_key(o, perms, id1, rev, 16)
+        u = pdfcrypt.user_entry(fkey, id1, min(rev, 3))
 
-        def enc(num: int, raw: bytes) -> bytes:
-            return pdfcrypt.encrypt_object(fkey, num, raw)
+        if cipher == "aes":
+
+            def enc(num: int, raw: bytes) -> bytes:
+                iv = hashlib.md5(b"iv" + id1 + num.to_bytes(4, "big")).digest()
+                return pdfcrypt.aes128_cbc_encrypt(
+                    pdfcrypt.object_key(fkey, num, aes=True), raw, iv
+                )
+
+        else:
+
+            def enc(num: int, raw: bytes) -> bytes:
+                return pdfcrypt.encrypt_object(fkey, num, raw)
 
         for num in list(objects):
             objects[num] = _encrypt_body_stream(objects[num], num, enc)
         enc_num = max(objects) + 1
-        objects[enc_num] = (
-            b"<< /Filter /Standard /V 2 /R 3 /Length 128 /P %d /O <%s> /U <%s> >>"
-            % (perms, o.hex().upper().encode(), u.hex().upper().encode())
-        )
+        if cipher == "aes":
+            objects[enc_num] = (
+                b"<< /Filter /Standard /V 4 /R 4 /Length 128 "
+                b"/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >> "
+                b"/StmF /StdCF /StrF /StdCF "
+                b"/P %d /O <%s> /U <%s> >>"
+                % (perms, o.hex().upper().encode(), u.hex().upper().encode())
+            )
+        else:
+            objects[enc_num] = (
+                b"<< /Filter /Standard /V 2 /R 3 /Length 128 /P %d /O <%s> /U <%s> >>"
+                % (perms, o.hex().upper().encode(), u.hex().upper().encode())
+            )
         extra_toplevel.add(enc_num)
         idhex = id1.hex().upper().encode()
         trailer_extra = b" /Encrypt %d 0 R /ID [<%s> <%s>]" % (enc_num, idhex, idhex)
@@ -161,15 +185,23 @@ def encode_pdf(
 
 
 def _encrypt_body_stream(body: bytes, num: int, enc) -> bytes:
-    """RC4 the stream payload of an already-serialized object body
-    (no-op for dict-only objects). Length-preserving, so /Length and
-    all offsets stay valid."""
+    """Encrypt the stream payload of an already-serialized object body
+    (no-op for dict-only objects). RC4 preserves length; AES grows the
+    payload (IV + padding), so the dict's /Length is patched to the
+    ciphertext size — per spec /Length always describes the bytes
+    physically in the file."""
     m = re.search(rb"stream\r?\n", body)
     if m is None:
         return body
     length = _int(_dict_of(body), b"Length")
     start = m.end()
-    return body[:start] + enc(num, body[start : start + length]) + body[start + length :]
+    ct = enc(num, body[start : start + length])
+    head = body[:start]
+    if len(ct) != length:
+        head = re.sub(
+            rb"/Length\s+%d\b" % length, b"/Length %d" % len(ct), head, count=1
+        )
+    return head + ct + body[start + length :]
 
 
 _HEADER15 = b"%PDF-1.5\n"
@@ -424,13 +456,25 @@ def _decrypt_fn(data: bytes, body, trailer: bytes):
         raise ValueError("unsupported PDF security handler (Standard only)")
     v = _int(d, b"V")
     r = _int(d, b"R")
-    if v not in (1, 2) or r not in (2, 3):
+    aes = False
+    if v == 4 and r == 4:
+        # crypt-filter dispatch: /AESV2 (AES-128-CBC) or /V2 (RC4)
+        if re.search(rb"/CFM\s*/AESV2\b", d):
+            aes = True
+        elif not re.search(rb"/CFM\s*/V2\b", d):
+            cfm = re.search(rb"/CFM\s*/(\w+)", d)
+            raise ValueError(
+                "unsupported crypt filter /%s (AESV2 and V2 only)"
+                % (cfm.group(1).decode() if cfm else "<missing>")
+            )
+    elif v not in (1, 2) or r not in (2, 3):
         raise ValueError(
-            "unsupported encryption V=%d R=%d (RC4 V1/V2 R2/R3 only; AES needs V4+)"
+            "unsupported encryption V=%d R=%d (RC4 V1/V2 R2/R3, AES V4/R4 only)"
             % (v, r)
         )
+    encrypt_metadata = not re.search(rb"/EncryptMetadata\s+false", d)
     lm = re.search(rb"/Length\s+(\d+)", d)
-    key_bytes = (int(lm.group(1)) // 8) if lm else 5
+    key_bytes = 16 if aes else (int(lm.group(1)) // 8) if lm else 5
     pm = re.search(rb"/P\s+(-?\d+)", d)
     if pm is None:
         raise ValueError("missing /P")
@@ -439,9 +483,15 @@ def _decrypt_fn(data: bytes, body, trailer: bytes):
     if idm is None:
         raise ValueError("encrypted file missing /ID")
     id1 = bytes.fromhex(idm.group(1).decode())
-    fkey = pdfcrypt.file_key(o, int(pm.group(1)), id1, r, key_bytes)
-    if not pdfcrypt.check_user_password(fkey, u, id1, r):
+    fkey = pdfcrypt.file_key(
+        o, int(pm.group(1)), id1, r, key_bytes, encrypt_metadata=encrypt_metadata
+    )
+    if not pdfcrypt.check_user_password(fkey, u, id1, min(r, 3)):
         raise ValueError("password required (standard security handler)")
+    if aes:
+        return lambda num, raw: pdfcrypt.aes128_cbc_decrypt(
+            pdfcrypt.object_key(fkey, num, aes=True), raw
+        )
     return lambda num, raw: pdfcrypt.decrypt_object(fkey, num, raw)
 
 

@@ -140,3 +140,74 @@ def test_fixture_corpus_contains_variant_files(spark, tmp_path):
             assert (b"\xff\xc2" in data) == (i % PROGRESSIVE_RESIDUES == 1), i
         imgs = decode_pdf(data)
         assert len(imgs) >= 1
+
+
+def test_aes128_fips197_vectors():
+    """FIPS-197 appendix B and C.1 — pins the from-scratch cipher,
+    generated S-box included, independent of our own round trips."""
+    from pdf_ocr_spark.sources.pdfcrypt import (
+        _aes128_decrypt_block,
+        _aes128_encrypt_block,
+        _expand_key,
+    )
+
+    key = bytes.fromhex("2b7e151628aed2a6abf7158809cf4f3c")
+    pt = bytes.fromhex("3243f6a8885a308d313198a2e0370734")
+    assert _aes128_encrypt_block(_expand_key(key), pt).hex() == (
+        "3925841d02dc09fbdc118597196a0b32"
+    )
+    key2 = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    pt2 = bytes.fromhex("00112233445566778899aabbccddeeff")
+    ct2 = _aes128_encrypt_block(_expand_key(key2), pt2)
+    assert ct2.hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"
+    assert _aes128_decrypt_block(_expand_key(key2), ct2) == pt2
+
+
+def test_aes_cbc_roundtrip_and_padding_errors():
+    from pdf_ocr_spark.sources.pdfcrypt import aes128_cbc_decrypt, aes128_cbc_encrypt
+
+    key = bytes(range(16))
+    for n in (0, 1, 15, 16, 17, 100):
+        data = bytes(range(256))[:n]
+        enc = aes128_cbc_encrypt(key, data, iv=b"\x01" * 16)
+        assert aes128_cbc_decrypt(key, enc) == data
+    with pytest.raises(ValueError, match="length"):
+        aes128_cbc_decrypt(key, b"short")
+    enc = aes128_cbc_encrypt(key, b"hello", iv=b"\x02" * 16)
+    with pytest.raises(ValueError, match="padding"):
+        aes128_cbc_decrypt(bytes(16), enc)  # wrong key -> bad padding
+
+
+@pytest.mark.parametrize("object_streams", [False, True])
+def test_aes_encrypted_pdf_roundtrip(object_streams):
+    """V4 /AESV2 — the post-2006 default encrypted-but-readable shape."""
+    page = render_text_image("AES ENCRYPTED PDF 456")
+    data = encode_pdf(
+        [page, page], compress=True, object_streams=object_streams,
+        encrypt=True, cipher="aes",
+    )
+    assert b"/AESV2" in data and b"/V 4" in data
+    assert page_count(data) == 2
+    out = decode_pdf(data)
+    assert len(out) == 2
+    np.testing.assert_array_equal(out[0], page)
+    raw = np.ascontiguousarray(page).tobytes()
+    assert raw not in data
+    assert data == encode_pdf(
+        [page, page], compress=True, object_streams=object_streams,
+        encrypt=True, cipher="aes",
+    )
+
+
+def test_aes_wrong_password_and_unknown_cfm():
+    page = render_text_image("X")
+    data = bytearray(encode_pdf([page], encrypt=True, cipher="aes"))
+    at = bytes(data).find(b"/U <") + 4
+    tampered = bytearray(data)
+    tampered[at : at + 8] = b"00000000"
+    with pytest.raises(ValueError, match="password"):
+        decode_pdf(bytes(tampered))
+    at = bytes(data).find(b"/CFM /AESV2")
+    data[at : at + 11] = b"/CFM /AESV3"
+    with pytest.raises(ValueError, match="AESV3"):
+        decode_pdf(bytes(data))
