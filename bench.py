@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "sitemap_discovery",
     "audio_features",
     "video_frame_sample",
+    "multimodal_extract",
     "normalize_chain",
     "paragraph_explode",
     "reassemble_txt",

@@ -2788,6 +2788,85 @@ def q_video_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     return frame_features(frames)
 
 
+@_register(
+    "multimodal_extract",
+    """
+WITH spans AS (
+    SELECT doc_id, g.j,
+           (['text','image','audio','video'])[((doc_id + g.j) % 4) + 1] AS kind
+    FROM documents, generate_series(0, 5) AS g(j)
+    WHERE g.j < 4 + doc_id % 3
+)
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(j AS INT) AS "offset", kind,
+       CASE kind
+         WHEN 'text' THEN 'text span ' || doc_id || '-' || j
+         WHEN 'image' THEN 'DOC ' || doc_id || ' SPAN ' || j
+         WHEN 'audio' THEN
+             CASE WHEN (doc_id*31 + j) % 50 = 3 THEN 'error: not a RIFF/WAVE payload'
+                  ELSE 'audio ' || (1600 + ((doc_id*31 + j) % 5) * 400)
+                       || '@' || (8000 + ((doc_id*31 + j) % 4) * 2000) END
+         WHEN 'video' THEN
+             CASE WHEN (doc_id*37 + j) % 47 = 5 THEN 'error: not a RIFF/AVI payload'
+                  ELSE 'video ' || (5 + (doc_id*37 + j) % 6) || 'f '
+                       || (48 + ((doc_id*37 + j) % 5) * 16)
+                       || 'x' || (32 + ((doc_id*37 + j) % 4) * 8) END
+       END AS content
+FROM spans
+""",
+)
+def q_multimodal_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """The input_hint's interleaved span model with EVERY media kind at
+    once: per document, 4-6 spans rotating text / image / audio /
+    video; payloads synthesized from (doc_id, offset) arithmetic and
+    extracted back by the kind-dispatched operator (OCR for images, WAV
+    stream parse for audio, AVI container walk for video, with planted
+    corrupt payloads contained as error rows) — one narrow Arrow chain,
+    0 shuffles, exact oracle across all four modalities."""
+    from pdf_ocr_spark.operators.dedup import _ensure_parallelism
+    from pdf_ocr_spark.operators.multimodal import extract_media_spans
+
+    docs = _ensure_parallelism(
+        load_table(spark, sf, "documents").select("doc_id")
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        from pdf_ocr_spark.sources.audiogen import audio_payload_for
+        from pdf_ocr_spark.sources.glyphs import render_text_image
+        from pdf_ocr_spark.sources.pngcodec import encode_png
+        from pdf_ocr_spark.sources.videogen import avi_payload_for
+
+        kinds = ("text", "image", "audio", "video")
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "offset", "kind", "text", "payload")}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                for j in range(4 + d % 3):
+                    kind = kinds[(d + j) % 4]
+                    text = payload = None
+                    if kind == "text":
+                        text = f"text span {d}-{j}"
+                    elif kind == "image":
+                        payload = encode_png(render_text_image(f"DOC {d} SPAN {j}"))
+                    elif kind == "audio":
+                        payload = audio_payload_for(d * 31 + j)
+                    else:
+                        payload = avi_payload_for(d * 37 + j)
+                    rows["doc_id"].append(str(d))
+                    rows["offset"].append(j)
+                    rows["kind"].append(kind)
+                    rows["text"].append(text)
+                    rows["payload"].append(payload)
+            yield pd.DataFrame(rows)
+
+    spans = docs.mapInPandas(
+        synth,
+        schema="doc_id string, offset int, kind string, text string, payload binary",
+    )
+    return extract_media_spans(spans)
+
+
 @_register("audio_features", _audio_oracle_sql())
 def q_audio_features(spark: SparkSession, sf: str) -> DataFrame:
     """From-scratch WAV audio over the documents table: synthesize one

@@ -266,6 +266,72 @@ def video_frame_sample(
     return media.mapInPandas(kernel, schema=VIDEO_FRAMES_SCHEMA)
 
 
+MEDIA_SPANS_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("offset", IntegerType(), False),
+        StructField("kind", StringType(), False),
+        StructField("content", StringType(), False),
+    ]
+)
+
+
+def extract_media_spans(spans: DataFrame) -> DataFrame:
+    """Kind-dispatched extraction over interleaved span rows — the
+    input_hint shape with every media kind handled in ONE Arrow stage
+    (0 shuffles): ``(doc_id, offset, kind, text, payload)`` ->
+    ``(doc_id, offset, kind, content)`` where
+
+    * ``text``  -> the span text as-is,
+    * ``image`` -> OCR-decoded page text (PNG payload),
+    * ``audio`` -> ``audio {n}@{rate}`` from the WAV stream header+data,
+    * ``video`` -> ``video {frames}f {w}x{h}`` from the AVI container,
+    * any undecodable payload -> ``error: ...`` (error-as-row, the
+      reference's page-failure containment, app.py:323-337).
+
+    This is the engine-side dispatch table the reference implements
+    for OCR engines (app.py:243-323), generalized across modalities.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_ocr_spark.operators.imaging import ocr_decode, to_grayscale
+        from pdf_ocr_spark.sources.avicodec import decode_avi
+        from pdf_ocr_spark.sources.pngcodec import decode_png
+        from pdf_ocr_spark.sources.wavcodec import decode_wav
+
+        for pdf in batches:
+            contents = []
+            for kind, text, payload in zip(pdf["kind"], pdf["text"], pdf["payload"]):
+                try:
+                    if kind == "text":
+                        contents.append(text or "")
+                    elif kind == "image":
+                        decoded, _conf = ocr_decode(
+                            to_grayscale(decode_png(bytes(payload)))
+                        )
+                        contents.append(decoded)
+                    elif kind == "audio":
+                        samples, rate = decode_wav(bytes(payload))
+                        contents.append(f"audio {len(samples)}@{rate}")
+                    elif kind == "video":
+                        w, h, frames = decode_avi(bytes(payload))
+                        contents.append(f"video {len(frames)}f {w}x{h}")
+                    else:
+                        raise ValueError(f"unknown span kind {kind!r}")
+                except Exception as e:
+                    contents.append(f"error: {e}")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "offset": pdf["offset"],
+                    "kind": pdf["kind"],
+                    "content": contents,
+                }
+            )
+
+    return spans.mapInPandas(kernel, schema=MEDIA_SPANS_SCHEMA)
+
+
 FRAME_FEATURES_SCHEMA = StructType(
     [
         StructField("media_ref", StringType(), False),

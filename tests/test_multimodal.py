@@ -91,3 +91,35 @@ def test_video_frame_sample_with_injected_decoder(spark, media):
         bytes(encode_png(render_text_image("METADATA TEST")))
     ).shape
     assert by_ref["m://bad"][0]["frame_no"] == -1  # error row
+
+
+def test_extract_media_spans_dispatch_and_containment(spark):
+    """Kind-dispatched extraction: every modality decodes through its
+    real from-scratch codec; garbage payloads and unknown kinds become
+    error rows, never task failures."""
+    import pandas as pd
+
+    from pdf_ocr_spark.operators.multimodal import extract_media_spans
+    from pdf_ocr_spark.sources.audiogen import audio_payload_for
+    from pdf_ocr_spark.sources.glyphs import render_text_image
+    from pdf_ocr_spark.sources.videogen import avi_payload_for
+
+    png = encode_png(render_text_image("HELLO 42"))
+    rows = pd.DataFrame(
+        {
+            "doc_id": ["d"] * 6,
+            "offset": list(range(6)),
+            "kind": ["text", "image", "audio", "video", "image", "alien"],
+            "text": ["plain", None, None, None, None, None],
+            "payload": [None, png, audio_payload_for(4), avi_payload_for(4),
+                        b"not a png", b""],
+        }
+    )
+    df = spark.createDataFrame(rows)
+    out = {r["offset"]: r["content"] for r in extract_media_spans(df).collect()}
+    assert out[0] == "plain"
+    assert out[1] == "HELLO 42"
+    assert out[2].startswith("audio ") and "@" in out[2]
+    assert out[3].startswith("video ") and "x" in out[3]
+    assert out[4].startswith("error:")
+    assert out[5].startswith("error:") and "alien" in out[5]
