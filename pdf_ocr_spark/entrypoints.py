@@ -2909,18 +2909,20 @@ def q_audio_features(spark: SparkSession, sf: str) -> DataFrame:
 #: demote list to maintain.
 _WINDOW = 50
 
-#: Queries whose semantics/oracle changed THIS round: prior green rows
-#: no longer certify the current form, so they re-enter the window as
-#: if never green. Clear entries once the round's artifact is in.
-_FORCE_WINDOW = {
-    "set_except",  # r4: predicates made discriminating (was 0=0 rows)
-    "html_metadata",  # r4: extended with OpenGraph/meta-property fields
+#: Queries whose semantics/oracle changed in a given round: prior
+#: green rows no longer certify the current form, so they re-enter the
+#: window as if never green — but only until that round's own
+#: CORRECTNESS artifact lands (self-expiring: the value is the round
+#: whose artifact re-certifies the query, so no manual cleanup).
+_FORCE_WINDOW_UNTIL = {
+    "set_except": 4,  # r4: predicates made discriminating (was 0=0 rows)
+    "html_metadata": 4,  # r4: extended with OpenGraph/meta-property fields
     # r4: fixture corpus now plants RC4-encrypted files (1 in 5) and
     # progressive JPEG scans (1 in 3 of the DCT corpus) — a green row
     # re-certifies the whole path including the new decode branches
-    "pdf_page_count",
-    "pdf_extract_text",
-    "pdf_extract_text_dct",
+    "pdf_page_count": 4,
+    "pdf_extract_text": 4,
+    "pdf_extract_text_dct": 4,
 }
 
 
@@ -2964,9 +2966,14 @@ def _reorder_registry() -> None:
     green = _green_history()
     exact = [q for q in QUERIES if q in ORACLES]
     reg_pos = {q: i for i, q in enumerate(exact)}
-    exact.sort(
-        key=lambda q: (0 if q in _FORCE_WINDOW else green.get(q, 0), reg_pos[q])
-    )
+
+    def effective_green(q: str) -> int:
+        # a force entry discounts green rows from rounds BEFORE the
+        # change; rows from the change round onward count normally
+        g = green.get(q, 0)
+        return 0 if g < _FORCE_WINDOW_UNTIL.get(q, 0) else g
+
+    exact.sort(key=lambda q: (effective_green(q), reg_pos[q]))
     tail = [q for q in QUERIES if q not in ORACLES]
     ordered = exact + tail
     assert len(ordered) == len(QUERIES), (len(ordered), len(QUERIES))
