@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "serialize_html",
     "page_count",
     "dedup_exact",
+    "dedup_substring",
     "dedup_minhash_lsh",
     "simhash_signatures",
     "doc_fingerprint",

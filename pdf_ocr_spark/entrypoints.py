@@ -2789,6 +2789,47 @@ def q_video_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "dedup_substring",
+    f"""
+WITH corpus AS (
+    SELECT doc_id AS id, {sql_tokens('text')} AS toks FROM documents
+    UNION ALL
+    SELECT doc_id + 100000, {sql_tokens('text')} FROM documents WHERE doc_id % 10 = 0
+),
+w AS (
+    SELECT id, array_to_string(toks[i+1:i+15], ' ') AS window_text
+    FROM corpus, generate_series(0, 4000) AS g(i)
+    WHERE i + 15 <= len(toks)
+)
+SELECT window_text, count(DISTINCT id) AS n_docs, count(*) AS n_occurrences
+FROM w GROUP BY window_text HAVING count(DISTINCT id) >= 2
+""",
+)
+def q_dedup_substring(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-substring dedup (Lee et al.'s training-corpus form):
+    identical 15-token runs recurring across documents, over the
+    corpus plus planted full copies of every 10th document (the
+    established dedup fixture pattern — guarantees a discriminating,
+    non-empty result at every scale factor; ~2.5k duplicated windows
+    at sf0.001). One tokenize+slide stage and one window-keyed
+    aggregation; see :func:`substring_dup_windows` for the 100 TB
+    hashing note."""
+    from pdf_ocr_spark.operators.dedup import substring_dup_windows
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    dup = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(dup)
+    out = substring_dup_windows(corpus, window=15)
+    return out.select(
+        "window_text",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_occurrences").cast("long").alias("n_occurrences"),
+    )
+
+
+@_register(
     "multimodal_extract",
     """
 WITH spans AS (

@@ -607,3 +607,51 @@ def simhash_from_tokens(toks: Column, bits: int = SIMHASH_BITS) -> Column:
     bound column + :func:`simhash_from_hashes` in hot paths; this
     convenience form hashes inline (each aggregate re-evaluates md5)."""
     return simhash_from_hashes(F.transform(toks, F.md5), bits)
+
+
+def substring_dup_windows(
+    df: DataFrame,
+    window: int = 15,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring deduplication at token-window granularity — the
+    training-corpus form (identical ``window``-token runs recurring
+    across documents, the signal behind "exact substring dedup" in LLM
+    data pipelines): tokenize, slide a stride-1 window, and aggregate
+    each distinct window text over the corpus, reporting those present
+    in >= 2 distinct documents with document frequency and occurrence
+    count.
+
+    Plan shape: one narrow tokenize+explode stage, then a single
+    window-keyed aggregation (countDistinct expands to Spark's
+    two-phase distinct plan). Stride-1 windows amplify bytes ~W-fold;
+    at 100 TB the window column would be hashed (xxhash64) before the
+    shuffle with only candidate groups rehydrating text — here text is
+    carried directly so the DuckDB oracle can compare exact content.
+    The ``size < window`` guard matters: Spark's ``sequence(0, n)``
+    with n < 0 is DESCENDING, not empty."""
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("toks")
+    )
+    starts = F.when(
+        F.size("toks") >= window,
+        F.sequence(F.lit(0), F.size("toks") - F.lit(window)),
+    ).otherwise(F.array().cast("array<int>"))
+    wins = toks.select(
+        "id",
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.array_join(F.slice("toks", i + 1, window), " "),
+            )
+        ).alias("window_text"),
+    )
+    return (
+        wins.groupBy("window_text")
+        .agg(
+            F.countDistinct("id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )

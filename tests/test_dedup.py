@@ -160,3 +160,27 @@ def test_release_session_blocks_frees_checkpoints(spark):
     # session still works end-to-end after the release
     assert minhash_near_dup(docs, threshold=0.5).count() >= 0
     release_session_blocks(spark)
+
+
+def test_substring_dup_windows_semantics(spark):
+    """Planted 20-token overlap across two docs is found window-exactly;
+    sub-window docs are guarded (sequence(0, n<0) is DESCENDING)."""
+    from pdf_ocr_spark.operators.dedup import substring_dup_windows
+
+    shared = " ".join(f"tok{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [
+            (1, "intro words here " + shared + " tail one"),
+            (2, shared + " completely different ending"),
+            (3, "unrelated text with no overlap at all"),
+            (4, "tiny"),  # < window tokens -> zero windows, no crash
+        ],
+        "doc_id long, text string",
+    )
+    out = substring_dup_windows(df, window=15).collect()
+    assert out, "shared run must produce duplicated windows"
+    # 20 shared tokens -> 6 shared 15-token windows
+    assert len(out) == 6
+    for r in out:
+        assert r["n_docs"] == 2 and r["n_occurrences"] == 2
+        assert r["window_text"].split(" ")[0].startswith("tok")
