@@ -475,6 +475,10 @@ def _decrypt_fn(data: bytes, body, trailer: bytes):
     encrypt_metadata = not re.search(rb"/EncryptMetadata\s+false", d)
     lm = re.search(rb"/Length\s+(\d+)", d)
     key_bytes = 16 if aes else (int(lm.group(1)) // 8) if lm else 5
+    if not 5 <= key_bytes <= 16:
+        # spec range is 40..128 bits; a corrupt /Length must be a typed
+        # error, not a zero-length RC4 key (fuzz-found)
+        raise ValueError("invalid encryption key length %d bits" % (key_bytes * 8))
     pm = re.search(rb"/P\s+(-?\d+)", d)
     if pm is None:
         raise ValueError("missing /P")

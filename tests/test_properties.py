@@ -60,3 +60,54 @@ def test_unicode_filename_udf_matches_oracle(spark, names):
     df = spark.createDataFrame([Row(v=n) for n in names], "v string")
     got = [r["o"] for r in df.select(secure_clean_filename_udf(F.col("v")).alias("o")).collect()]
     assert got == [oracle.secure_clean_filename(n) for n in names]
+
+
+def test_codec_error_contract_fuzz():
+    """Every from-scratch decoder (WAV, AVI, JPEG baseline+progressive,
+    PDF plain/RC4/AES) must raise ValueError — never IndexError/
+    KeyError/struct.error — on truncated, byte-flipped, spliced, or
+    noise inputs: the error-as-row containment the Spark sources rely
+    on. Seeded, ~1100 mutations."""
+    import random
+
+    import numpy as np
+
+    from pdf_ocr_spark.sources.avicodec import decode_avi, encode_avi
+    from pdf_ocr_spark.sources.glyphs import render_text_image
+    from pdf_ocr_spark.sources.jpegcodec import decode_jpeg, encode_jpeg
+    from pdf_ocr_spark.sources.pdfcodec import decode_pdf, encode_pdf
+    from pdf_ocr_spark.sources.wavcodec import decode_wav, encode_wav
+
+    rng = random.Random(42)
+    page = render_text_image("FUZZ")
+    cases = [
+        (encode_wav(np.arange(-100, 100, dtype=np.int64), 8000), decode_wav),
+        (encode_avi([encode_jpeg(np.full((16, 16), 99, np.uint8))], 16, 16), decode_avi),
+        (encode_jpeg(page, 90), decode_jpeg),
+        (encode_jpeg(page, 90, progressive=True), decode_jpeg),
+        (encode_pdf([page], compress=True, object_streams=True), decode_pdf),
+        (encode_pdf([page], encrypt=True), decode_pdf),
+        (encode_pdf([page], encrypt=True, cipher="aes"), decode_pdf),
+    ]
+    for seed, dec in cases:
+        for trial in range(160):
+            data = bytearray(seed)
+            mode = trial % 4
+            if mode == 0:
+                data = data[: rng.randrange(1, len(data))]
+            elif mode == 1:
+                for _ in range(rng.randrange(1, 8)):
+                    data[rng.randrange(len(data))] = rng.randrange(256)
+            elif mode == 2:
+                at = rng.randrange(len(data))
+                data[at:at] = bytes(
+                    rng.randrange(256) for _ in range(rng.randrange(1, 40))
+                )
+            else:
+                data = bytearray(seed[:12]) + bytearray(
+                    rng.randrange(256) for _ in range(rng.randrange(10, 300))
+                )
+            try:
+                dec(bytes(data))
+            except ValueError:
+                pass  # the contract
