@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "pdf_page_count",
     "pdf_extract_text",
     "pdf_extract_text_dct",
+    "pdf_text_layer",
     "html_main_spans",
     "html_main_text",
     "html_links",
@@ -182,6 +183,7 @@ def main() -> None:
     # content-fingerprinted /tmp cache; timed reps then measure the
     # scan+DCT-decode+OCR path, not fixture generation
     ep._pdf_fixture_dir(spark, sf_dir, dct=True)
+    ep._text_pdf_fixture_dir(spark, sf_dir)
     ep._warc_fixture_dir(spark, sf_dir)
     ep._media_manifest(spark)
     ep._layout_manifest(spark)

@@ -1789,6 +1789,69 @@ def _pdf_fixture_dir(spark: SparkSession, sf: str, dct: bool = False) -> str:
     return out
 
 
+def _text_pdf_fixture_dir(spark: SparkSession, sf: str) -> str:
+    """Born-digital (text-layer) PDF corpus for this scale factor —
+    same content-fingerprint /tmp cache contract as the scanned
+    corpora."""
+    import os
+    import shutil
+
+    from pdf_ocr_spark.sources.pdfsource import write_text_pdf_corpus
+
+    tag = os.path.basename(os.path.normpath(sf)) or "sf"
+    out = os.path.join(_PDF_CACHE_ROOT, f"pdfs_{tag}_textlayer")
+    docs = load_table(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    agg = docs.agg(
+        F.count("*").alias("n"),
+        F.sum(F.crc32(F.concat_ws("\x00", "doc_id", "text"))).alias("ck"),
+    ).first()
+    fingerprint = f"{agg['n']}:{agg['ck']}:textlayer"
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read().strip() == fingerprint:
+                return out
+        shutil.rmtree(out, ignore_errors=True)
+    n_written = write_text_pdf_corpus(docs, out).count()
+    assert n_written == agg["n"], (n_written, agg["n"])
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(fingerprint)
+    os.replace(tmp, marker)
+    return out
+
+
+@_register(
+    "pdf_text_layer",
+    f"""
+SELECT doc_id,
+       array_to_string(list_transform(range(greatest(1, ceil(len(toks)/20.0))::INT),
+           i -> array_to_string(
+                    list_transform(range(greatest(1, ceil(len(toks[i*20+1 : i*20+20])/8.0))::INT),
+                        j -> array_to_string((toks[i*20+1 : i*20+20])[j*8+1 : j*8+8], ' ')),
+                    chr(10))), {_NL2}) AS txt
+FROM (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents)
+""",
+)
+def q_pdf_text_layer(spark: SparkSession, sf: str) -> DataFrame:
+    """Born-digital PDFs — the real-world majority the reference cannot
+    serve natively (it rasterizes + OCRs everything): content-stream
+    text extraction (BT/Tj/TJ/T* parse, escape handling, case and
+    unicode preserved — note the oracle has NO upper(); the OCR path's
+    does) over a text-layer fixture corpus, binaryFile scan -> one
+    Arrow stage, no raster work at all. Pages are 20-word chunks split
+    into 8-word lines so multi-line positioning is exercised; the
+    oracle re-chunks arithmetically."""
+    from pdf_ocr_spark.sources.pdfsource import read_pdf_text_layers
+
+    d = _text_pdf_fixture_dir(spark, sf)
+    return read_pdf_text_layers(spark, d).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "txt"
+    )
+
+
 @_register(
     "pdf_page_count",
     f"""

@@ -634,3 +634,214 @@ def page_count(data: bytes) -> int:
     body, trailer, _decrypt = _load(data)
     catalog = _dict_of(body(_ref(trailer, b"Root")))
     return _int(_dict_of(body(_ref(catalog, b"Pages"))), b"Count")
+
+
+# ---------------------------------------------------------------------------
+# Text-layer PDFs (born-digital documents) — round 4
+# ---------------------------------------------------------------------------
+#
+# The reference rasterizes + OCRs every input (app.py:447-516) because
+# its corpus is scans; real-world corpora are mostly born-digital PDFs
+# whose text lives in content streams. This writer/extractor pair
+# handles that shape: pages of `BT .. ET` blocks with /F1 Tf, Td/TL
+# positioning, `(..) Tj`, `[..] TJ` arrays, and T*/'/" line advances.
+# Strings are escaped per the spec (\( \) \\ \n octal); non-ASCII text
+# is carried as UTF-8 bytes inside literal strings — round-trip exact
+# for extraction, though rendering non-Latin glyphs would need CID
+# fonts (out of subset, documented).
+
+
+def _escape_pdf_string(s: bytes) -> bytes:
+    out = bytearray()
+    for b in s:
+        if b in (0x28, 0x29, 0x5C):  # ( ) backslash
+            out += b"\\" + bytes([b])
+        elif b == 0x0A:
+            out += b"\\n"
+        elif b == 0x0D:
+            out += b"\\r"
+        else:
+            out.append(b)
+    return bytes(out)
+
+
+def encode_text_pdf(pages: list[list[str]]) -> bytes:
+    """Serialize pages of text lines into a born-digital PDF (Type1
+    Helvetica, one `Tj` per line, `T*` line advances). Reuses the
+    image writer's object plumbing: object 1 catalog, 2 pages tree,
+    per page i (3+3i) page / (4+3i) content, and a shared /F1 font as
+    the object after the last page triple."""
+    if not pages:
+        raise ValueError("a PDF needs at least one page")
+    font_num = 3 + 3 * len(pages)
+    objects: dict[int, bytes] = {}
+    kids = []
+    for i, lines in enumerate(pages):
+        page_num, content_num = 3 + 3 * i, 4 + 3 * i
+        kids.append(f"{page_num} 0 R")
+        objects[page_num] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 {font_num} 0 R >> >> "
+            f"/Contents {content_num} 0 R >>"
+        ).encode()
+        body = bytearray(b"BT /F1 12 Tf 14 TL 72 720 Td\n")
+        for line in lines:
+            body += b"(" + _escape_pdf_string(line.encode("utf-8")) + b") Tj T*\n"
+        body += b"ET"
+        objects[content_num] = (
+            b"<< /Length %d >>\nstream\n%s\nendstream" % (len(body), bytes(body))
+        )
+    objects[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objects[2] = (
+        f"<< /Type /Pages /Kids [{' '.join(kids)}] /Count {len(pages)} >>"
+    ).encode()
+    objects[font_num] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+
+    out = bytearray(_HEADER)
+    offsets: dict[int, int] = {}
+    for num in sorted(objects):
+        offsets[num] = len(out)
+        out += _obj(num, objects[num])
+    xref_at = len(out)
+    n = max(objects) + 1
+    out += b"xref\n0 %d\n" % n
+    out += b"0000000000 65535 f \n"
+    for num in range(1, n):
+        out += b"%010d 00000 n \n" % offsets.get(num, 0)
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (n, xref_at)
+    )
+    return bytes(out)
+
+
+def _parse_pdf_literal(data: bytes, pos: int) -> tuple[bytes, int]:
+    """Parse a literal string starting at the '(' — nested parens,
+    backslash escapes incl. octal — returning (bytes, pos after ')')."""
+    out = bytearray()
+    depth = 1
+    i = pos + 1
+    while i < len(data):
+        b = data[i]
+        if b == 0x5C:  # backslash
+            nxt = data[i + 1 : i + 2]
+            if nxt.isdigit():  # octal, 1-3 digits
+                j = i + 1
+                while j < min(i + 4, len(data)) and data[j : j + 1].isdigit():
+                    j += 1
+                out.append(int(data[i + 1 : j], 8) & 0xFF)
+                i = j
+                continue
+            table = {b"n": 10, b"r": 13, b"t": 9, b"b": 8, b"f": 12}
+            if nxt in table:
+                out.append(table[nxt])
+            elif nxt in (b"(", b")", b"\\"):
+                out += nxt
+            # \<newline> = line continuation: emit nothing
+            i += 2
+            continue
+        if b == 0x28:
+            depth += 1
+        elif b == 0x29:
+            depth -= 1
+            if depth == 0:
+                return bytes(out), i + 1
+        out.append(b)
+        i += 1
+    raise ValueError("unterminated literal string in content stream")
+
+
+def _text_from_content(content: bytes) -> str:
+    """Text items of one content stream in reading order: strings shown
+    by Tj / ' / \" / TJ, with Td/TD/T*/'/\" starting new lines. Kern
+    numbers inside TJ arrays are ignored (they adjust spacing, not
+    text)."""
+    lines: list[list[str]] = [[]]
+    i = 0
+    pending: list[bytes] = []  # strings awaiting their operator
+
+    def newline():
+        if lines[-1]:
+            lines.append([])
+
+    def show():
+        for s in pending:
+            lines[-1].append(s.decode("utf-8", errors="replace"))
+        pending.clear()
+
+    n = len(content)
+    while i < n:
+        b = content[i]
+        if b == 0x28:  # (
+            s, i = _parse_pdf_literal(content, i)
+            pending.append(s)
+            continue
+        if b == 0x3C and content[i + 1 : i + 2] == b"<":  # << dict — skip
+            i += 2
+            continue
+        if b == 0x3C:  # hex string
+            end = content.find(b">", i)
+            if end == -1:
+                raise ValueError("unterminated hex string in content stream")
+            hx = re.sub(rb"\s", b"", content[i + 1 : end])
+            if len(hx) % 2:
+                hx += b"0"
+            pending.append(bytes.fromhex(hx.decode()))
+            i = end + 1
+            continue
+        if content.startswith(b"Tj", i):
+            show()
+            i += 2
+            continue
+        if content.startswith(b"TJ", i):
+            show()
+            i += 2
+            continue
+        if content.startswith(b"T*", i):
+            newline()
+            i += 2
+            continue
+        if content.startswith(b"Td", i) or content.startswith(b"TD", i):
+            newline()
+            i += 2
+            continue
+        if b in (0x27, 0x22):  # ' and " show-with-newline operators
+            newline()
+            show()
+            i += 1
+            continue
+        i += 1
+    return "\n".join(" ".join(filter(None, ["".join(ln)])) for ln in lines if ln)
+
+
+def extract_text_layer(data: bytes) -> list[str]:
+    """Per-page text of a born-digital PDF (content-stream parse, no
+    rasterization or OCR). Encrypted files decrypt transparently; a
+    page with no text operators yields an empty string."""
+    if not data.startswith(b"%PDF-"):
+        raise ValueError("not a PDF (missing %PDF- header)")
+    body, trailer, decrypt = _load(data)
+    catalog = _dict_of(body(_ref(trailer, b"Root")))
+    pages_dict = _dict_of(body(_ref(catalog, b"Pages")))
+    kids_m = re.search(rb"/Kids\s*\[([^\]]*)\]", pages_dict)
+    if kids_m is None:
+        raise ValueError("missing /Kids")
+    kid_nums = [int(x) for x in re.findall(rb"(\d+)\s+0\s+R", kids_m.group(1))]
+    out = []
+    for kid in kid_nums:
+        page = _dict_of(body(kid))
+        cm = re.search(rb"/Contents\s+(\d+)\s+0\s+R", page)
+        if cm is None:
+            out.append("")
+            continue
+        cnum = int(cm.group(1))
+        cbody = body(cnum)
+        d = _dict_of(cbody)
+        raw = _stream_of(cbody, _int(d, b"Length"))
+        if decrypt is not None:
+            raw = decrypt(cnum, raw)
+        content = _decode_stream(d, raw)
+        bt = content.find(b"BT")
+        et = content.rfind(b"ET")
+        out.append(_text_from_content(content[bt:et]) if bt != -1 and et > bt else "")
+    return out

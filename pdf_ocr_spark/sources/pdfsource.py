@@ -323,3 +323,79 @@ def _reassemble_pdf_docs(decoded: DataFrame) -> DataFrame:
             "n_errors",
         )
     )
+
+
+def text_page_lines(text: str, words_per_page: int = WORDS_PER_PAGE, words_per_line: int = 8) -> list[list[str]]:
+    """Page/line chunking for born-digital fixtures: the same 20-word
+    pages as :func:`page_texts`, each split into 8-word lines (so the
+    text-layer writer exercises multi-line Td/TL/T* positioning)."""
+    pages = []
+    for page in page_texts(text, words_per_page):
+        words = page.split()
+        if not words:
+            pages.append([])
+            continue
+        pages.append(
+            [" ".join(words[j : j + words_per_line]) for j in range(0, len(words), words_per_line)]
+        )
+    return pages
+
+
+def write_text_pdf_corpus(docs: DataFrame, out_dir: str) -> DataFrame:
+    """One born-digital (text-layer, no raster) PDF per (doc_id, text)
+    row — executor-side writes, same manifest contract as
+    :func:`write_pdf_corpus`."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_ocr_spark.sources.pdfcodec import encode_text_pdf
+
+        os.makedirs(out_dir, exist_ok=True)
+        for pdf in batches:
+            paths, n_pages = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                pages = text_page_lines(text or "")
+                path = os.path.join(out_dir, f"doc_{doc_id}.pdf")
+                tmp = path + ".tmp"
+                with open(tmp, "wb") as f:
+                    f.write(encode_text_pdf(pages))
+                os.replace(tmp, path)
+                paths.append(path)
+                n_pages.append(len(pages))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "path": paths, "n_pages": n_pages}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        kernel, schema="doc_id string, path string, n_pages int"
+    )
+
+
+def read_pdf_text_layers(spark: SparkSession, pdf_dir: str) -> DataFrame:
+    """binaryFile scan -> content-stream text extraction (no raster, no
+    OCR): one row per document, pages joined with blank lines —
+    the born-digital fast path the reference lacks entirely (it
+    rasterizes and OCRs every input). Unparseable files become
+    parse_error rows."""
+    bf = _binary_scan(spark, os.path.join(pdf_dir, "*.pdf"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_ocr_spark.sources.pdfcodec import extract_text_layer
+
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "txt", "parse_error")}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                m = _DOC_RE.search(path)
+                doc_id = m.group(1) if m else path
+                rows["doc_id"].append(doc_id)
+                try:
+                    pages = extract_text_layer(bytes(content))
+                    rows["txt"].append("\n\n".join(pages))
+                    rows["parse_error"].append(None)
+                except ValueError as e:
+                    rows["txt"].append(None)
+                    rows["parse_error"].append(str(e))
+            yield pd.DataFrame(rows)
+
+    return bf.select("path", "content").mapInPandas(
+        kernel, schema="doc_id string, txt string, parse_error string"
+    )

@@ -306,3 +306,66 @@ def test_interop_page_count_on_real_world_pdfs():
         assert page_count(data) == expected
         with pytest.raises(ValueError):
             decode_pdf(data)  # typed, not a crash
+
+
+# ---------------------------------------------------------------------------
+# Born-digital text-layer PDFs — round 4
+# ---------------------------------------------------------------------------
+
+
+def test_text_layer_roundtrip_exact():
+    """Content-stream text extraction is byte-exact, case and unicode
+    preserved, escapes handled, empty pages tolerated."""
+    from pdf_ocr_spark.sources.pdfcodec import encode_text_pdf, extract_text_layer
+
+    pages = [
+        ["Hello world, this is page one.", "Line with (parens) and back\\slash."],
+        ["Página dos — unicode: ñ, é, 中文 текст"],
+        [],
+    ]
+    data = encode_text_pdf(pages)
+    assert page_count(data) == 3
+    assert extract_text_layer(data) == ["\n".join(p) for p in pages]
+
+
+def test_text_layer_operator_coverage():
+    """TJ arrays (kern numbers ignored), the ' operator, octal and hex
+    strings — the shapes real producers emit."""
+    from pdf_ocr_spark.sources.pdfcodec import _text_from_content
+
+    content = (
+        b"BT /F1 12 Tf 72 720 Td\n"
+        b"[(Wor) -30 (ld)] TJ T*\n"
+        b"(next) Tj\n"
+        b"(quoted) '\n"
+        b"(\\101\\102C) Tj\n"
+        b"<48657821> Tj ET"
+    )
+    assert _text_from_content(content) == "World\nnext\nquotedABCHex!"
+
+
+def test_text_layer_spark_source(spark, tmp_path):
+    """binaryFile -> text-layer extraction over written fixtures; a
+    garbage file becomes a parse_error row."""
+    import pandas as pd
+
+    from pdf_ocr_spark.sources.pdfsource import (
+        read_pdf_text_layers,
+        text_page_lines,
+        write_text_pdf_corpus,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": ["7", "8"],
+             "text": ["one two three " * 10, "MixedCase Words, here."]}
+        )
+    )
+    out = str(tmp_path / "text_pdfs")
+    write_text_pdf_corpus(docs, out).count()
+    open(f"{out}/doc_bad.pdf", "wb").write(b"junk not a pdf")
+    rows = {r["doc_id"]: r for r in read_pdf_text_layers(spark, out).collect()}
+    for did, text in (("7", "one two three " * 10), ("8", "MixedCase Words, here.")):
+        want = "\n\n".join("\n".join(p) for p in text_page_lines(text))
+        assert rows[did]["txt"] == want, did
+    assert rows["bad"]["parse_error"] is not None
