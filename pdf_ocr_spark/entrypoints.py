@@ -297,6 +297,32 @@ def q_reassemble_txt(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "stream_reassemble_txt",
+    f"""
+WITH {_BOOKS_CTE}
+SELECT book_id, string_agg(text, '{TXT_PAGE_SEPARATOR}' ORDER BY page) AS txt
+FROM books GROUP BY book_id
+""",
+)
+def q_stream_reassemble_txt(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.5 streaming, driver-visible: the same reassembly as
+    ``reassemble_txt`` computed THROUGH the streaming engine — file
+    source, one-file micro-batches, foreachBatch with idempotent
+    dynamic-partition-overwrite writes, availableNow drain — then the
+    sink read back as the result. The oracle is the batch SQL: books
+    are hash-bucketed so no book straddles a micro-batch, making the
+    union of per-batch groupBys equal the global groupBy (see
+    :func:`stream_reassemble_books`). Gives the streaming tier an
+    exact driver-green row instead of pytest-only evidence."""
+    import tempfile
+
+    from pdf_ocr_spark.streaming.stream import stream_reassemble_books
+
+    workdir = tempfile.mkdtemp(prefix="stream_reassemble_")
+    return stream_reassemble_books(spark, _books(spark, sf), workdir)
+
+
+@_register(
     "serialize_md",
     f"""
 WITH {_BOOKS_CTE},
@@ -1211,6 +1237,55 @@ SELECT query_id, rank, neighbor_id, score FROM (
 def q_knn(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     return cosine_topk(emb.where(F.col("vec_id") < 5), emb, k=3)
+
+
+#: Shared oracle for every exact-cosine top-k form (brute force and the
+#: degenerate-parameter LSH/IVF variants below — all three compute the
+#: identical result by construction, so they share one SQL text).
+_KNN_EXACT_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+    SELECT query_id, neighbor_id, round({{cos}}, 6) AS score
+    FROM q CROSS JOIN c WHERE query_id != neighbor_id
+)
+SELECT query_id, rank, neighbor_id, score FROM (
+    SELECT query_id, neighbor_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+    FROM scored
+) WHERE rank <= 3
+"""
+
+
+@_register("knn_lsh_exact", _KNN_EXACT_SQL.format(cos=_sql_cosine("qv", "cv")))
+def q_knn_lsh_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """The LSH ANN operator at its degenerate-exact setting
+    (``n_planes=0`` — every vector lands in the one bucket, so the
+    bucket equi-join covers the whole corpus and ranking is exact).
+    This pins the LSH plumbing itself (bucketing, join, rank) under
+    the driver's exact value-hash check; the approximate form
+    (``knn_lsh_topk``) stays rows-only because its recall is
+    engine-defined. Same playbook as ``knn_int8_topk``."""
+    from pdf_ocr_spark.operators.similarity import lsh_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    return lsh_topk(emb.where(F.col("vec_id") < 5), emb, k=3, n_planes=0)
+
+
+@_register("knn_ivf_exact", _KNN_EXACT_SQL.format(cos=_sql_cosine("qv", "cv")))
+def q_knn_ivf_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """The IVF ANN operator at its degenerate-exact setting
+    (``n_probe = n_lists`` — every query probes every inverted list,
+    so candidate generation is exhaustive and ranking exact). Pins
+    the IVF plumbing (codebook tagging, list equi-join, cross-list
+    distinct, rank) under the exact oracle; ``knn_ivf_topk`` stays
+    rows-only for its engine-defined recall."""
+    from pdf_ocr_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    return ivf_topk(
+        emb.where(F.col("vec_id") < 5), emb, k=3, n_lists=16, n_probe=16
+    )
 
 
 def _sql_dot_int(a: str, b: str) -> str:
@@ -2860,6 +2935,12 @@ WITH corpus AS (
     SELECT doc_id + 100000, {sql_tokens('text')} FROM documents WHERE doc_id % 10 = 0
 ),
 w AS (
+    -- 4000-start cap: generate_series needs a constant bound (no
+    -- lateral/subquery args in DuckDB), so window starts are capped at
+    -- 4000. The Spark side asserts every document tokenizes to <= 4015
+    -- tokens (assert_true in q_dedup_substring), so a longer fixture
+    -- document fails loudly instead of silently diverging from this
+    -- oracle.
     SELECT id, array_to_string(toks[i+1:i+15], ' ') AS window_text
     FROM corpus, generate_series(0, 4000) AS g(i)
     WHERE i + 15 <= len(toks)
@@ -2884,6 +2965,17 @@ def q_dedup_substring(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("doc_id") + 100000).alias("doc_id"), "text"
     )
     corpus = docs.unionByName(dup)
+    # the DuckDB oracle caps window starts at 4000 (generate_series
+    # needs a constant bound); fail loudly if a fixture document ever
+    # grows past that instead of silently diverging engine vs oracle.
+    # assert_true returns NULL on success, so the filter keeps every
+    # row while forcing evaluation (a dropped column would be pruned).
+    corpus = corpus.where(
+        F.assert_true(
+            F.size(F.split(F.col("text"), r"\s+")) <= F.lit(4015),
+            F.lit("document exceeds dedup_substring oracle's 4000-start cap"),
+        ).isNull()
+    )
     out = substring_dup_windows(corpus, window=15)
     return out.select(
         "window_text",
@@ -3055,7 +3147,7 @@ def _green_history() -> dict[str, int]:
                 isinstance(row, dict)
                 and row.get("rows_match")
                 and row.get("schema_match")
-                and row.get("hash_match") is not False
+                and row.get("hash_match") is True
             ):
                 latest[name] = max(latest.get(name, 0), rnd)
     return latest

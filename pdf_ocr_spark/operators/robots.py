@@ -79,9 +79,14 @@ def parse_robots(text: str, agent: str = "*") -> list[tuple[str, str]]:
                 current_agents, current_rules, in_rules = [], [], False
             current_agents.append(value.lower())
             continue
-        in_rules = True
-        if key in ("allow", "disallow") and value:  # empty rule = no-op
-            current_rules.append((key, value))
+        if key in ("allow", "disallow", "crawl-delay"):
+            # only rule lines (incl. the crawl-delay group extension)
+            # close the group's agent list (RFC 9309 §2.2.1): a
+            # Sitemap:/unknown line between two User-agent lines must
+            # NOT split the group
+            in_rules = True
+            if key != "crawl-delay" and value:  # empty rule = no-op
+                current_rules.append((key, value))
     close_group()
 
     # RFC 9309 group selection: a specifically-matching group EXCLUDES
@@ -201,7 +206,10 @@ def crawl_delay(text: str, agent: str = "*") -> float | None:
                 current_agents, current_delay, in_rules = [], None, False
             current_agents.append(value.lower())
             continue
-        in_rules = True
+        if key in ("allow", "disallow", "crawl-delay"):
+            # same RFC 9309 group parsing as parse_robots: only rule
+            # lines close the agent list; Sitemap/unknown lines don't
+            in_rules = True
         if key == "crawl-delay":
             try:
                 current_delay = float(value)

@@ -58,21 +58,37 @@ def expire_manifest(spark: SparkSession, out_dir: str, ttl_seconds: float) -> in
     this works on HDFS/S3A paths too, unlike a driver-local tempdir)
     and are then re-read and swapped in — rows never round-trip
     through the driver, so manifest size is bounded by executor, not
-    driver, memory."""
-    import shutil
-
+    driver, memory. Staging cleanup goes through the Hadoop
+    FileSystem API (resolved for the staging URI), so the claim holds
+    on distributed filesystems too — a local shutil.rmtree would
+    silently leave HDFS/S3A staging dirs to accumulate. A crash
+    between the staging write and the final overwrite leaves the old
+    manifest intact plus an orphan staging dir; the orphan is swept
+    on the next expiration's entry, so re-running converges."""
     m = read_manifest(spark, out_dir)
     kept = m.where(
         F.col("ts") >= F.from_unixtime(F.unix_timestamp(F.current_timestamp()) - F.lit(int(ttl_seconds))).cast("timestamp")
     )
     path = _manifest_dir(out_dir)
     staging = path + "_expiring"
+    _hadoop_delete(spark, staging)  # sweep a crashed run's orphan
     kept.write.mode("overwrite").parquet(staging)
     staged = spark.read.schema(MANIFEST_SCHEMA).parquet(staging)
     n_kept = staged.count()
     staged.write.mode("overwrite").parquet(path)
-    shutil.rmtree(staging, ignore_errors=True)
+    _hadoop_delete(spark, staging)
     return n_kept
+
+
+def _hadoop_delete(spark: SparkSession, path: str) -> None:
+    """Recursively delete ``path`` via the Hadoop FileSystem resolved
+    for its URI — works for file://, hdfs://, s3a:// alike. Missing
+    paths are a no-op (delete returns False)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    conf = spark._jsc.hadoopConfiguration()
+    fs = jpath.getFileSystem(conf)
+    fs.delete(jpath, True)
 
 
 def completed_buckets(spark: SparkSession, out_dir: str, run_id: str) -> DataFrame:

@@ -415,28 +415,21 @@ def _decode_stream(d: bytes, raw: bytes) -> bytes:
 
 def _pdf_string(d: bytes, key: bytes) -> bytes:
     """A dictionary entry's string value: hex ``<...>`` or literal
-    ``(...)`` with the basic escapes the security handler needs."""
+    ``(...)``. The literal branch delegates to
+    :func:`_parse_pdf_literal` for the full escape set — octal
+    ``\\ooo`` in particular, which real producers (Acrobat) use to
+    embed the binary /O and /U digests as literal strings."""
     m = re.search(rb"/" + key + rb"\s*<([0-9A-Fa-f\s]*)>", d)
     if m is not None:
         return bytes.fromhex(m.group(1).decode().replace(" ", "").replace("\n", ""))
     m = re.search(rb"/" + key + rb"\s*\(", d)
     if m is None:
         raise ValueError("missing /%s string" % key.decode())
-    out = bytearray()
-    i = m.end()
-    while i < len(d):
-        c = d[i]
-        if c == 0x5C:  # backslash escape
-            nxt = d[i + 1]
-            table = {0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12}
-            out.append(table.get(nxt, nxt))
-            i += 2
-        elif c == 0x29:  # ')'
-            return bytes(out)
-        else:
-            out.append(c)
-            i += 1
-    raise ValueError("unterminated /%s string" % key.decode())
+    try:
+        s, _ = _parse_pdf_literal(d, m.end() - 1)
+    except ValueError:
+        raise ValueError("unterminated /%s string" % key.decode()) from None
+    return s
 
 
 def _decrypt_fn(data: bytes, body, trailer: bytes):
@@ -735,9 +728,22 @@ def _parse_pdf_literal(data: bytes, pos: int) -> tuple[bytes, int]:
             table = {b"n": 10, b"r": 13, b"t": 9, b"b": 8, b"f": 12}
             if nxt in table:
                 out.append(table[nxt])
-            elif nxt in (b"(", b")", b"\\"):
+                i += 2
+                continue
+            if nxt in (b"(", b")", b"\\"):
                 out += nxt
-            # \<newline> = line continuation: emit nothing
+                i += 2
+                continue
+            if nxt in (b"\r", b"\n"):
+                # \<EOL> = line continuation: emit nothing; \<CR><LF>
+                # consumes both bytes
+                i += 2
+                if nxt == b"\r" and data[i : i + 1] == b"\n":
+                    i += 1
+                continue
+            # unknown escape: the backslash alone is ignored, the
+            # character stands (ISO 32000-1 7.3.4.2)
+            out += nxt
             i += 2
             continue
         if b == 0x28:

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import os
 import re
+import weakref
 from collections.abc import Iterator
 
 import pandas as pd
@@ -38,8 +39,8 @@ WORDS_PER_PAGE = 20
 
 _DOC_RE = re.compile(r"doc_([^/]+)\.pdf$")
 
-#: id(SparkContext) -> the dedicated binaryFile scan session (see
-#: :func:`_binary_scan`); at most one live entry.
+#: "session" -> (weakref to SparkContext, dedicated binaryFile scan
+#: session) — see :func:`_binary_scan`; at most one live entry.
 _SCAN_SESSIONS: dict = {}
 
 #: Fixture-corpus heterogeneity residues (see write_pdf_corpus):
@@ -155,14 +156,20 @@ def _binary_scan(spark: SparkSession, pattern: str) -> DataFrame:
     a long-lived driver issuing many scans would otherwise accumulate
     JVM-side session state (listeners, conf, catalog) per scan."""
     ctx = spark.sparkContext
-    scan_session = _SCAN_SESSIONS.get(id(ctx))
-    if scan_session is None or scan_session.sparkContext is not ctx:
+    entry = _SCAN_SESSIONS.get("session")
+    scan_session = None
+    if entry is not None:
+        ctx_ref, cached = entry
+        # weakref key: a GC'd SparkContext can never alias a new one
+        # (id() reuse after GC was the previous, hard-to-hit hazard)
+        if ctx_ref() is ctx:
+            scan_session = cached
+    if scan_session is None:
         scan_session = spark.newSession()
         scan_session.conf.set(
             "spark.sql.sources.parallelPartitionDiscovery.threshold", "100000"
         )
-        _SCAN_SESSIONS.clear()  # a dead context's session is useless
-        _SCAN_SESSIONS[id(ctx)] = scan_session
+        _SCAN_SESSIONS["session"] = (weakref.ref(ctx), scan_session)
     return scan_session.read.format("binaryFile").load(pattern)
 
 

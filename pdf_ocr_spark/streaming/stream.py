@@ -437,3 +437,76 @@ def stream_audio_features(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_reassemble_books(
+    spark: SparkSession,
+    pages: DataFrame,
+    workdir: str,
+    n_batches: int = 4,
+) -> DataFrame:
+    """Run per-book txt reassembly THROUGH the streaming engine and
+    return the materialized batch result — the driver-checkable form
+    of the foreachBatch pipeline (its exact-SQL oracle is the batch
+    ``reassemble_txt`` oracle, because the two compute the identical
+    function; see below).
+
+    ``pages`` is a bounded (book_id, page, text) frame. It is staged
+    to ``workdir/input`` hash-repartitioned on book_id into
+    ``n_batches`` files, so every book's pages land wholly inside one
+    file; the file-source stream consumes them one file per trigger
+    (``maxFilesPerTrigger=1``), which makes the per-micro-batch
+    groupBy(book_id) equal the global groupBy — the union of batch
+    results IS the batch answer, with no cross-batch state needed.
+    Each micro-batch lands in its own ``batch_id=<n>`` partition via
+    dynamic partition overwrite (the at-least-once replay idempotency
+    of :func:`write_extract_batch`), availableNow drains the backlog,
+    and the sink parquet is read back as the result.
+
+    At scale this is the standard incremental-reassembly deployment:
+    arriving page files are keyed so documents don't straddle file
+    boundaries (the upstream writer buckets by doc), and each trigger
+    appends its documents' spans exactly once."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pdf_ocr_spark.functions.serialize import txt_doc_col
+
+    in_dir = os.path.join(workdir, "input")
+    out_dir = os.path.join(workdir, "out")
+    ckpt = os.path.join(workdir, "ckpt")
+    pages.repartition(n_batches, F.col("book_id")).write.mode("overwrite").parquet(
+        in_dir
+    )
+
+    stream = spark.readStream.schema(pages.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(in_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spans = F.array_sort(
+            F.collect_list(
+                F.struct(F.col("page").alias("offset"), F.col("text").alias("text"))
+            )
+        )
+        (
+            batch_df.groupBy("book_id")
+            .agg(txt_doc_col(spans).alias("txt"))
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select("book_id", "txt")

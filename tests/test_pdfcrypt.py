@@ -211,3 +211,24 @@ def test_aes_wrong_password_and_unknown_cfm():
     data[at : at + 11] = b"/CFM /AESV3"
     with pytest.raises(ValueError, match="AESV3"):
         decode_pdf(bytes(data))
+
+
+def test_pdf_string_literal_octal_escapes():
+    """/O and /U are often written as LITERAL strings with octal
+    escapes for binary bytes (Acrobat). _pdf_string must decode the
+    full escape set via _parse_pdf_literal, not an ad-hoc table
+    (ADVICE r4)."""
+    from pdf_ocr_spark.sources.pdfcodec import _pdf_string
+
+    d = rb"<< /O (\101\102\000\377ab\n\(x\)\\) /U <414243> >>"
+    assert _pdf_string(d, b"O") == b"AB\x00\xffab\n(x)\\"
+    assert _pdf_string(d, b"U") == b"ABC"
+    # unknown escape: backslash ignored, char stands (ISO 32000-1
+    # 7.3.4.2); \<EOL> is a line continuation
+    d2 = b"<< /O (a\\qb\\\nc) >>"
+    assert _pdf_string(d2, b"O") == b"aqbc"
+    # unterminated literal -> typed error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unterminated"):
+        _pdf_string(b"<< /O (never closed", b"O")

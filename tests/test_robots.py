@@ -141,3 +141,31 @@ def test_sitemap_discovery_lines():
     ]
     assert parse_robots(text) == [("disallow", "/x")]
     assert sitemap_urls("") == [] and sitemap_urls(None) == []
+
+
+def test_sitemap_between_user_agents_does_not_split_group():
+    """RFC 9309 §2.2.1: only rule lines close a group's agent list. A
+    Sitemap:/unknown line placed between two User-agent lines of ONE
+    group must not split it (ADVICE r4)."""
+    from pdf_ocr_spark.operators.robots import crawl_delay, parse_robots
+
+    txt = """User-agent: alpha
+Sitemap: https://h.com/sitemap.xml
+Unknown-directive: whatever
+User-agent: beta
+Disallow: /private
+Crawl-delay: 7
+"""
+    # both agents belong to the same group and share its rules
+    assert parse_robots(txt, "alpha") == [("disallow", "/private")]
+    assert parse_robots(txt, "beta") == [("disallow", "/private")]
+    assert crawl_delay(txt, "alpha") == 7.0
+    assert crawl_delay(txt, "beta") == 7.0
+    # but a rule line DOES close the list: gamma starts a new group
+    txt2 = txt + "User-agent: gamma\nAllow: /\n"
+    assert parse_robots(txt2, "gamma") == [("allow", "/")]
+    assert parse_robots(txt2, "beta") == [("disallow", "/private")]
+    # crawl-delay is itself a group-closing rule extension
+    txt3 = "User-agent: a\nCrawl-delay: 1\nUser-agent: b\nCrawl-delay: 2\n"
+    assert crawl_delay(txt3, "a") == 1.0
+    assert crawl_delay(txt3, "b") == 2.0

@@ -91,3 +91,31 @@ def test_stream_extract_replay_is_idempotent(spark, staged):
     after = spark.read.parquet(out)
     assert after.count() == n_before
     assert after.select("doc_id").distinct().count() == n_before
+
+
+def test_stream_reassemble_books_matches_batch(spark, tmp_path):
+    """The driver-visible streaming query: per-micro-batch reassembly
+    over book-bucketed files equals the global batch reassembly, and
+    the drain really was incremental (several batch_id partitions)."""
+    import pyspark.sql.functions as F
+
+    from pdf_ocr_spark.functions.serialize import txt_doc_col
+    from pdf_ocr_spark.streaming.stream import stream_reassemble_books
+
+    pages = spark.createDataFrame(
+        [(b, p, f"book {b} page {p} text") for b in range(17) for p in range(b % 4 + 1)],
+        "book_id long, page int, text string",
+    )
+    got = stream_reassemble_books(spark, pages, str(tmp_path / "wd"), n_batches=4)
+    spans = F.array_sort(
+        F.collect_list(F.struct(F.col("page").alias("offset"), F.col("text").alias("text")))
+    )
+    want = pages.groupBy("book_id").agg(txt_doc_col(spans).alias("txt"))
+    g = {r["book_id"]: r["txt"] for r in got.collect()}
+    w = {r["book_id"]: r["txt"] for r in want.collect()}
+    assert g == w
+    batches = {
+        r["batch_id"]
+        for r in spark.read.parquet(str(tmp_path / "wd" / "out")).select("batch_id").distinct().collect()
+    }
+    assert len(batches) > 1  # the work really arrived in micro-batches
