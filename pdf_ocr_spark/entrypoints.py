@@ -1848,7 +1848,7 @@ def _pdf_fixture_dir(spark: SparkSession, sf: str, dct: bool = False) -> str:
     # encoding changes (r3: compressed, then PDF 1.5 object streams,
     # plus the /DCTDecode JPEG-scan variant corpus; r4: 1-in-5 docs
     # RC4-encrypted, 1-in-3 DCT docs progressive).
-    fingerprint = f"{agg['n']}:{agg['ck']}:{variant}:r4enc"
+    fingerprint = f"{agg['n']}:{agg['ck']}:{variant}:r5filt"
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker):
         with open(marker) as f:
@@ -3111,14 +3111,12 @@ _WINDOW = 50
 #: CORRECTNESS artifact lands (self-expiring: the value is the round
 #: whose artifact re-certifies the query, so no manual cleanup).
 _FORCE_WINDOW_UNTIL = {
-    "set_except": 4,  # r4: predicates made discriminating (was 0=0 rows)
-    "html_metadata": 4,  # r4: extended with OpenGraph/meta-property fields
-    # r4: fixture corpus now plants RC4-encrypted files (1 in 5) and
-    # progressive JPEG scans (1 in 3 of the DCT corpus) — a green row
-    # re-certifies the whole path including the new decode branches
-    "pdf_page_count": 4,
-    "pdf_extract_text": 4,
-    "pdf_extract_text_dct": 4,
+    # r5: the non-DCT fixture corpus now additionally plants PNG
+    # predictor-12 Flate rasters (1 in 4) and /LZWDecode rasters
+    # (1 in 7) — a green row re-certifies the predictor/LZW decode
+    # branches end to end
+    "pdf_page_count": 5,
+    "pdf_extract_text": 5,
 }
 
 

@@ -51,6 +51,8 @@ def encode_pdf(
     dct_progressive: bool = False,
     encrypt: bool = False,
     cipher: str = "rc4",
+    predictor: int = 1,
+    lzw: bool = False,
 ) -> bytes:
     """Serialize page images into a PDF — H x W uint8 (DeviceGray) or
     H x W x 3 uint8 (DeviceRGB) arrays; ``compress=True`` Flate-encodes
@@ -67,6 +69,12 @@ def encode_pdf(
     real PDF any conforming reader can open, not just
     :func:`decode_pdf`. Byte-stable for a given (pages, compress,
     object_streams): zlib.compress at a fixed level is deterministic.
+
+    ``predictor`` (with ``compress=True`` or ``lzw=True``) applies a
+    /DecodeParms predictor to the raster before compression — 2 =
+    TIFF, 10-15 = PNG family; 12 (Up) is what most real producers
+    emit. ``lzw=True`` writes /LZWDecode instead of /FlateDecode (the
+    legacy-producer shape).
     """
     if not pages:
         raise ValueError("a PDF needs at least one page")
@@ -98,9 +106,27 @@ def encode_pdf(
         else:
             raw = np.ascontiguousarray(img).tobytes()
             filt = ""
-            if compress:
-                raw = zlib.compress(raw, 6)
-                filt = "/Filter /FlateDecode "
+            if compress or lzw:
+                colors = 1 if img.ndim == 2 else 3
+                parms = ""
+                if predictor != 1:
+                    from pdf_ocr_spark.sources import pdffilters
+
+                    raw = pdffilters.predictor_encode(
+                        raw, predictor, columns=w, colors=colors
+                    )
+                    parms = (
+                        f"/DecodeParms << /Predictor {predictor} /Columns {w} "
+                        f"/Colors {colors} /BitsPerComponent 8 >> "
+                    )
+                if lzw:
+                    from pdf_ocr_spark.sources import pdffilters
+
+                    raw = pdffilters.lzw_encode(raw)
+                    filt = "/Filter /LZWDecode " + parms
+                else:
+                    raw = zlib.compress(raw, 6)
+                    filt = "/Filter /FlateDecode " + parms
         objects[image_num] = (
             f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
             f"/ColorSpace {colorspace} /BitsPerComponent 8 {filt}/Length {len(raw)} >>\n"
@@ -394,23 +420,70 @@ def _filter_of(d: bytes) -> bytes | None:
     return None if nm is None else nm.group(1)
 
 
+def _parms_of(d: bytes) -> bytes | None:
+    """The stream's /DecodeParms (or legacy /DP) dictionary, if any —
+    either inline ``<<..>>`` or a one-element array of one (the
+    single-filter shapes; filter chains are rejected upstream)."""
+    m = re.search(rb"/(?:DecodeParms|DP)\s*(\[\s*)?<<", d)
+    if m is None:
+        return None
+    start = d.find(b"<<", m.start())
+    depth, i = 0, start
+    while i < len(d) - 1:
+        pair = d[i : i + 2]
+        if pair == b"<<":
+            depth, i = depth + 1, i + 2
+        elif pair == b">>":
+            depth, i = depth - 1, i + 2
+            if depth == 0:
+                return d[start:i]
+        else:
+            i += 1
+    raise ValueError("unbalanced /DecodeParms dictionary")
+
+
+def _int_default(d: bytes, key: bytes, default: int) -> int:
+    m = re.search(rb"/" + key + rb"\s+(\d+)", d)
+    return default if m is None else int(m.group(1))
+
+
 def _decode_stream(d: bytes, raw: bytes) -> bytes:
-    """Apply the stream's declared /Filter for byte-oriented streams.
-    FlateDecode (the filter on essentially every real-world PDF stream)
-    inflates via stdlib zlib; any other filter raises naming it, so the
-    Spark source can emit a typed error row that tells the user exactly
-    which codec their file needs. (/DCTDecode raster streams are routed
-    to the from-scratch JPEG codec by the image path in decode_pdf, not
-    here.)"""
+    """Apply the stream's declared /Filter for byte-oriented streams:
+    FlateDecode (stdlib zlib) and LZWDecode (the from-scratch codec in
+    :mod:`pdf_ocr_spark.sources.pdffilters`), then the /DecodeParms
+    predictor when declared (TIFF 2 and the PNG family 10-15 — the
+    shape most real image producers and 1.5 xref streams emit). Any
+    other filter raises naming it, so the Spark source can emit a
+    typed error row that tells the user exactly which codec their file
+    needs. (/DCTDecode raster streams are routed to the from-scratch
+    JPEG codec by the image path in decode_pdf, not here.)"""
+    from pdf_ocr_spark.sources import pdffilters
+
     name = _filter_of(d)
     if name is None:
         return raw
-    if name != b"FlateDecode":
+    parms = _parms_of(d)
+    if name == b"FlateDecode":
+        try:
+            out = zlib.decompress(raw)
+        except zlib.error as e:
+            raise ValueError("corrupt FlateDecode stream: %s" % e) from None
+    elif name == b"LZWDecode":
+        early = _int_default(parms or b"", b"EarlyChange", 1)
+        out = pdffilters.lzw_decode(raw, early_change=early)
+    else:
         raise ValueError("unsupported stream filter /%s" % name.decode())
-    try:
-        return zlib.decompress(raw)
-    except zlib.error as e:
-        raise ValueError("corrupt FlateDecode stream: %s" % e) from None
+    if parms is not None:
+        pred = _int_default(parms, b"Predictor", 1)
+        if pred != 1:
+            out = pdffilters.predictor_decode(
+                out,
+                pred,
+                columns=_int_default(parms, b"Columns", 1),
+                colors=_int_default(parms, b"Colors", 1),
+                bpc=_int_default(parms, b"BitsPerComponent", 8),
+            )
+    return out
 
 
 def _pdf_string(d: bytes, key: bytes) -> bytes:

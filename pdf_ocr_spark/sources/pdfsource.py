@@ -49,6 +49,11 @@ _SCAN_SESSIONS: dict = {}
 #: corpus only).
 ENCRYPT_RESIDUES = 5
 PROGRESSIVE_RESIDUES = 3
+#: doc id % PREDICTOR_RESIDUES == 2 -> PNG predictor 12 (Up) on the
+#: Flate raster; doc id % LZW_RESIDUES == 3 -> /LZWDecode raster
+#: (both non-DCT corpus only — DCT rasters are JPEG streams).
+PREDICTOR_RESIDUES = 4
+LZW_RESIDUES = 7
 
 PDF_PAGES_SCHEMA = (
     "doc_id string, offset int, media_ref string, payload binary, parse_error string"
@@ -95,7 +100,14 @@ def write_pdf_corpus(
     corpus every ``id % PROGRESSIVE_RESIDUES`` doc stores progressive
     (SOF2) JPEG scans. Both transforms are content-transparent, so the
     SQL oracles are unchanged — a hash match proves the decrypt and
-    progressive-decode paths return byte-identical text."""
+    progressive-decode paths return byte-identical text.
+
+    Round 5 adds two more content-transparent variants to the non-DCT
+    corpus: ``id % PREDICTOR_RESIDUES == 2`` rasters are Up-filtered
+    (/DecodeParms /Predictor 12 — the layout most real Flate image
+    producers emit) and ``id % LZW_RESIDUES == 3`` rasters are
+    /LZWDecode streams (the legacy-producer shape); ids hitting both
+    residues get LZW + predictor together."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np  # noqa: F401  (renderer dependency, worker-side)
@@ -124,6 +136,12 @@ def write_pdf_corpus(
                             dct=dct,
                             dct_progressive=dct and d % PROGRESSIVE_RESIDUES == 1,
                             encrypt=d % ENCRYPT_RESIDUES == 1,
+                            predictor=(
+                                12
+                                if not dct and d % PREDICTOR_RESIDUES == 2
+                                else 1
+                            ),
+                            lzw=not dct and d % LZW_RESIDUES == 3,
                         )
                     )
                 os.replace(tmp, path)  # atomic: readers never see partials

@@ -1,0 +1,111 @@
+"""PDF stream-filter codecs: predictors (TIFF 2, PNG 10-15) and LZW.
+
+The reference accepts predictor-Flate and LZW streams implicitly via
+Poppler (/root/reference/app.py:447-454); these pin the from-scratch
+implementations in pdf_ocr_spark/sources/pdffilters.py and their
+wiring through the subset PDF parser.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pdf_ocr_spark.sources import pdfcodec, pdffilters
+
+RNG = np.random.default_rng(3)
+GRAY = RNG.integers(0, 256, (23, 31), dtype=np.uint8)
+RGB = RNG.integers(0, 256, (16, 9, 3), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("pred", [1, 2, 10, 11, 12, 13, 14, 15])
+@pytest.mark.parametrize("img,colors", [(GRAY, 1), (RGB, 3)])
+def test_predictor_round_trip(pred, img, colors):
+    raw = img.tobytes()
+    enc = pdffilters.predictor_encode(raw, pred, columns=img.shape[1], colors=colors)
+    dec = pdffilters.predictor_decode(enc, pred, columns=img.shape[1], colors=colors)
+    assert dec == raw
+    if pred >= 10:  # PNG family really adds one filter byte per row
+        assert len(enc) == len(raw) + img.shape[0]
+
+
+def test_predictor_12_actually_helps_compression():
+    """The point of Up-filtering: smooth rasters compress far better —
+    guards against an identity-function 'predictor'."""
+    import zlib
+
+    smooth = (np.add.outer(np.arange(64), np.arange(64)) % 256).astype(np.uint8)
+    raw = smooth.tobytes()
+    filtered = pdffilters.predictor_encode(raw, 12, columns=64)
+    assert len(zlib.compress(filtered)) < len(zlib.compress(raw)) / 2
+
+
+def test_predictor_error_contract():
+    with pytest.raises(ValueError, match="whole rows"):
+        pdffilters.predictor_decode(b"\x00" * 7, 2, columns=4)
+    with pytest.raises(ValueError, match="filter type"):
+        pdffilters.predictor_decode(b"\x09" + b"\x00" * 4, 12, columns=4)
+    with pytest.raises(ValueError, match="Predictor 7"):
+        pdffilters.predictor_decode(b"\x00" * 4, 7, columns=4)
+    # trailing partial PNG row is dropped, not fatal (real files do this)
+    two_rows = pdffilters.predictor_encode(b"\x01\x02\x03\x04", 12, columns=2)
+    assert pdffilters.predictor_decode(two_rows + b"\x00", 12, columns=2) == b"\x01\x02\x03\x04"
+
+
+def test_lzw_msb_packing_vector():
+    """Hand-derived 9-bit MSB-first packing for b'AAAAAA': codes
+    CLEAR(256), 65, 258, 259, EOD(257) -> 80 10 60 50 38 08."""
+    assert pdffilters.lzw_encode(b"AAAAAA").hex() == "801060503808"
+    assert pdffilters.lzw_decode(bytes.fromhex("801060503808")) == b"AAAAAA"
+
+
+@pytest.mark.parametrize("early", [0, 1])
+def test_lzw_round_trips(early):
+    smooth = (np.add.outer(np.arange(23), np.arange(31)) % 256).astype(np.uint8)
+    payloads = [
+        b"",
+        b"A" * 10000,
+        smooth.tobytes() * 20,
+        RNG.integers(0, 256, 50000, dtype=np.uint8).tobytes(),  # fills the table
+        bytes(range(256)) * 64,
+    ]
+    for p in payloads:
+        assert pdffilters.lzw_decode(pdffilters.lzw_encode(p, early), early) == p
+
+
+def test_lzw_error_contract():
+    with pytest.raises(ValueError, match="table code"):
+        # 9-bit code 300 right after implicit start
+        pdffilters.lzw_decode(bytes([0b10010110, 0]))
+    with pytest.raises(ValueError, match="beyond table"):
+        # CLEAR then literal 65 then code 300 (only 258 exists)
+        bits = "100000000" + "001000001" + "100101100"
+        bits += "0" * (-len(bits) % 8)  # right-pad: the stream is MSB-first
+        data = int(bits, 2).to_bytes(len(bits) // 8, "big")
+        pdffilters.lzw_decode(data)
+
+
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        dict(compress=True, predictor=12),
+        dict(compress=True, predictor=2),
+        dict(compress=True, predictor=15),
+        dict(lzw=True),
+        dict(lzw=True, predictor=12),
+        dict(compress=True, predictor=12, object_streams=True),
+        dict(compress=True, predictor=12, encrypt=True),
+    ],
+)
+def test_pdf_round_trip_with_filters(kwargs):
+    data = pdfcodec.encode_pdf([GRAY, RGB], **kwargs)
+    got = pdfcodec.decode_pdf(data)
+    assert len(got) == 2
+    assert (got[0] == GRAY).all() and (got[1] == RGB).all()
+
+
+def test_unknown_filter_still_typed_error():
+    data = pdfcodec.encode_pdf([GRAY], compress=True)
+    broken = data.replace(b"/Filter /FlateDecode", b"/Filter /JBIG2Decode")
+    with pytest.raises(ValueError, match="JBIG2Decode"):
+        pdfcodec.decode_pdf(broken)
