@@ -1882,7 +1882,7 @@ def _text_pdf_fixture_dir(spark: SparkSession, sf: str) -> str:
         F.count("*").alias("n"),
         F.sum(F.crc32(F.concat_ws("\x00", "doc_id", "text"))).alias("ck"),
     ).first()
-    fingerprint = f"{agg['n']}:{agg['ck']}:textlayer"
+    fingerprint = f"{agg['n']}:{agg['ck']}:textlayer:r5fonts"
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker):
         with open(marker) as f:
@@ -1918,7 +1918,14 @@ def q_pdf_text_layer(spark: SparkSession, sf: str) -> DataFrame:
     does) over a text-layer fixture corpus, binaryFile scan -> one
     Arrow stage, no raster work at all. Pages are 20-word chunks split
     into 8-word lines so multi-line positioning is exercised; the
-    oracle re-chunks arithmetically."""
+    oracle re-chunks arithmetically.
+
+    Round 5: the corpus rotates font encodings per doc id (legacy
+    UTF-8 / WinAnsiEncoding / Differences-remapped high codes /
+    Type0+ToUnicode CID — sources/pdfsource.py TEXT_ENCODINGS), so a
+    green row certifies the whole font-decode surface; interop with
+    real third-party pdfTeX files is pinned in tests/test_pdffonts.py.
+    """
     from pdf_ocr_spark.sources.pdfsource import read_pdf_text_layers
 
     d = _text_pdf_fixture_dir(spark, sf)
@@ -3117,6 +3124,10 @@ _FORCE_WINDOW_UNTIL = {
     # branches end to end
     "pdf_page_count": 5,
     "pdf_extract_text": 5,
+    # r5: text-layer corpus rotates font encodings (legacy / WinAnsi /
+    # Differences / Type0+ToUnicode) — a green row certifies the whole
+    # font-decode surface
+    "pdf_text_layer": 5,
 }
 
 

@@ -731,14 +731,77 @@ def _escape_pdf_string(s: bytes) -> bytes:
     return bytes(out)
 
 
-def encode_text_pdf(pages: list[list[str]]) -> bytes:
+#: /Differences variant: lowercase letters remapped to codes >= 0x80 —
+#: the content stream then carries high bytes a decoder can only read
+#: by consulting the Differences table (the pdfTeX-custom-encoding
+#: shape, with /WinAnsiEncoding as the declared base for the rest).
+_DIFF_REMAP = {c: 0x80 + i for i, c in enumerate("abcdefghijklmnopqrstuvwxyz")}
+
+
+def _encode_text_page(lines: list[str], encoding: str) -> tuple[bytes, str]:
+    """(content-stream body, required font flavor) for one page."""
+    body = bytearray(b"BT /F1 12 Tf 14 TL 72 720 Td\n")
+    for line in lines:
+        if encoding == "cid":
+            codes = b"".join(ord(ch).to_bytes(2, "big") for ch in line)
+            body += b"<" + codes.hex().encode() + b"> Tj T*\n"
+            continue
+        if encoding == "winansi":
+            raw = line.encode("cp1252", errors="replace")
+        elif encoding == "differences":
+            raw = bytes(
+                _DIFF_REMAP.get(ch, ord(ch) if ord(ch) < 128 else 0x3F)
+                for ch in line
+            )
+        else:  # legacy: UTF-8 bytes directly in the literal string
+            raw = line.encode("utf-8")
+        body += b"(" + _escape_pdf_string(raw) + b") Tj T*\n"
+    body += b"ET"
+    return bytes(body), encoding
+
+
+def _tounicode_stream(chars: set[str]) -> bytes:
+    """A minimal /ToUnicode CMap for the cid writer: 2-byte Identity
+    codespace, one bfrange per used high byte (ranges must not cross
+    first-byte boundaries, per ISO 32000-1 §9.10.3)."""
+    highs = sorted({ord(c) >> 8 for c in chars} or {0})
+    ranges = "".join(
+        "<%02x00> <%02xff> <%02x00>\n" % (h, h, h) for h in highs
+    )
+    return (
+        "/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
+        "/CMapName /Adobe-Identity-UCS def\n/CMapType 2 def\n"
+        "1 begincodespacerange\n<0000> <ffff>\nendcodespacerange\n"
+        f"{len(highs)} beginbfrange\n{ranges}endbfrange\n"
+        "endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend\n"
+    ).encode()
+
+
+def encode_text_pdf(pages: list[list[str]], encoding: str = "legacy") -> bytes:
     """Serialize pages of text lines into a born-digital PDF (Type1
     Helvetica, one `Tj` per line, `T*` line advances). Reuses the
     image writer's object plumbing: object 1 catalog, 2 pages tree,
     per page i (3+3i) page / (4+3i) content, and a shared /F1 font as
-    the object after the last page triple."""
+    the object after the last page triple.
+
+    ``encoding`` selects the font-encoding shape real producers emit
+    (round 5 — so the extractor's font path has first-party fixtures):
+
+    * ``legacy`` — no /Encoding, UTF-8 bytes in literals (the subset
+      carrying convention; extraction-exact for any text).
+    * ``winansi`` — ``/Encoding /WinAnsiEncoding``, cp1252 bytes (the
+      Word-era simple-font shape; bytes >= 0x80 for accented latin).
+    * ``differences`` — ``/Encoding << /BaseEncoding /WinAnsiEncoding
+      /Differences [...] >>`` remapping a-z to codes 0x80.. (the
+      pdfTeX custom-encoding shape — high bytes only decodable via
+      the table).
+    * ``cid`` — ``/Subtype /Type0`` Identity-H composite font, 2-byte
+      hex-string codes, /ToUnicode CMap (the modern Word/LibreOffice
+      unicode shape)."""
     if not pages:
         raise ValueError("a PDF needs at least one page")
+    if encoding not in ("legacy", "winansi", "differences", "cid"):
+        raise ValueError("unknown text encoding %r" % encoding)
     font_num = 3 + 3 * len(pages)
     objects: dict[int, bytes] = {}
     kids = []
@@ -750,18 +813,48 @@ def encode_text_pdf(pages: list[list[str]]) -> bytes:
             f"/Resources << /Font << /F1 {font_num} 0 R >> >> "
             f"/Contents {content_num} 0 R >>"
         ).encode()
-        body = bytearray(b"BT /F1 12 Tf 14 TL 72 720 Td\n")
-        for line in lines:
-            body += b"(" + _escape_pdf_string(line.encode("utf-8")) + b") Tj T*\n"
-        body += b"ET"
+        body, _ = _encode_text_page(lines, encoding)
         objects[content_num] = (
-            b"<< /Length %d >>\nstream\n%s\nendstream" % (len(body), bytes(body))
+            b"<< /Length %d >>\nstream\n%s\nendstream" % (len(body), body)
         )
     objects[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
     objects[2] = (
         f"<< /Type /Pages /Kids [{' '.join(kids)}] /Count {len(pages)} >>"
     ).encode()
-    objects[font_num] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    if encoding == "winansi":
+        objects[font_num] = (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/Encoding /WinAnsiEncoding >>"
+        )
+    elif encoding == "differences":
+        diffs = " ".join(
+            "%d /%s" % (code, ch) for ch, code in _DIFF_REMAP.items()
+        )
+        objects[font_num] = (
+            "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            "/Encoding << /Type /Encoding /BaseEncoding /WinAnsiEncoding "
+            f"/Differences [ {diffs} ] >> >>"
+        ).encode()
+    elif encoding == "cid":
+        tu_num = font_num + 1
+        desc_num = font_num + 2
+        objects[font_num] = (
+            f"<< /Type /Font /Subtype /Type0 /BaseFont /Helvetica "
+            f"/Encoding /Identity-H /DescendantFonts [{desc_num} 0 R] "
+            f"/ToUnicode {tu_num} 0 R >>"
+        ).encode()
+        chars = {ch for lines in pages for line in lines for ch in line}
+        tu = _tounicode_stream(chars)
+        objects[tu_num] = (
+            b"<< /Length %d >>\nstream\n%s\nendstream" % (len(tu), tu)
+        )
+        objects[desc_num] = (
+            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Helvetica "
+            b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+            b"/Supplement 0 >> >>"
+        )
+    else:
+        objects[font_num] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
 
     out = bytearray(_HEADER)
     offsets: dict[int, int] = {}
@@ -830,14 +923,31 @@ def _parse_pdf_literal(data: bytes, pos: int) -> tuple[bytes, int]:
     raise ValueError("unterminated literal string in content stream")
 
 
-def _text_from_content(content: bytes) -> str:
+_NAME_RE = re.compile(rb"/([^\s/\[\]<>()]+)")
+_NUMBER_RE = re.compile(rb"[-+]?(?:\d+\.?\d*|\.\d+)")
+
+
+def _text_from_content(content: bytes, fonts: dict[bytes, object] | None = None) -> str:
     """Text items of one content stream in reading order: strings shown
     by Tj / ' / \" / TJ, with Td/TD/T*/'/\" starting new lines. Kern
     numbers inside TJ arrays are ignored (they adjust spacing, not
-    text)."""
+    text). ``fonts`` maps resource names (b"F1") to string decoders
+    (:func:`pdf_ocr_spark.sources.pdffonts.make_decoder`); ``Tf``
+    switches the active decoder, and strings decode with the decoder
+    active at show time. Without a font map every string decodes via
+    the legacy UTF-8 convention."""
+    from pdf_ocr_spark.sources.pdffonts import legacy_utf8_decoder
+
     lines: list[list[str]] = [[]]
     i = 0
-    pending: list[bytes] = []  # strings awaiting their operator
+    # strings awaiting their operator; None marks a word space inferred
+    # from a large negative TJ kern (pdfTeX et al. position spaces by
+    # kerning instead of space glyphs — thousandths-of-em units, word
+    # gaps run ≈ -250..-600; the -150 threshold is the conventional cut)
+    pending: list[bytes | None] = []
+    decoder = legacy_utf8_decoder
+    last_name: bytes | None = None  # most recent /Name token (Tf operand)
+    array_depth = 0
 
     def newline():
         if lines[-1]:
@@ -845,7 +955,7 @@ def _text_from_content(content: bytes) -> str:
 
     def show():
         for s in pending:
-            lines[-1].append(s.decode("utf-8", errors="replace"))
+            lines[-1].append(" " if s is None else decoder(s))
         pending.clear()
 
     n = len(content)
@@ -855,6 +965,12 @@ def _text_from_content(content: bytes) -> str:
             s, i = _parse_pdf_literal(content, i)
             pending.append(s)
             continue
+        if b == 0x2F:  # /Name
+            m = _NAME_RE.match(content, i)
+            if m:
+                last_name = m.group(1)
+                i = m.end()
+                continue
         if b == 0x3C and content[i + 1 : i + 2] == b"<":  # << dict — skip
             i += 2
             continue
@@ -867,6 +983,26 @@ def _text_from_content(content: bytes) -> str:
                 hx += b"0"
             pending.append(bytes.fromhex(hx.decode()))
             i = end + 1
+            continue
+        if b == 0x5B:  # [ — TJ array opens
+            array_depth += 1
+            i += 1
+            continue
+        if b == 0x5D:
+            array_depth = max(0, array_depth - 1)
+            i += 1
+            continue
+        if array_depth and (0x30 <= b <= 0x39 or b in (0x2D, 0x2B, 0x2E)):
+            m = _NUMBER_RE.match(content, i)
+            if m:
+                if float(m.group(0)) <= -150.0:
+                    pending.append(None)
+                i = m.end()
+                continue
+        if content.startswith(b"Tf", i):
+            if fonts and last_name in fonts:
+                decoder = fonts[last_name]
+            i += 2
             continue
         if content.startswith(b"Tj", i):
             show()
@@ -893,34 +1029,93 @@ def _text_from_content(content: bytes) -> str:
     return "\n".join(" ".join(filter(None, ["".join(ln)])) for ln in lines if ln)
 
 
+def _walk_pages(body, node_num: int, inherited_res: bytes | None, depth: int = 0):
+    """Depth-first leaf pages of the page tree with their effective
+    /Resources (own, else inherited from the nearest ancestor — the
+    spec's inheritable-attribute rule). Real files (pdfTeX among them)
+    nest intermediate /Pages nodes; a flat /Kids is just depth 1."""
+    if depth > 64:
+        raise ValueError("page tree deeper than 64 levels")
+    node = _dict_of(body(node_num))
+    res = _resources_of(node, body) or inherited_res
+    if re.search(rb"/Type\s*/Page\b(?!s)", node):
+        yield node, res
+        return
+    kids_m = re.search(rb"/Kids\s*\[([^\]]*)\]", node)
+    if kids_m is None:
+        raise ValueError("missing /Kids")
+    for x in re.findall(rb"(\d+)\s+0\s+R", kids_m.group(1)):
+        yield from _walk_pages(body, int(x), res, depth + 1)
+
+
+def _resources_of(node: bytes, body) -> bytes | None:
+    """A node's own /Resources dictionary bytes (inline or resolved
+    through an indirect reference), or None."""
+    m = re.search(rb"/Resources\s*(?:(\d+)\s+0\s+R|(<<))", node)
+    if m is None:
+        return None
+    if m.group(1) is not None:
+        return _dict_of(body(int(m.group(1))))
+    return _dict_of(node[m.start(2) :])
+
+
+def _page_fonts(resources: bytes | None, body, get_stream):
+    """Resource-name -> string decoder for every font in the page's
+    /Font dictionary (inline or indirect refs)."""
+    from pdf_ocr_spark.sources.pdffonts import make_decoder
+
+    if resources is None:
+        return {}
+    fm = re.search(rb"/Font\s*(?:(\d+)\s+0\s+R|(<<))", resources)
+    if fm is None:
+        return {}
+    if fm.group(1) is not None:
+        font_res = _dict_of(body(int(fm.group(1))))
+    else:
+        font_res = _dict_of(resources[fm.start(2) :])
+    fonts = {}
+    for m in re.finditer(rb"/([^\s/\[\]<>()]+)\s+(\d+)\s+0\s+R", font_res):
+        name, num = m.group(1), int(m.group(2))
+        fonts[name] = make_decoder(_dict_of(body(num)), body, get_stream)
+    return fonts
+
+
 def extract_text_layer(data: bytes) -> list[str]:
     """Per-page text of a born-digital PDF (content-stream parse, no
     rasterization or OCR). Encrypted files decrypt transparently; a
-    page with no text operators yields an empty string."""
+    page with no text operators yields an empty string. String bytes
+    route through each page's font encodings — /Encoding tables with
+    /Differences, /ToUnicode CMaps (simple and Type0/CID fonts) — per
+    :mod:`pdf_ocr_spark.sources.pdffonts`; fonts declaring neither
+    fall back to the subset writer's legacy UTF-8 convention."""
     if not data.startswith(b"%PDF-"):
         raise ValueError("not a PDF (missing %PDF- header)")
     body, trailer, decrypt = _load(data)
+
+    def get_stream(num: int) -> bytes:
+        sbody = body(num)
+        d = _dict_of(sbody)
+        raw = _stream_of(sbody, _int(d, b"Length"))
+        if decrypt is not None:
+            raw = decrypt(num, raw)
+        return _decode_stream(d, raw)
+
     catalog = _dict_of(body(_ref(trailer, b"Root")))
-    pages_dict = _dict_of(body(_ref(catalog, b"Pages")))
-    kids_m = re.search(rb"/Kids\s*\[([^\]]*)\]", pages_dict)
-    if kids_m is None:
-        raise ValueError("missing /Kids")
-    kid_nums = [int(x) for x in re.findall(rb"(\d+)\s+0\s+R", kids_m.group(1))]
     out = []
-    for kid in kid_nums:
-        page = _dict_of(body(kid))
-        cm = re.search(rb"/Contents\s+(\d+)\s+0\s+R", page)
+    for page, resources in _walk_pages(body, _ref(catalog, b"Pages"), None):
+        cm = re.search(rb"/Contents\s+(?:(\d+)\s+0\s+R|\[([^\]]*)\])", page)
         if cm is None:
             out.append("")
             continue
-        cnum = int(cm.group(1))
-        cbody = body(cnum)
-        d = _dict_of(cbody)
-        raw = _stream_of(cbody, _int(d, b"Length"))
-        if decrypt is not None:
-            raw = decrypt(cnum, raw)
-        content = _decode_stream(d, raw)
+        if cm.group(1) is not None:
+            cnums = [int(cm.group(1))]
+        else:  # content array: streams concatenate in order
+            cnums = [int(x) for x in re.findall(rb"(\d+)\s+0\s+R", cm.group(2))]
+        content = b"\n".join(get_stream(c) for c in cnums)
+        fonts = _page_fonts(resources, body, get_stream)
         bt = content.find(b"BT")
         et = content.rfind(b"ET")
-        out.append(_text_from_content(content[bt:et]) if bt != -1 and et > bt else "")
+        out.append(
+            _text_from_content(content[bt:et], fonts) if bt != -1 and et > bt else ""
+        )
     return out

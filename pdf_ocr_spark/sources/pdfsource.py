@@ -366,10 +366,20 @@ def text_page_lines(text: str, words_per_page: int = WORDS_PER_PAGE, words_per_l
     return pages
 
 
+#: Text-layer corpus font-encoding rotation (round 5): doc id % 4
+#: picks the font shape, so driver-green pdf_text_layer rows certify
+#: every decode path — 0 legacy UTF-8, 1 /WinAnsiEncoding simple font,
+#: 2 /Differences with a-z remapped to high codes, 3 Type0/Identity-H
+#: CID with a /ToUnicode CMap. All four are content-transparent.
+TEXT_ENCODINGS = ("legacy", "winansi", "differences", "cid")
+
+
 def write_text_pdf_corpus(docs: DataFrame, out_dir: str) -> DataFrame:
     """One born-digital (text-layer, no raster) PDF per (doc_id, text)
     row — executor-side writes, same manifest contract as
-    :func:`write_pdf_corpus`."""
+    :func:`write_pdf_corpus`. Font encodings rotate per doc id
+    (``TEXT_ENCODINGS``) so the extractor's /Encoding, /Differences,
+    and /ToUnicode paths all appear in the fixture corpus."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pdf_ocr_spark.sources.pdfcodec import encode_text_pdf
@@ -379,10 +389,16 @@ def write_text_pdf_corpus(docs: DataFrame, out_dir: str) -> DataFrame:
             paths, n_pages = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 pages = text_page_lines(text or "")
+                try:
+                    d = int(doc_id)
+                except ValueError:
+                    d = 0
                 path = os.path.join(out_dir, f"doc_{doc_id}.pdf")
                 tmp = path + ".tmp"
                 with open(tmp, "wb") as f:
-                    f.write(encode_text_pdf(pages))
+                    f.write(
+                        encode_text_pdf(pages, encoding=TEXT_ENCODINGS[d % 4])
+                    )
                 os.replace(tmp, path)
                 paths.append(path)
                 n_pages.append(len(pages))
