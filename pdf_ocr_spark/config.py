@@ -27,6 +27,12 @@ class ExtractionConfig:
     #: (pipeline.reassemble_with_metrics_salted) for corpora with
     #: pathologically many-page documents; 0 = plain single-stage.
     reassembly_salt: int = 0
+    #: Password for encrypted PDFs (standard security handler — tried
+    #: as user then owner; RC4/AES-128 legacy and AES-256 R6 alike).
+    #: Empty = open only files readable without a prompt (the default
+    #: real-world shape); files needing a password become typed error
+    #: rows, never exceptions.
+    pdf_password: str = ""
 
     @property
     def dpi(self) -> int:

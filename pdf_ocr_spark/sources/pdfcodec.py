@@ -53,6 +53,8 @@ def encode_pdf(
     cipher: str = "rc4",
     predictor: int = 1,
     lzw: bool = False,
+    user_password: bytes | str = b"",
+    owner_password: bytes | str = b"",
 ) -> bytes:
     """Serialize page images into a PDF — H x W uint8 (DeviceGray) or
     H x W x 3 uint8 (DeviceRGB) arrays; ``compress=True`` Flate-encodes
@@ -140,21 +142,67 @@ def encode_pdf(
     enc = None
     extra_toplevel: set[int] = set()
     if encrypt:
-        # standard security handler — RC4-128 R3 (cipher='rc4') or
-        # AES-128-CBC V4/R4 /AESV2 (cipher='aes') — empty user+owner
-        # passwords (readable without a prompt, encrypted on disk);
-        # /ID and AES IVs from content hashes so output is byte-stable
+        # standard security handler — RC4-128 R3 (cipher='rc4'),
+        # AES-128-CBC V4/R4 /AESV2 (cipher='aes'), or AES-256 V5/R6
+        # /AESV3 (cipher='aes256', the ISO 32000-2 shape) —
+        # ``user_password``/``owner_password`` default empty (readable
+        # without a prompt, encrypted on disk); /ID, salts, and AES
+        # IVs from content hashes so output is byte-stable
         import hashlib
 
         from pdf_ocr_spark.sources import pdfcrypt
 
-        if cipher not in ("rc4", "aes"):
-            raise ValueError("cipher must be 'rc4' or 'aes'")
-        rev = 4 if cipher == "aes" else 3
-        id1 = hashlib.md5(b"".join(objects[n] for n in sorted(objects))).digest()
+        if cipher not in ("rc4", "aes", "aes256"):
+            raise ValueError("cipher must be 'rc4', 'aes', or 'aes256'")
+        upw = user_password.encode() if isinstance(user_password, str) else user_password
+        opw = owner_password.encode() if isinstance(owner_password, str) else owner_password
+        # like real producers: an unset owner password defaults to the
+        # user password (never an empty-owner backdoor on a protected
+        # file)
+        opw = opw or upw
+        content_seed = b"".join(objects[n] for n in sorted(objects))
+        id1 = hashlib.md5(content_seed).digest()
         perms = -1
-        o = pdfcrypt.owner_entry(16, rev)
-        fkey = pdfcrypt.file_key(o, perms, id1, rev, 16)
+        if cipher == "aes256":
+            fkey = hashlib.sha256(b"fkey" + content_seed).digest()
+            ent = pdfcrypt.r6_entries(
+                fkey, perms, id1, user_password=upw, owner_password=opw
+            )
+
+            def enc(num: int, raw: bytes) -> bytes:
+                iv = hashlib.md5(b"iv" + id1 + num.to_bytes(4, "big")).digest()
+                return pdfcrypt.aes256_cbc_encrypt(fkey, raw, iv)
+
+            for num in list(objects):
+                objects[num] = _encrypt_body_stream(objects[num], num, enc)
+            enc_num = max(objects) + 1
+            objects[enc_num] = (
+                b"<< /Filter /Standard /V 5 /R 6 /Length 256 "
+                b"/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen /Length 32 >> >> "
+                b"/StmF /StdCF /StrF /StdCF /P %d "
+                b"/O <%s> /U <%s> /OE <%s> /UE <%s> /Perms <%s> >>"
+                % (
+                    perms,
+                    ent["O"].hex().upper().encode(),
+                    ent["U"].hex().upper().encode(),
+                    ent["OE"].hex().upper().encode(),
+                    ent["UE"].hex().upper().encode(),
+                    ent["Perms"].hex().upper().encode(),
+                )
+            )
+            extra_toplevel.add(enc_num)
+            idhex = id1.hex().upper().encode()
+            trailer_extra = b" /Encrypt %d 0 R /ID [<%s> <%s>]" % (
+                enc_num,
+                idhex,
+                idhex,
+            )
+            if object_streams:
+                return _emit_pdf15(objects, extra_toplevel, enc, trailer_extra)
+            return _emit_pdf14(objects, trailer_extra)
+        rev = 4 if cipher == "aes" else 3
+        o = pdfcrypt.owner_entry(16, rev, owner_password=opw, user_password=upw)
+        fkey = pdfcrypt.file_key(o, perms, id1, rev, 16, user_password=upw)
         u = pdfcrypt.user_entry(fkey, id1, min(rev, 3))
 
         if cipher == "aes":
@@ -192,6 +240,11 @@ def encode_pdf(
 
     if object_streams:
         return _emit_pdf15(objects, extra_toplevel, enc, trailer_extra)
+    return _emit_pdf14(objects, trailer_extra)
+
+
+def _emit_pdf14(objects: dict[int, bytes], trailer_extra: bytes = b"") -> bytes:
+    """Serialize objects with a classic xref table + ``trailer``."""
     out = bytearray(_HEADER)
     offsets: dict[int, int] = {}
     for num in sorted(objects):
@@ -202,7 +255,7 @@ def encode_pdf(
     out += b"xref\n0 %d\n" % n
     out += b"0000000000 65535 f \n"
     for num in range(1, n):
-        out += b"%010d 00000 n \n" % offsets[num]
+        out += b"%010d 00000 n \n" % offsets.get(num, 0)
     out += (
         b"trailer\n<< /Size %d /Root 1 0 R%s >>\nstartxref\n%d\n%%%%EOF\n"
         % (n, trailer_extra, xref_at)
@@ -505,13 +558,17 @@ def _pdf_string(d: bytes, key: bytes) -> bytes:
     return s
 
 
-def _decrypt_fn(data: bytes, body, trailer: bytes):
-    """Standard-security-handler detection (ISO 32000-1 §7.6.3): when
-    the trailer names an /Encrypt dictionary, derive the file key from
-    the EMPTY user password (the common "encrypted but freely
-    readable" shape), validate it against /U, and return a per-object
-    stream decryptor. A failed /U check means a real password is
-    required -> typed error. Returns None for unencrypted files."""
+def _decrypt_fn(data: bytes, body, trailer: bytes, password: bytes = b""):
+    """Standard-security-handler detection: when the trailer names an
+    /Encrypt dictionary, authenticate ``password`` (default empty —
+    the common "encrypted but freely readable" shape) and return a
+    per-object stream decryptor. Legacy revisions (ISO 32000-1
+    §7.6.3, RC4 R2/R3 and AES-128 V4/R4) try the password as user
+    first, then as owner (Algorithm 7 recovery); V5/R6 (/AESV3
+    AES-256, ISO 32000-2 §7.6.4) authenticates both roles via
+    Algorithm 2.A. A password that matches neither role raises
+    ``ValueError('password required')`` -> typed error. Returns None
+    for unencrypted files."""
     em = re.search(rb"/Encrypt\s+(\d+)\s+0\s+R", trailer)
     if em is None:
         return None
@@ -522,6 +579,31 @@ def _decrypt_fn(data: bytes, body, trailer: bytes):
         raise ValueError("unsupported PDF security handler (Standard only)")
     v = _int(d, b"V")
     r = _int(d, b"R")
+
+    if v == 5:
+        if r not in (5, 6):
+            raise ValueError("unsupported encryption V=5 R=%d" % r)
+        if not re.search(rb"/CFM\s*/AESV3\b", d):
+            cfm = re.search(rb"/CFM\s*/(\w+)", d)
+            raise ValueError(
+                "V5 encryption requires /AESV3, found /%s"
+                % (cfm.group(1).decode() if cfm else "<missing>")
+            )
+        u, o = _pdf_string(d, b"U"), _pdf_string(d, b"O")
+        ue, oe = _pdf_string(d, b"UE"), _pdf_string(d, b"OE")
+        fkey = pdfcrypt.file_key_r6(u, ue, o, oe, password)
+        pm = re.search(rb"/P\s+(-?\d+)", d)
+        perms_ok = True
+        try:
+            perms = _pdf_string(d, b"Perms")
+        except ValueError:
+            perms = None
+        if perms is not None and pm is not None:
+            perms_ok = pdfcrypt.check_perms_r6(fkey, perms, int(pm.group(1)))
+        if not perms_ok:
+            raise ValueError("corrupt /Perms entry (R6 integrity check failed)")
+        return lambda num, raw: pdfcrypt.aes256_cbc_decrypt(fkey, raw)
+
     aes = False
     if v == 4 and r == 4:
         # crypt-filter dispatch: /AESV2 (AES-128-CBC) or /V2 (RC4)
@@ -535,8 +617,8 @@ def _decrypt_fn(data: bytes, body, trailer: bytes):
             )
     elif v not in (1, 2) or r not in (2, 3):
         raise ValueError(
-            "unsupported encryption V=%d R=%d (RC4 V1/V2 R2/R3, AES V4/R4 only)"
-            % (v, r)
+            "unsupported encryption V=%d R=%d (RC4 V1/V2 R2/R3, AES V4/R4, "
+            "AES-256 V5/R6 only)" % (v, r)
         )
     encrypt_metadata = not re.search(rb"/EncryptMetadata\s+false", d)
     lm = re.search(rb"/Length\s+(\d+)", d)
@@ -553,10 +635,27 @@ def _decrypt_fn(data: bytes, body, trailer: bytes):
     if idm is None:
         raise ValueError("encrypted file missing /ID")
     id1 = bytes.fromhex(idm.group(1).decode())
-    fkey = pdfcrypt.file_key(
-        o, int(pm.group(1)), id1, r, key_bytes, encrypt_metadata=encrypt_metadata
-    )
-    if not pdfcrypt.check_user_password(fkey, u, id1, min(r, 3)):
+    # try as user password, then as owner password (Algorithm 7)
+    candidates = [password]
+    if password:
+        candidates.append(
+            pdfcrypt.recover_user_password(o, password, key_bytes, r)
+        )
+    fkey = None
+    for cand in candidates:
+        k = pdfcrypt.file_key(
+            o,
+            int(pm.group(1)),
+            id1,
+            r,
+            key_bytes,
+            user_password=cand,
+            encrypt_metadata=encrypt_metadata,
+        )
+        if pdfcrypt.check_user_password(k, u, id1, min(r, 3)):
+            fkey = k
+            break
+    if fkey is None:
         raise ValueError("password required (standard security handler)")
     if aes:
         return lambda num, raw: pdfcrypt.aes128_cbc_decrypt(
@@ -565,7 +664,7 @@ def _decrypt_fn(data: bytes, body, trailer: bytes):
     return lambda num, raw: pdfcrypt.decrypt_object(fkey, num, raw)
 
 
-def _load(data: bytes):
+def _load(data: bytes, password: bytes = b""):
     """Resolve the object graph: top-level ``N 0 obj`` spans plus the
     members of every **/ObjStm** (PDF 1.5 object streams — decompressed
     and indexed via their ``N``/``First`` header), and the trailer
@@ -602,7 +701,7 @@ def _load(data: bytes):
     else:
         raise ValueError("missing trailer")
 
-    decrypt = _decrypt_fn(data, span_body, trailer)
+    decrypt = _decrypt_fn(data, span_body, trailer, password)
 
     packed: dict[int, bytes] = {}
     for num, d in dicts.items():
@@ -631,11 +730,11 @@ def _load(data: bytes):
     return body, trailer, decrypt
 
 
-def decode_pdf(data: bytes) -> list[np.ndarray]:
+def decode_pdf(data: bytes, password: bytes = b"") -> list[np.ndarray]:
     """Parse a scanned-page-subset PDF into its page images, in order."""
     if not data.startswith(b"%PDF-"):
         raise ValueError("not a PDF (missing %PDF- header)")
-    body, trailer, decrypt = _load(data)
+    body, trailer, decrypt = _load(data, password)
     catalog = _dict_of(body(_ref(trailer, b"Root")))
     pages_dict = _dict_of(body(_ref(catalog, b"Pages")))
     kids_m = re.search(rb"/Kids\s*\[([^\]]*)\]", pages_dict)
@@ -691,13 +790,13 @@ def decode_pdf(data: bytes) -> list[np.ndarray]:
     return images
 
 
-def page_count(data: bytes) -> int:
+def page_count(data: bytes, password: bytes = b"") -> int:
     """Page count straight from the pages tree (no raster decode) —
     the cheap metadata scan (reference: pdfinfo-style count,
     app.py:415-430 uses the rasterizer's page list length)."""
     if not data.startswith(b"%PDF-"):
         raise ValueError("not a PDF (missing %PDF- header)")
-    body, trailer, _decrypt = _load(data)
+    body, trailer, _decrypt = _load(data, password)
     catalog = _dict_of(body(_ref(trailer, b"Root")))
     return _int(_dict_of(body(_ref(catalog, b"Pages"))), b"Count")
 
@@ -1080,7 +1179,7 @@ def _page_fonts(resources: bytes | None, body, get_stream):
     return fonts
 
 
-def extract_text_layer(data: bytes) -> list[str]:
+def extract_text_layer(data: bytes, password: bytes = b"") -> list[str]:
     """Per-page text of a born-digital PDF (content-stream parse, no
     rasterization or OCR). Encrypted files decrypt transparently; a
     page with no text operators yields an empty string. String bytes
@@ -1090,7 +1189,7 @@ def extract_text_layer(data: bytes) -> list[str]:
     fall back to the subset writer's legacy UTF-8 convention."""
     if not data.startswith(b"%PDF-"):
         raise ValueError("not a PDF (missing %PDF- header)")
-    body, trailer, decrypt = _load(data)
+    body, trailer, decrypt = _load(data, password)
 
     def get_stream(num: int) -> bytes:
         sbody = body(num)

@@ -1,5 +1,5 @@
-"""PDF standard security handler — RC4 (R2/R3) and AES-128 (V4/R4
-/AESV2) — stdlib only.
+"""PDF standard security handler — RC4 (R2/R3), AES-128 (V4/R4
+/AESV2), and AES-256 (V5/R6 /AESV3) — stdlib only.
 
 Retires the "encrypted PDFs are typed errors" limitation for the
 common real-world cases: files encrypted with the *standard* handler
@@ -12,15 +12,17 @@ password, per-object keys, O/U verification entries) and FIPS-197
 (AES, with the S-box generated from its algebraic definition and the
 cipher pinned by the published appendix vectors).
 
-Files that genuinely need a password (the empty-password key fails the
-/U check) raise ``ValueError('password required')`` so the Spark
-source surfaces a typed error row; unknown crypt filters (AESV3/
-AES-256) raise naming the feature.
+Passwords are supported in both roles: legacy revisions try the
+password as user (Algorithm 2/6) then as owner (Algorithm 7
+recovery); R6 authenticates both via Algorithm 2.A. A password that
+matches neither raises ``ValueError('password required')`` so the
+Spark source surfaces a typed error row.
 
-Both ciphers are from-scratch pure Python (~MB/s) — fine for the
+All ciphers are from-scratch pure Python (~MB/s) — fine for the
 fixture/test path, and decrypt cost is dwarfed by raster decode in
-the pipeline. The fixture corpus plants RC4 files (length-preserving,
-cheap at 5000-file scale); AES is exercised by the test suite.
+the pipeline. The fixture corpus plants mostly RC4 files
+(length-preserving, cheap at 5000-file scale) with an AES-256/R6
+minority share; AES-128 is exercised by the test suite.
 """
 
 from __future__ import annotations
@@ -94,6 +96,27 @@ def owner_entry(
         for i in range(1, 20):
             o = rc4(bytes(b ^ i for b in okey), o)
     return o
+
+
+def recover_user_password(
+    o: bytes, owner_password: bytes, key_bytes: int, revision: int
+) -> bytes:
+    """Algorithm 7 (owner-password path, legacy revisions): decrypt
+    the /O entry under the owner-derived RC4 key to recover the
+    *padded* user password. The caller feeds the result straight back
+    into :func:`file_key` — a 32-byte padded password is a fixed point
+    of the padding step, so no unpadding is needed."""
+    digest = hashlib.md5(_pad_password(owner_password)).digest()
+    if revision >= 3:
+        for _ in range(50):
+            digest = hashlib.md5(digest).digest()
+    okey = digest[:key_bytes]
+    if revision == 2:
+        return rc4(okey, o[:32])
+    d = o[:32]
+    for i in range(19, -1, -1):
+        d = rc4(bytes(b ^ i for b in okey), d)
+    return d
 
 
 def user_entry(fkey: bytes, id1: bytes, revision: int) -> bytes:
@@ -198,19 +221,26 @@ _MUL = {c: [_gf_mul(x, c) for x in range(256)] for c in (2, 3, 9, 11, 13, 14)}
 
 
 def _expand_key(key: bytes) -> list[list[int]]:
-    """AES-128 key schedule -> 11 round keys of 16 bytes each."""
-    w = [list(key[i : i + 4]) for i in range(0, 16, 4)]
-    for i in range(4, 44):
+    """AES key schedule (FIPS-197 §5.2) for 128- or 256-bit keys ->
+    Nr+1 round keys of 16 bytes (Nr = Nk+6: 10 or 14 rounds)."""
+    nk = len(key) // 4
+    if nk not in (4, 8):
+        raise ValueError("AES key must be 16 or 32 bytes")
+    nr = nk + 6
+    w = [list(key[i : i + 4]) for i in range(0, len(key), 4)]
+    for i in range(nk, 4 * (nr + 1)):
         t = list(w[i - 1])
-        if i % 4 == 0:
+        if i % nk == 0:
             t = t[1:] + t[:1]
             t = [_SBOX[b] for b in t]
-            t[0] ^= _RCON[i // 4 - 1]
-        w.append([a ^ b for a, b in zip(w[i - 4], t)])
-    return [sum(w[4 * r : 4 * r + 4], []) for r in range(11)]
+            t[0] ^= _RCON[i // nk - 1]
+        elif nk == 8 and i % nk == 4:
+            t = [_SBOX[b] for b in t]
+        w.append([a ^ b for a, b in zip(w[i - nk], t)])
+    return [sum(w[4 * r : 4 * r + 4], []) for r in range(nr + 1)]
 
 
-def _aes128_decrypt_block(rk: list[list[int]], block: bytes) -> bytes:
+def _aes_decrypt_block(rk: list[list[int]], block: bytes) -> bytes:
     # state is column-major per FIPS-197: s[r][c] = in[r + 4c]
     s = [[block[r + 4 * c] for c in range(4)] for r in range(4)]
 
@@ -235,8 +265,9 @@ def _aes128_decrypt_block(rk: list[list[int]], block: bytes) -> bytes:
             s[2][c] = _MUL[13][a[0]] ^ _MUL[9][a[1]] ^ _MUL[14][a[2]] ^ _MUL[11][a[3]]
             s[3][c] = _MUL[11][a[0]] ^ _MUL[13][a[1]] ^ _MUL[9][a[2]] ^ _MUL[14][a[3]]
 
-    add_round_key(rk[10])
-    for rnd in range(9, 0, -1):
+    nr = len(rk) - 1
+    add_round_key(rk[nr])
+    for rnd in range(nr - 1, 0, -1):
         inv_shift_rows()
         inv_sub_bytes()
         add_round_key(rk[rnd])
@@ -247,7 +278,7 @@ def _aes128_decrypt_block(rk: list[list[int]], block: bytes) -> bytes:
     return bytes(s[r][c] for c in range(4) for r in range(4))
 
 
-def _aes128_encrypt_block(rk: list[list[int]], block: bytes) -> bytes:
+def _aes_encrypt_block(rk: list[list[int]], block: bytes) -> bytes:
     s = [[block[r + 4 * c] for c in range(4)] for r in range(4)]
 
     def add_round_key(k):
@@ -271,15 +302,16 @@ def _aes128_encrypt_block(rk: list[list[int]], block: bytes) -> bytes:
             s[2][c] = a[0] ^ a[1] ^ _MUL[2][a[2]] ^ _MUL[3][a[3]]
             s[3][c] = _MUL[3][a[0]] ^ a[1] ^ a[2] ^ _MUL[2][a[3]]
 
+    nr = len(rk) - 1
     add_round_key(rk[0])
-    for rnd in range(1, 10):
+    for rnd in range(1, nr):
         sub_bytes()
         shift_rows()
         mix_columns()
         add_round_key(rk[rnd])
     sub_bytes()
     shift_rows()
-    add_round_key(rk[10])
+    add_round_key(rk[nr])
     return bytes(s[r][c] for c in range(4) for r in range(4))
 
 
@@ -290,13 +322,13 @@ def aes128_cbc_decrypt(key: bytes, data: bytes) -> bytes:
         raise ValueError("AESV2 needs a 16-byte key")
     if len(data) < 32 or len(data) % 16:
         raise ValueError("AES-CBC stream has invalid length")
-    rk = _expand_key(key)
+    _, dk, nr = _key_schedules(key)
     iv, body = data[:16], data[16:]
     out = bytearray()
     prev = iv
     for i in range(0, len(body), 16):
         block = body[i : i + 16]
-        plain = _aes128_decrypt_block(rk, block)
+        plain = _decrypt_block_words(dk, nr, block)
         out += bytes(a ^ b for a, b in zip(plain, prev))
         prev = block
     pad = out[-1]
@@ -308,13 +340,291 @@ def aes128_cbc_decrypt(key: bytes, data: bytes) -> bytes:
 def aes128_cbc_encrypt(key: bytes, data: bytes, iv: bytes) -> bytes:
     if len(key) != 16 or len(iv) != 16:
         raise ValueError("AESV2 needs 16-byte key and IV")
-    rk = _expand_key(key)
+    ek, _, nr = _key_schedules(key)
     pad = 16 - len(data) % 16
     body = data + bytes([pad]) * pad
     out = bytearray(iv)
     prev = iv
     for i in range(0, len(body), 16):
         block = bytes(a ^ b for a, b in zip(body[i : i + 16], prev))
-        prev = _aes128_encrypt_block(rk, block)
+        prev = _encrypt_block_words(ek, nr, block)
         out += prev
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# AES-256 / R6 (/AESV3) — ISO 32000-2 §7.6.4: SHA-2 based password
+# KDF (Algorithm 2.B), /U //UE //O //OE //Perms entries, and file-key
+# object encryption (V5 uses the file key directly for every object —
+# no per-object derivation). Round 5.
+# ---------------------------------------------------------------------------
+
+
+def _aes_cbc_nopad(key: bytes, iv: bytes, data: bytes, decrypt: bool) -> bytes:
+    """Raw AES-CBC without padding (the R6 KDF and /UE //OE //Perms
+    shapes are all exact multiples of 16)."""
+    if len(data) % 16:
+        raise ValueError("AES-CBC (no pad) needs whole blocks")
+    ek, dk, nr = _key_schedules(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        block = data[i : i + 16]
+        if decrypt:
+            out += bytes(
+                a ^ b for a, b in zip(_decrypt_block_words(dk, nr, block), prev)
+            )
+            prev = block
+        else:
+            prev = _encrypt_block_words(
+                ek, nr, bytes(a ^ b for a, b in zip(block, prev))
+            )
+            out += prev
+    return bytes(out)
+
+
+_HASH_R6_CACHE: dict[tuple[bytes, bytes, bytes], bytes] = {}
+
+
+def hash_r6(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """Algorithm 2.B: the hardened SHA-2 iteration. ``udata`` is the
+    48-byte /U string when validating/deriving owner entries.
+
+    Memoized on the exact (password, salt, udata) triple: the KDF is
+    deliberately expensive (~10 ms even with T-table AES), and a scan
+    re-opening the same file re-derives the same inputs — sound
+    caching, the function is pure."""
+    hit = _HASH_R6_CACHE.get((password, salt, udata))
+    if hit is not None:
+        return hit
+    k = hashlib.sha256(password + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = _aes_cbc_nopad(k[:16], k[16:32], k1, decrypt=False)
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[sum(e[:16]) % 3](
+            e
+        ).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            if len(_HASH_R6_CACHE) > 4096:
+                _HASH_R6_CACHE.clear()
+            _HASH_R6_CACHE[(password, salt, udata)] = k[:32]
+            return k[:32]
+
+
+def file_key_r6(
+    u: bytes,
+    ue: bytes,
+    o: bytes,
+    oe: bytes,
+    password: bytes = b"",
+) -> bytes:
+    """Algorithm 2.A: authenticate ``password`` as user or owner and
+    return the 32-byte file key. Raises ValueError('password
+    required') when it matches neither — the typed-error contract."""
+    if len(u) < 48 or len(o) < 48:
+        raise ValueError("R6 /U and /O entries must be 48 bytes")
+    # owner check first, per the spec's ordering (O hashes over U)
+    if hash_r6(password, o[32:40], u[:48]) == o[:32]:
+        ik = hash_r6(password, o[40:48], u[:48])
+        return _aes_cbc_nopad(ik, b"\x00" * 16, oe[:32], decrypt=True)
+    if hash_r6(password, u[32:40]) == u[:32]:
+        ik = hash_r6(password, u[40:48])
+        return _aes_cbc_nopad(ik, b"\x00" * 16, ue[:32], decrypt=True)
+    raise ValueError("password required (standard security handler)")
+
+
+def check_perms_r6(fkey: bytes, perms: bytes, p: int) -> bool:
+    """Algorithm 13 (reader side): /Perms decrypts under the file key
+    (AES-ECB one block) to b'adb' at bytes 9-11 and the matching /P."""
+    if len(perms) < 16:
+        return False
+    _, dk, nr = _key_schedules(fkey)
+    plain = _decrypt_block_words(dk, nr, perms[:16])
+    return plain[9:12] == b"adb" and plain[:4] == struct.pack("<i", p)
+
+
+def r6_entries(
+    fkey: bytes,
+    p: int,
+    seed: bytes,
+    user_password: bytes = b"",
+    owner_password: bytes = b"",
+    encrypt_metadata: bool = True,
+) -> dict[str, bytes]:
+    """Writer side (Algorithms 8/9/10): the /U //UE //O //OE //Perms
+    entries for a chosen 32-byte file key. ``seed`` makes the salts
+    deterministic (content-hash derived) so output files are
+    byte-stable, like the RC4/AESV2 writer paths."""
+    if len(fkey) != 32:
+        raise ValueError("R6 file key must be 32 bytes")
+    vsu = hashlib.sha256(b"vsu" + seed).digest()[:8]
+    ksu = hashlib.sha256(b"ksu" + seed).digest()[:8]
+    u = hash_r6(user_password, vsu) + vsu + ksu
+    ue = _aes_cbc_nopad(
+        hash_r6(user_password, ksu), b"\x00" * 16, fkey, decrypt=False
+    )
+    vso = hashlib.sha256(b"vso" + seed).digest()[:8]
+    kso = hashlib.sha256(b"kso" + seed).digest()[:8]
+    o = hash_r6(owner_password, vso, u) + vso + kso
+    oe = _aes_cbc_nopad(
+        hash_r6(owner_password, kso, u), b"\x00" * 16, fkey, decrypt=False
+    )
+    plain = (
+        struct.pack("<i", p)
+        + b"\xff\xff\xff\xff"
+        + (b"T" if encrypt_metadata else b"F")
+        + b"adb"
+        + b"pdfs"  # bytes 12-15: arbitrary per spec
+    )
+    ek, _, nr = _key_schedules(fkey)
+    perms = _encrypt_block_words(ek, nr, plain)
+    return {"U": u, "UE": ue, "O": o, "OE": oe, "Perms": perms}
+
+
+def aes256_cbc_decrypt(key: bytes, data: bytes) -> bytes:
+    """AESV3 stream layout: identical to AESV2 (16-byte IV prefix,
+    CBC, PKCS#5 padding) but with the 32-byte file key."""
+    if len(key) != 32:
+        raise ValueError("AESV3 needs a 32-byte key")
+    if len(data) < 32 or len(data) % 16:
+        raise ValueError("AES-CBC stream has invalid length")
+    iv, body = data[:16], data[16:]
+    out = bytearray(_aes_cbc_nopad(key, iv, body, decrypt=True))
+    pad = out[-1]
+    if not 1 <= pad <= 16 or out[-pad:] != bytes([pad]) * pad:
+        raise ValueError("bad AES-CBC padding (wrong key or corrupt stream)")
+    return bytes(out[:-pad])
+
+
+def aes256_cbc_encrypt(key: bytes, data: bytes, iv: bytes) -> bytes:
+    if len(key) != 32 or len(iv) != 16:
+        raise ValueError("AESV3 needs 32-byte key and 16-byte IV")
+    pad = 16 - len(data) % 16
+    return iv + _aes_cbc_nopad(key, iv, data + bytes([pad]) * pad, decrypt=False)
+
+
+# ---------------------------------------------------------------------------
+# T-table AES (the classic 32-bit-word formulation from the Rijndael
+# submission — four 256-entry tables fusing SubBytes+ShiftRows+
+# MixColumns per column). Pure-python byte-matrix AES measures
+# ~0.13 MB/s, which made the R6 KDF (~130 KB of chained CBC per
+# derivation) cost >1 s per file; the word form is ~15x faster. The
+# byte-matrix implementation above is kept as the readable reference
+# and the two are equivalence-tested against each other and the FIPS
+# vectors.
+# ---------------------------------------------------------------------------
+
+_TE0 = [0] * 256
+_TE1 = [0] * 256
+_TE2 = [0] * 256
+_TE3 = [0] * 256
+_TD0 = [0] * 256
+_TD1 = [0] * 256
+_TD2 = [0] * 256
+_TD3 = [0] * 256
+for _x in range(256):
+    _s = _SBOX[_x]
+    _t = (_gf_mul(_s, 2) << 24) | (_s << 16) | (_s << 8) | _gf_mul(_s, 3)
+    _TE0[_x] = _t
+    _TE1[_x] = ((_t >> 8) | (_t << 24)) & 0xFFFFFFFF
+    _TE2[_x] = ((_t >> 16) | (_t << 16)) & 0xFFFFFFFF
+    _TE3[_x] = ((_t >> 24) | (_t << 8)) & 0xFFFFFFFF
+    _si = _INV_SBOX[_x]
+    _u = (
+        (_gf_mul(_si, 14) << 24)
+        | (_gf_mul(_si, 9) << 16)
+        | (_gf_mul(_si, 13) << 8)
+        | _gf_mul(_si, 11)
+    )
+    _TD0[_x] = _u
+    _TD1[_x] = ((_u >> 8) | (_u << 24)) & 0xFFFFFFFF
+    _TD2[_x] = ((_u >> 16) | (_u << 16)) & 0xFFFFFFFF
+    _TD3[_x] = ((_u >> 24) | (_u << 8)) & 0xFFFFFFFF
+del _x, _s, _t, _si, _u
+
+
+def _imc_word(w: int) -> int:
+    """InvMixColumns on one big-endian column word (key-schedule side
+    of the equivalent inverse cipher)."""
+    b0, b1, b2, b3 = w >> 24, (w >> 16) & 0xFF, (w >> 8) & 0xFF, w & 0xFF
+    m = _MUL
+    return (
+        (m[14][b0] ^ m[11][b1] ^ m[13][b2] ^ m[9][b3]) << 24
+        | (m[9][b0] ^ m[14][b1] ^ m[11][b2] ^ m[13][b3]) << 16
+        | (m[13][b0] ^ m[9][b1] ^ m[14][b2] ^ m[11][b3]) << 8
+        | (m[11][b0] ^ m[13][b1] ^ m[9][b2] ^ m[14][b3])
+    )
+
+
+def _key_schedules(key: bytes) -> tuple[list[int], list[int], int]:
+    """(encrypt words, equivalent-inverse decrypt words, Nr). Cached —
+    CBC streams re-key per file, not per block."""
+    cached = _SCHEDULE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    rounds = _expand_key(key)
+    nr = len(rounds) - 1
+    ek = [
+        (k[4 * c] << 24) | (k[4 * c + 1] << 16) | (k[4 * c + 2] << 8) | k[4 * c + 3]
+        for k in rounds
+        for c in range(4)
+    ]
+    dk: list[int] = []
+    for i in range(nr + 1):
+        src = ek[4 * (nr - i) : 4 * (nr - i) + 4]
+        if 0 < i < nr:
+            src = [_imc_word(w) for w in src]
+        dk.extend(src)
+    if len(_SCHEDULE_CACHE) > 64:
+        _SCHEDULE_CACHE.clear()
+    _SCHEDULE_CACHE[key] = (ek, dk, nr)
+    return ek, dk, nr
+
+
+_SCHEDULE_CACHE: dict[bytes, tuple[list[int], list[int], int]] = {}
+
+
+def _encrypt_block_words(ek: list[int], nr: int, block: bytes) -> bytes:
+    w0, w1, w2, w3 = struct.unpack(">4I", block)
+    w0 ^= ek[0]
+    w1 ^= ek[1]
+    w2 ^= ek[2]
+    w3 ^= ek[3]
+    k = 4
+    for _ in range(nr - 1):
+        t0 = _TE0[w0 >> 24] ^ _TE1[(w1 >> 16) & 255] ^ _TE2[(w2 >> 8) & 255] ^ _TE3[w3 & 255] ^ ek[k]
+        t1 = _TE0[w1 >> 24] ^ _TE1[(w2 >> 16) & 255] ^ _TE2[(w3 >> 8) & 255] ^ _TE3[w0 & 255] ^ ek[k + 1]
+        t2 = _TE0[w2 >> 24] ^ _TE1[(w3 >> 16) & 255] ^ _TE2[(w0 >> 8) & 255] ^ _TE3[w1 & 255] ^ ek[k + 2]
+        t3 = _TE0[w3 >> 24] ^ _TE1[(w0 >> 16) & 255] ^ _TE2[(w1 >> 8) & 255] ^ _TE3[w2 & 255] ^ ek[k + 3]
+        w0, w1, w2, w3 = t0, t1, t2, t3
+        k += 4
+    s = _SBOX
+    o0 = ((s[w0 >> 24] << 24) | (s[(w1 >> 16) & 255] << 16) | (s[(w2 >> 8) & 255] << 8) | s[w3 & 255]) ^ ek[k]
+    o1 = ((s[w1 >> 24] << 24) | (s[(w2 >> 16) & 255] << 16) | (s[(w3 >> 8) & 255] << 8) | s[w0 & 255]) ^ ek[k + 1]
+    o2 = ((s[w2 >> 24] << 24) | (s[(w3 >> 16) & 255] << 16) | (s[(w0 >> 8) & 255] << 8) | s[w1 & 255]) ^ ek[k + 2]
+    o3 = ((s[w3 >> 24] << 24) | (s[(w0 >> 16) & 255] << 16) | (s[(w1 >> 8) & 255] << 8) | s[w2 & 255]) ^ ek[k + 3]
+    return struct.pack(">4I", o0, o1, o2, o3)
+
+
+def _decrypt_block_words(dk: list[int], nr: int, block: bytes) -> bytes:
+    w0, w1, w2, w3 = struct.unpack(">4I", block)
+    w0 ^= dk[0]
+    w1 ^= dk[1]
+    w2 ^= dk[2]
+    w3 ^= dk[3]
+    k = 4
+    for _ in range(nr - 1):
+        t0 = _TD0[w0 >> 24] ^ _TD1[(w3 >> 16) & 255] ^ _TD2[(w2 >> 8) & 255] ^ _TD3[w1 & 255] ^ dk[k]
+        t1 = _TD0[w1 >> 24] ^ _TD1[(w0 >> 16) & 255] ^ _TD2[(w3 >> 8) & 255] ^ _TD3[w2 & 255] ^ dk[k + 1]
+        t2 = _TD0[w2 >> 24] ^ _TD1[(w1 >> 16) & 255] ^ _TD2[(w0 >> 8) & 255] ^ _TD3[w3 & 255] ^ dk[k + 2]
+        t3 = _TD0[w3 >> 24] ^ _TD1[(w2 >> 16) & 255] ^ _TD2[(w1 >> 8) & 255] ^ _TD3[w0 & 255] ^ dk[k + 3]
+        w0, w1, w2, w3 = t0, t1, t2, t3
+        k += 4
+    s = _INV_SBOX
+    o0 = ((s[w0 >> 24] << 24) | (s[(w3 >> 16) & 255] << 16) | (s[(w2 >> 8) & 255] << 8) | s[w1 & 255]) ^ dk[k]
+    o1 = ((s[w1 >> 24] << 24) | (s[(w0 >> 16) & 255] << 16) | (s[(w3 >> 8) & 255] << 8) | s[w2 & 255]) ^ dk[k + 1]
+    o2 = ((s[w2 >> 24] << 24) | (s[(w1 >> 16) & 255] << 16) | (s[(w0 >> 8) & 255] << 8) | s[w3 & 255]) ^ dk[k + 2]
+    o3 = ((s[w3 >> 24] << 24) | (s[(w2 >> 16) & 255] << 16) | (s[(w1 >> 8) & 255] << 8) | s[w0 & 255]) ^ dk[k + 3]
+    return struct.pack(">4I", o0, o1, o2, o3)

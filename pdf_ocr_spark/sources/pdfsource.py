@@ -107,7 +107,9 @@ def write_pdf_corpus(
     (/DecodeParms /Predictor 12 — the layout most real Flate image
     producers emit) and ``id % LZW_RESIDUES == 3`` rasters are
     /LZWDecode streams (the legacy-producer shape); ids hitting both
-    residues get LZW + predictor together."""
+    residues get LZW + predictor together. Of the encrypted files,
+    every fifth (``(id // 5) % 5 == 2``) uses the AES-256 V5/R6
+    /AESV3 handler instead of RC4 — the post-2017 producer shape."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np  # noqa: F401  (renderer dependency, worker-side)
@@ -136,6 +138,15 @@ def write_pdf_corpus(
                             dct=dct,
                             dct_progressive=dct and d % PROGRESSIVE_RESIDUES == 1,
                             encrypt=d % ENCRYPT_RESIDUES == 1,
+                            # 1 in 5 of the encrypted files use the
+                            # ISO 32000-2 AES-256/R6 handler (pure-
+                            # python AES is ~50x RC4, so it gets the
+                            # minority share of the render budget)
+                            cipher=(
+                                "aes256"
+                                if (d // ENCRYPT_RESIDUES) % 5 == 2
+                                else "rc4"
+                            ),
                             predictor=(
                                 12
                                 if not dct and d % PREDICTOR_RESIDUES == 2
@@ -191,13 +202,17 @@ def _binary_scan(spark: SparkSession, pattern: str) -> DataFrame:
     return scan_session.read.format("binaryFile").load(pattern)
 
 
-def read_pdf_pages(spark: SparkSession, pdf_dir: str) -> DataFrame:
+def read_pdf_pages(
+    spark: SparkSession, pdf_dir: str, password: str = ""
+) -> DataFrame:
     """``binaryFile`` scan -> one row per page: (doc_id, offset,
     media_ref, payload=PNG bytes, parse_error). A file the subset
     parser rejects yields a single row with ``parse_error`` set and a
     null payload (which the OCR kernel already turns into an error
-    row)."""
+    row). ``password`` (ExtractionConfig.pdf_password) opens
+    password-protected files — tried as user then owner."""
     bf = _binary_scan(spark, os.path.join(pdf_dir, "*.pdf"))
+    pw = password.encode()
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pdf_ocr_spark.sources.pdfcodec import decode_pdf
@@ -209,7 +224,7 @@ def read_pdf_pages(spark: SparkSession, pdf_dir: str) -> DataFrame:
                 m = _DOC_RE.search(path)
                 doc_id = m.group(1) if m else path
                 try:
-                    images = decode_pdf(bytes(content))
+                    images = decode_pdf(bytes(content), password=pw)
                 except ValueError as e:
                     rows["doc_id"].append(doc_id)
                     rows["offset"].append(0)
@@ -275,7 +290,7 @@ def extract_pdf_documents(spark: SparkSession, pdf_dir: str, config=None) -> Dat
         # which carries the full engine dispatch / error-row semantics
         from pdf_ocr_spark.operators.ocr import ocr_pages
 
-        pages = read_pdf_pages(spark, pdf_dir)
+        pages = read_pdf_pages(spark, pdf_dir, password=cfg.pdf_password)
         decoded = ocr_pages(
             pages.select("doc_id", "offset", "media_ref", "payload", "parse_error"),
             cfg,
@@ -305,7 +320,7 @@ def extract_pdf_documents(spark: SparkSession, pdf_dir: str, config=None) -> Dat
                 m = _DOC_RE.search(path)
                 doc_id = m.group(1) if m else path
                 try:
-                    images = decode_pdf(bytes(content))
+                    images = decode_pdf(bytes(content), password=cfg.pdf_password.encode())
                 except ValueError as e:
                     emit(doc_id, 0, f"[Error: {e}]", 0.0, True)
                     continue
@@ -411,13 +426,17 @@ def write_text_pdf_corpus(docs: DataFrame, out_dir: str) -> DataFrame:
     )
 
 
-def read_pdf_text_layers(spark: SparkSession, pdf_dir: str) -> DataFrame:
+def read_pdf_text_layers(
+    spark: SparkSession, pdf_dir: str, password: str = ""
+) -> DataFrame:
     """binaryFile scan -> content-stream text extraction (no raster, no
     OCR): one row per document, pages joined with blank lines —
     the born-digital fast path the reference lacks entirely (it
     rasterizes and OCRs every input). Unparseable files become
-    parse_error rows."""
+    parse_error rows. ``password`` opens protected files (user or
+    owner role)."""
     bf = _binary_scan(spark, os.path.join(pdf_dir, "*.pdf"))
+    pw = password.encode()
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pdf_ocr_spark.sources.pdfcodec import extract_text_layer
@@ -429,7 +448,7 @@ def read_pdf_text_layers(spark: SparkSession, pdf_dir: str) -> DataFrame:
                 doc_id = m.group(1) if m else path
                 rows["doc_id"].append(doc_id)
                 try:
-                    pages = extract_text_layer(bytes(content))
+                    pages = extract_text_layer(bytes(content), password=pw)
                     rows["txt"].append("\n\n".join(pages))
                     rows["parse_error"].append(None)
                 except ValueError as e:

@@ -146,21 +146,21 @@ def test_aes128_fips197_vectors():
     """FIPS-197 appendix B and C.1 — pins the from-scratch cipher,
     generated S-box included, independent of our own round trips."""
     from pdf_ocr_spark.sources.pdfcrypt import (
-        _aes128_decrypt_block,
-        _aes128_encrypt_block,
+        _aes_decrypt_block,
+        _aes_encrypt_block,
         _expand_key,
     )
 
     key = bytes.fromhex("2b7e151628aed2a6abf7158809cf4f3c")
     pt = bytes.fromhex("3243f6a8885a308d313198a2e0370734")
-    assert _aes128_encrypt_block(_expand_key(key), pt).hex() == (
+    assert _aes_encrypt_block(_expand_key(key), pt).hex() == (
         "3925841d02dc09fbdc118597196a0b32"
     )
     key2 = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
     pt2 = bytes.fromhex("00112233445566778899aabbccddeeff")
-    ct2 = _aes128_encrypt_block(_expand_key(key2), pt2)
+    ct2 = _aes_encrypt_block(_expand_key(key2), pt2)
     assert ct2.hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"
-    assert _aes128_decrypt_block(_expand_key(key2), ct2) == pt2
+    assert _aes_decrypt_block(_expand_key(key2), ct2) == pt2
 
 
 def test_aes_cbc_roundtrip_and_padding_errors():
@@ -232,3 +232,110 @@ def test_pdf_string_literal_octal_escapes():
 
     with _pytest.raises(ValueError, match="unterminated"):
         _pdf_string(b"<< /O (never closed", b"O")
+
+
+def test_aes256_fips197_c3_vector():
+    """FIPS-197 Appendix C.3: AES-256 with the generalized key
+    schedule (Nk=8, Nr=14)."""
+    from pdf_ocr_spark.sources.pdfcrypt import (
+        _aes_decrypt_block,
+        _aes_encrypt_block,
+        _expand_key,
+    )
+
+    key = bytes.fromhex(
+        "000102030405060708090a0b0c0d0e0f101112131415161718191a1b1c1d1e1f"
+    )
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    ct = bytes.fromhex("8ea2b7ca516745bfeafc49904b496089")
+    rk = _expand_key(key)
+    assert _aes_encrypt_block(rk, pt) == ct
+    assert _aes_decrypt_block(rk, ct) == pt
+
+
+def test_r6_entries_authenticate_both_roles():
+    import hashlib
+
+    from pdf_ocr_spark.sources import pdfcrypt
+
+    fkey = hashlib.sha256(b"round5").digest()
+    e = pdfcrypt.r6_entries(fkey, -4, b"seed", user_password=b"u", owner_password=b"o")
+    assert pdfcrypt.file_key_r6(e["U"], e["UE"], e["O"], e["OE"], b"u") == fkey
+    assert pdfcrypt.file_key_r6(e["U"], e["UE"], e["O"], e["OE"], b"o") == fkey
+    with pytest.raises(ValueError, match="password required"):
+        pdfcrypt.file_key_r6(e["U"], e["UE"], e["O"], e["OE"], b"x")
+    assert pdfcrypt.check_perms_r6(fkey, e["Perms"], -4)
+    assert not pdfcrypt.check_perms_r6(fkey, e["Perms"], -8)
+
+
+@pytest.mark.parametrize("object_streams", [False, True])
+def test_aes256_pdf_round_trip(object_streams):
+    """V5/R6 /AESV3 files with empty passwords open transparently —
+    raster, page count, byte-stable output."""
+    import numpy as np
+
+    from pdf_ocr_spark.sources import pdfcodec
+
+    img = (np.arange(25 * 35, dtype=np.uint8).reshape(25, 35) * 3 % 251).astype(
+        np.uint8
+    )
+    data = pdfcodec.encode_pdf(
+        [img], compress=True, encrypt=True, cipher="aes256",
+        object_streams=object_streams,
+    )
+    assert b"/AESV3" in data and b"/R 6" in data
+    got = pdfcodec.decode_pdf(data)
+    assert len(got) == 1 and (got[0] == img).all()
+    assert pdfcodec.page_count(data) == 1
+    assert data == pdfcodec.encode_pdf(
+        [img], compress=True, encrypt=True, cipher="aes256",
+        object_streams=object_streams,
+    )
+
+
+def test_password_protected_pdfs_all_ciphers():
+    """Password threading: wrong/missing password -> typed error; the
+    user password and the owner password (Algorithm 7 for legacy, 2.A
+    for R6) both open the file."""
+    import numpy as np
+
+    from pdf_ocr_spark.sources import pdfcodec
+
+    img = np.full((10, 12), 77, dtype=np.uint8)
+    for cipher in ("rc4", "aes", "aes256"):
+        data = pdfcodec.encode_pdf(
+            [img], compress=True, encrypt=True, cipher=cipher,
+            user_password="usr", owner_password="own",
+        )
+        with pytest.raises(ValueError, match="password required"):
+            pdfcodec.decode_pdf(data)
+        with pytest.raises(ValueError, match="password required"):
+            pdfcodec.decode_pdf(data, password=b"bad")
+        for pw in (b"usr", b"own"):
+            got = pdfcodec.decode_pdf(data, password=pw)
+            assert (got[0] == img).all(), (cipher, pw)
+
+
+def test_spark_reads_password_protected_corpus(spark, tmp_path):
+    """ExtractionConfig.pdf_password flows through the Spark source:
+    without it the protected file is an error row, with it the pages
+    extract."""
+    import numpy as np
+
+    from pdf_ocr_spark.config import ExtractionConfig
+    from pdf_ocr_spark.sources import pdfcodec
+    from pdf_ocr_spark.sources.pdfsource import read_pdf_pages
+
+    img = np.full((12, 15), 9, dtype=np.uint8)
+    p = tmp_path / "doc_locked.pdf"
+    p.write_bytes(
+        pdfcodec.encode_pdf(
+            [img, img], compress=True, encrypt=True, cipher="aes256",
+            user_password="pw",
+        )
+    )
+    no_pw = read_pdf_pages(spark, str(tmp_path)).collect()
+    assert len(no_pw) == 1 and "password required" in no_pw[0]["parse_error"]
+    with_pw = read_pdf_pages(spark, str(tmp_path), password="pw").collect()
+    assert len(with_pw) == 2 and all(r["parse_error"] is None for r in with_pw)
+    assert ExtractionConfig(pdf_password="pw").pdf_password == "pw"
