@@ -53,6 +53,7 @@ def encode_pdf(
     cipher: str = "rc4",
     predictor: int = 1,
     lzw: bool = False,
+    ccitt: bool = False,
     user_password: bytes | str = b"",
     owner_password: bytes | str = b"",
 ) -> bytes:
@@ -100,7 +101,20 @@ def encode_pdf(
         objects[content_num] = (
             b"<< /Length %d >>\nstream\n%s\nendstream" % (len(draw), draw)
         )
-        if dct:
+        bpc = 8
+        if ccitt:
+            from pdf_ocr_spark.sources import ccittcodec
+
+            if img.ndim != 2:
+                raise ValueError("CCITT pages must be grayscale (2-D)")
+            # bitonal: <128 is ink; exact round trip for 0/255 input
+            raw = ccittcodec.g4_encode((img < 128).astype(np.uint8))
+            filt = (
+                f"/Filter /CCITTFaxDecode /DecodeParms "
+                f"<< /K -1 /Columns {w} /Rows {h} >> "
+            )
+            bpc = 1
+        elif dct:
             from pdf_ocr_spark.sources.jpegcodec import encode_jpeg
 
             raw = encode_jpeg(img, dct_quality, progressive=dct_progressive)
@@ -131,7 +145,8 @@ def encode_pdf(
                     filt = "/Filter /FlateDecode " + parms
         objects[image_num] = (
             f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
-            f"/ColorSpace {colorspace} /BitsPerComponent 8 {filt}/Length {len(raw)} >>\n"
+            f"/ColorSpace {colorspace} /BitsPerComponent {bpc} "
+            f"{filt}/Length {len(raw)} >>\n"
         ).encode() + b"stream\n" + raw + b"\nendstream"
     objects[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
     objects[2] = (
@@ -778,6 +793,36 @@ def decode_pdf(data: bytes, password: bytes = b"") -> list[np.ndarray]:
                     % (img.shape, h, w, channels)
                 )
             images.append(img)
+            continue
+        if _filter_of(d) == b"CCITTFaxDecode":
+            from pdf_ocr_spark.sources import ccittcodec
+
+            if channels != 1:
+                raise ValueError("CCITT rasters must be DeviceGray")
+            parms = _parms_of(d) or b""
+            km = re.search(rb"/K\s+(-?\d+)", parms)
+            k = int(km.group(1)) if km else 0
+            if k >= 0:
+                raise ValueError(
+                    "CCITT K=%d (1-D/mixed G3) outside subset (K<0 Group 4 only)"
+                    % k
+                )
+            cols = _int_default(parms, b"Columns", 1728)
+            nrows = _int_default(parms, b"Rows", h)
+            if cols != w or nrows != h:
+                raise ValueError(
+                    "CCITT geometry %dx%d, XObject declares %dx%d"
+                    % (cols, nrows, w, h)
+                )
+            black = ccittcodec.g4_decode(
+                stream,
+                cols,
+                nrows,
+                byte_align=bool(re.search(rb"/EncodedByteAlign\s+true", parms)),
+            )
+            # filter emits bits; BlackIs1 false (default) -> 0 is black
+            bits = black if re.search(rb"/BlackIs1\s+true", parms) else 1 - black
+            images.append((bits * 255).astype(np.uint8))
             continue
         raw = _decode_stream(d, stream)
         if len(raw) != w * h * channels:

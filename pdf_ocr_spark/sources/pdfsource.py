@@ -54,6 +54,9 @@ PROGRESSIVE_RESIDUES = 3
 #: (both non-DCT corpus only — DCT rasters are JPEG streams).
 PREDICTOR_RESIDUES = 4
 LZW_RESIDUES = 7
+#: doc id % CCITT_RESIDUES == 4 -> Group 4 fax raster (/CCITTFaxDecode
+#: /K -1, 1-bit) — the dominant wild scanned-PDF shape (non-DCT only).
+CCITT_RESIDUES = 9
 
 PDF_PAGES_SCHEMA = (
     "doc_id string, offset int, media_ref string, payload binary, parse_error string"
@@ -109,7 +112,10 @@ def write_pdf_corpus(
     /LZWDecode streams (the legacy-producer shape); ids hitting both
     residues get LZW + predictor together. Of the encrypted files,
     every fifth (``(id // 5) % 5 == 2``) uses the AES-256 V5/R6
-    /AESV3 handler instead of RC4 — the post-2017 producer shape."""
+    /AESV3 handler instead of RC4 — the post-2017 producer shape.
+    ``id % CCITT_RESIDUES == 4`` docs store Group 4 fax rasters
+    (/CCITTFaxDecode /K -1, 1-bit — the dominant wild scanned shape;
+    exact because glyph renders are bitonal)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np  # noqa: F401  (renderer dependency, worker-side)
@@ -153,6 +159,7 @@ def write_pdf_corpus(
                                 else 1
                             ),
                             lzw=not dct and d % LZW_RESIDUES == 3,
+                            ccitt=not dct and d % CCITT_RESIDUES == 4,
                         )
                     )
                 os.replace(tmp, path)  # atomic: readers never see partials
