@@ -77,19 +77,34 @@ def _decode_one(payload, media_ref: str, offset: int, config: ExtractionConfig):
         if config.ocr_engine == "glyph":
             text, conf = ocr_decode(img)
         elif config.ocr_engine == "tesseract":
+            from pdf_ocr_spark.operators.engines import tesseract_decode
+
             try:
                 import pytesseract  # not present in this container
 
-                text = pytesseract.image_to_string(img)
-                conf = 1.0
+                backend = pytesseract.image_to_string
             except Exception as e:  # matches app.py:264-266 error shape
                 return f"[Error with Tesseract OCR: {e}]", 0.0, True
-        else:  # easyocr / pyocr: recognized engines without a backend here
-            return (
-                f"[Error with {config.ocr_engine}: engine backend not installed]",
-                0.0,
-                True,
-            )
+            # full reference contract: config string (--oem 1 --psm 3,
+            # --dpi 300 for pure English) + empty-result psm-6 retry
+            text, is_err = tesseract_decode(img, config.language, backend)
+            if is_err:
+                return text, 0.0, True
+            conf = 1.0
+        elif config.ocr_engine == "easyocr":
+            from pdf_ocr_spark.operators.engines import easyocr_decode
+
+            text, is_err = easyocr_decode(img, config.language)
+            if is_err:  # incl. "[Error with EasyOCR: <import error>]"
+                return text, 0.0, True
+            conf = 1.0
+        else:  # pyocr
+            from pdf_ocr_spark.operators.engines import pyocr_decode
+
+            text, is_err = pyocr_decode(img, config.language)
+            if is_err:
+                return text, 0.0, True
+            conf = 1.0
         return text, conf, False
     except Exception as e:
         # general per-page failure path (app.py:335-337); offset+1 mirrors
