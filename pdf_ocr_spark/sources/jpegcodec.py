@@ -826,54 +826,127 @@ def _decode_scan(ent, frame, qtabs, htabs, scan_tabs, dri=0) -> np.ndarray:
     # segments; each resets the DC predictors and byte-aligns.
     segments = re.split(b"\xff[\xd0-\xd7]", ent) if dri else [ent]
     seg_iter = iter(segments)
-    br = _BitReader(next(seg_iter))
     # plain-list coefficient blocks: per-element writes in the entropy
     # loop are 3-5x faster than numpy scalar indexing; _reconstruct
     # converts to an array once at the end
     zz = [[[0] * 64 for _ in range(r * c)] for r, c in grid]
     pred = [0] * n_comp
-
-    def read_block(ci: int, bidx: int):
-        dc_t = htabs.get((0, scan_tabs[ci][0]))
-        ac_t = htabs.get((1, scan_tabs[ci][1]))
-        if dc_t is None or ac_t is None:
+    for ci in range(n_comp):
+        if htabs.get((0, scan_tabs[ci][0])) is None or htabs.get(
+            (1, scan_tabs[ci][1])
+        ) is None:
             raise ValueError("scan references undefined Huffman table")
-        s = br.decode(dc_t)
-        diff = _extend(br.read(s), s) if s else 0
-        pred[ci] += diff
-        row = zz[ci][bidx]
-        row[0] = pred[ci]
-        k = 1
-        while k <= 63:
-            rs = br.decode(ac_t)
-            r, s = rs >> 4, rs & 0xF
-            if s == 0:
-                if r == 15:
-                    k += 16  # ZRL
-                    continue
-                break  # EOB
-            k += r
-            if k > 63:
-                raise ValueError("AC coefficient index overflow")
-            row[k] = _extend(br.read(s), s)
-            k += 1
+    luts = [
+        (htabs[(0, scan_tabs[ci][0])].lut, htabs[(1, scan_tabs[ci][1])].lut)
+        for ci in range(n_comp)
+    ]
+    # the (ci, block-index-expression) sequence of one MCU, precomputed
+    mcu_members = [
+        (ci, comps[ci][3], comps[ci][2], grid[ci][1])
+        for ci in range(n_comp)
+    ]
 
+    # The entropy loop below inlines the _BitReader operations on plain
+    # locals (acc/nbits/pos) — the method-call form spends ~half its
+    # time on call overhead (measured: ~900k calls/page). Semantics are
+    # identical: 4-byte refills, zero-pad past stream end, 16-bit-LUT
+    # Huffman decode. _BitReader remains the readable reference (and
+    # the progressive path's reader).
+    data = next(seg_iter).replace(b"\xff\x00", b"\xff")
+    acc = nbits = pos = 0
     mcu_i = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
             if dri and mcu_i and mcu_i % dri == 0:
                 try:
-                    br = _BitReader(next(seg_iter))
+                    data = next(seg_iter).replace(b"\xff\x00", b"\xff")
                 except StopIteration:
                     raise ValueError("missing restart marker in entropy stream") from None
+                acc = nbits = pos = 0
                 pred[:] = [0] * n_comp
             mcu_i += 1
-            for ci in range(n_comp):
-                hi, vi = comps[ci][2], comps[ci][3]
-                cols = grid[ci][1]
+            for ci, vi, hi, cols in mcu_members:
+                dc_lut, ac_lut = luts[ci]
+                blocks = zz[ci]
                 for by in range(vi):
                     for bx in range(hi):
-                        read_block(ci, (my * vi + by) * cols + mx * hi + bx)
+                        row = blocks[(my * vi + by) * cols + mx * hi + bx]
+                        # --- DC ---
+                        if nbits < 16:
+                            while nbits < 16:
+                                chunk = data[pos : pos + 4]
+                                if chunk:
+                                    acc = (acc << (8 * len(chunk))) | int.from_bytes(chunk, "big")
+                                    nbits += 8 * len(chunk)
+                                    pos += len(chunk)
+                                else:
+                                    acc <<= 16 - nbits
+                                    nbits = 16
+                        entry = dc_lut[(acc >> (nbits - 16)) & 0xFFFF]
+                        if entry == 0:
+                            raise ValueError("corrupt JPEG entropy stream (bad Huffman code)")
+                        nbits -= entry & 31
+                        acc &= (1 << nbits) - 1
+                        s = entry >> 5
+                        if s:
+                            if nbits < s:
+                                while nbits < s:
+                                    chunk = data[pos : pos + 4]
+                                    if chunk:
+                                        acc = (acc << (8 * len(chunk))) | int.from_bytes(chunk, "big")
+                                        nbits += 8 * len(chunk)
+                                        pos += len(chunk)
+                                    else:
+                                        acc <<= s - nbits
+                                        nbits = s
+                            v = (acc >> (nbits - s)) & ((1 << s) - 1)
+                            nbits -= s
+                            acc &= (1 << nbits) - 1
+                            pred[ci] += v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+                        row[0] = pred[ci]
+                        # --- AC ---
+                        k = 1
+                        while k <= 63:
+                            if nbits < 16:
+                                while nbits < 16:
+                                    chunk = data[pos : pos + 4]
+                                    if chunk:
+                                        acc = (acc << (8 * len(chunk))) | int.from_bytes(chunk, "big")
+                                        nbits += 8 * len(chunk)
+                                        pos += len(chunk)
+                                    else:
+                                        acc <<= 16 - nbits
+                                        nbits = 16
+                            entry = ac_lut[(acc >> (nbits - 16)) & 0xFFFF]
+                            if entry == 0:
+                                raise ValueError("corrupt JPEG entropy stream (bad Huffman code)")
+                            nbits -= entry & 31
+                            acc &= (1 << nbits) - 1
+                            rs = entry >> 5
+                            s = rs & 0xF
+                            if s == 0:
+                                if rs >> 4 == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += rs >> 4
+                            if k > 63:
+                                raise ValueError("AC coefficient index overflow")
+                            if nbits < s:
+                                while nbits < s:
+                                    chunk = data[pos : pos + 4]
+                                    if chunk:
+                                        acc = (acc << (8 * len(chunk))) | int.from_bytes(chunk, "big")
+                                        nbits += 8 * len(chunk)
+                                        pos += len(chunk)
+                                    else:
+                                        acc <<= s - nbits
+                                        nbits = s
+                            v = (acc >> (nbits - s)) & ((1 << s) - 1)
+                            nbits -= s
+                            acc &= (1 << nbits) - 1
+                            row[k] = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+                            k += 1
 
     return _reconstruct(zz, frame, qtabs)
 
@@ -996,57 +1069,139 @@ def _progressive_scan(
     cols_p = grid[ci][1]
 
     def ac_first(blk):
-        br = state["br"]
         if state["eobrun"]:
             state["eobrun"] -= 1
             return
+        # bit reader inlined on locals for the symbol loop (same
+        # rationale + semantics as the baseline scan loop); state is
+        # pulled from / pushed back to the shared reader per block
+        br = state["br"]
+        acc, nbits, pos, data = br.acc, br.nbits, br.pos, br.data
+        lut = ac_tab.lut
         k = ss
         while k <= se:
-            rs = br.decode(ac_tab)
+            if nbits < 16:
+                while nbits < 16:
+                    chunk = data[pos : pos + 4]
+                    if chunk:
+                        acc = (acc << (8 * len(chunk))) | int.from_bytes(chunk, "big")
+                        nbits += 8 * len(chunk)
+                        pos += len(chunk)
+                    else:
+                        acc <<= 16 - nbits
+                        nbits = 16
+            entry = lut[(acc >> (nbits - 16)) & 0xFFFF]
+            if entry == 0:
+                raise ValueError("corrupt JPEG entropy stream (bad Huffman code)")
+            nbits -= entry & 31
+            acc &= (1 << nbits) - 1
+            rs = entry >> 5
             r, s = rs >> 4, rs & 0xF
             if s == 0:
                 if r == 15:
                     k += 16  # ZRL
                     continue
-                state["eobrun"] = (1 << r) - 1
+                eobrun = (1 << r) - 1
                 if r:
-                    state["eobrun"] += br.read(r)
-                return
+                    if nbits < r:
+                        while nbits < r:
+                            chunk = data[pos : pos + 4]
+                            if chunk:
+                                acc = (acc << (8 * len(chunk))) | int.from_bytes(chunk, "big")
+                                nbits += 8 * len(chunk)
+                                pos += len(chunk)
+                            else:
+                                acc <<= r - nbits
+                                nbits = r
+                    eobrun += (acc >> (nbits - r)) & ((1 << r) - 1)
+                    nbits -= r
+                    acc &= (1 << nbits) - 1
+                state["eobrun"] = eobrun
+                break
             k += r
             if k > se:
                 raise ValueError("AC coefficient index overflow")
-            blk[k] = _extend(br.read(s), s) << al
+            if nbits < s:
+                while nbits < s:
+                    chunk = data[pos : pos + 4]
+                    if chunk:
+                        acc = (acc << (8 * len(chunk))) | int.from_bytes(chunk, "big")
+                        nbits += 8 * len(chunk)
+                        pos += len(chunk)
+                    else:
+                        acc <<= s - nbits
+                        nbits = s
+            v = (acc >> (nbits - s)) & ((1 << s) - 1)
+            nbits -= s
+            acc &= (1 << nbits) - 1
+            blk[k] = (v if v >= (1 << (s - 1)) else v - (1 << s) + 1) << al
             k += 1
+        br.acc, br.nbits, br.pos = acc, nbits, pos
 
     p1, m1 = 1 << al, -(1 << al)
 
-    def refine_nonzero(br, blk, k):
-        c = blk[k]
-        if br.read(1) and (c & p1) == 0:
-            blk[k] = c + (p1 if c >= 0 else m1)
-
     def ac_refine(blk):
-        # ISO 10918-1 G.2 / the jdphuff correction-bit walk
+        # ISO 10918-1 G.2 / the jdphuff correction-bit walk, bit reader
+        # inlined on locals (single-bit reads dominate this scan type)
         br = state["br"]
+        acc, nbits, pos, data = br.acc, br.nbits, br.pos, br.data
+        lut = ac_tab.lut
+
+        def fill(need):
+            nonlocal acc, nbits, pos
+            while nbits < need:
+                chunk = data[pos : pos + 4]
+                if chunk:
+                    acc = (acc << (8 * len(chunk))) | int.from_bytes(chunk, "big")
+                    nbits += 8 * len(chunk)
+                    pos += len(chunk)
+                else:
+                    acc <<= need - nbits
+                    nbits = need
+
         k = ss
         if state["eobrun"] == 0:
             while k <= se:
-                rs = br.decode(ac_tab)
+                if nbits < 16:
+                    fill(16)
+                entry = lut[(acc >> (nbits - 16)) & 0xFFFF]
+                if entry == 0:
+                    raise ValueError("corrupt JPEG entropy stream (bad Huffman code)")
+                nbits -= entry & 31
+                acc &= (1 << nbits) - 1
+                rs = entry >> 5
                 r, s = rs >> 4, rs & 0xF
                 if s == 0:
                     if r != 15:
-                        state["eobrun"] = 1 << r
+                        eobrun = 1 << r
                         if r:
-                            state["eobrun"] += br.read(r)
+                            if nbits < r:
+                                fill(r)
+                            eobrun += (acc >> (nbits - r)) & ((1 << r) - 1)
+                            nbits -= r
+                            acc &= (1 << nbits) - 1
+                        state["eobrun"] = eobrun
                         break
                     val = 0  # ZRL: skip 16 zero-history coefficients
                 else:
                     if s != 1:
                         raise ValueError("invalid refinement magnitude category")
-                    val = p1 if br.read(1) else m1
+                    if nbits < 1:
+                        fill(1)
+                    bit = (acc >> (nbits - 1)) & 1
+                    nbits -= 1
+                    acc &= (1 << nbits) - 1
+                    val = p1 if bit else m1
                 while k <= se:
-                    if blk[k] != 0:
-                        refine_nonzero(br, blk, k)
+                    c = blk[k]
+                    if c != 0:
+                        if nbits < 1:
+                            fill(1)
+                        bit = (acc >> (nbits - 1)) & 1
+                        nbits -= 1
+                        acc &= (1 << nbits) - 1
+                        if bit and (c & p1) == 0:
+                            blk[k] = c + (p1 if c >= 0 else m1)
                     else:
                         if r == 0:
                             break
@@ -1057,10 +1212,18 @@ def _progressive_scan(
                 k += 1
         if state["eobrun"] > 0:
             while k <= se:
-                if blk[k] != 0:
-                    refine_nonzero(br, blk, k)
+                c = blk[k]
+                if c != 0:
+                    if nbits < 1:
+                        fill(1)
+                    bit = (acc >> (nbits - 1)) & 1
+                    nbits -= 1
+                    acc &= (1 << nbits) - 1
+                    if bit and (c & p1) == 0:
+                        blk[k] = c + (p1 if c >= 0 else m1)
                 k += 1
             state["eobrun"] -= 1
+        br.acc, br.nbits, br.pos = acc, nbits, pos
 
     body = ac_first if ah == 0 else ac_refine
     for by in range(rows_u):
