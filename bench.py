@@ -99,6 +99,11 @@ BENCH_QUERIES = [
     "dedup_embedding_lsh",
     "knn_ivf_topk",
     "knn_int8_topk",
+    # round 5: degenerate-exact ANN forms (oracle-checked plumbing) and
+    # the streaming-engine reassembly query
+    "knn_lsh_exact",
+    "knn_ivf_exact",
+    "stream_reassemble_txt",
     "profit_by_nation",
 ]
 
