@@ -54,6 +54,7 @@ def encode_pdf(
     predictor: int = 1,
     lzw: bool = False,
     ccitt: bool = False,
+    ascii85: bool = False,
     user_password: bytes | str = b"",
     owner_password: bytes | str = b"",
 ) -> bytes:
@@ -102,6 +103,8 @@ def encode_pdf(
             b"<< /Length %d >>\nstream\n%s\nendstream" % (len(draw), draw)
         )
         bpc = 8
+        fnames: list[str] = []
+        fparms: list[str | None] = []
         if ccitt:
             from pdf_ocr_spark.sources import ccittcodec
 
@@ -109,22 +112,20 @@ def encode_pdf(
                 raise ValueError("CCITT pages must be grayscale (2-D)")
             # bitonal: <128 is ink; exact round trip for 0/255 input
             raw = ccittcodec.g4_encode((img < 128).astype(np.uint8))
-            filt = (
-                f"/Filter /CCITTFaxDecode /DecodeParms "
-                f"<< /K -1 /Columns {w} /Rows {h} >> "
-            )
+            fnames.append("/CCITTFaxDecode")
+            fparms.append(f"<< /K -1 /Columns {w} /Rows {h} >>")
             bpc = 1
         elif dct:
             from pdf_ocr_spark.sources.jpegcodec import encode_jpeg
 
             raw = encode_jpeg(img, dct_quality, progressive=dct_progressive)
-            filt = "/Filter /DCTDecode "
+            fnames.append("/DCTDecode")
+            fparms.append(None)
         else:
             raw = np.ascontiguousarray(img).tobytes()
-            filt = ""
             if compress or lzw:
                 colors = 1 if img.ndim == 2 else 3
-                parms = ""
+                parms = None
                 if predictor != 1:
                     from pdf_ocr_spark.sources import pdffilters
 
@@ -132,17 +133,40 @@ def encode_pdf(
                         raw, predictor, columns=w, colors=colors
                     )
                     parms = (
-                        f"/DecodeParms << /Predictor {predictor} /Columns {w} "
-                        f"/Colors {colors} /BitsPerComponent 8 >> "
+                        f"<< /Predictor {predictor} /Columns {w} "
+                        f"/Colors {colors} /BitsPerComponent 8 >>"
                     )
                 if lzw:
                     from pdf_ocr_spark.sources import pdffilters
 
                     raw = pdffilters.lzw_encode(raw)
-                    filt = "/Filter /LZWDecode " + parms
+                    fnames.append("/LZWDecode")
                 else:
                     raw = zlib.compress(raw, 6)
-                    filt = "/Filter /FlateDecode " + parms
+                    fnames.append("/FlateDecode")
+                fparms.append(parms)
+        if ascii85 and fnames:
+            # wrap the encoded stream: decode order is ASCII85 first,
+            # so it leads the /Filter array
+            from pdf_ocr_spark.sources import pdffilters
+
+            raw = pdffilters.ascii85_encode(raw)
+            fnames.insert(0, "/ASCII85Decode")
+            fparms.insert(0, None)
+        if not fnames:
+            filt = ""
+        elif len(fnames) == 1:
+            filt = f"/Filter {fnames[0]} "
+            if fparms[0]:
+                filt += f"/DecodeParms {fparms[0]} "
+        else:
+            filt = f"/Filter [{' '.join(fnames)}] "
+            if any(fparms):
+                filt += (
+                    "/DecodeParms ["
+                    + " ".join(p if p else "null" for p in fparms)
+                    + "] "
+                )
         objects[image_num] = (
             f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
             f"/ColorSpace {colorspace} /BitsPerComponent {bpc} "
@@ -472,20 +496,22 @@ _FILTER_ARRAY_RE = re.compile(rb"/Filter\s*\[([^\]]*)\]")
 _FILTER_NAME_RE = re.compile(rb"/Filter\s*/(\w+)")
 
 
-def _filter_of(d: bytes) -> bytes | None:
-    """The stream's single declared /Filter name (None when raw);
-    filter *chains* are outside the subset and raise naming them."""
+def _filters_of(d: bytes) -> list[bytes]:
+    """The stream's declared /Filter names in application order
+    (possibly a chain, e.g. ``[/ASCII85Decode /FlateDecode]``);
+    empty list when raw."""
     am = _FILTER_ARRAY_RE.search(d)
     if am is not None:
-        names = re.findall(rb"/(\w+)", am.group(1))
-        if len(names) != 1:
-            raise ValueError(
-                "filter chains are outside the subset: [%s]"
-                % b" ".join(b"/" + n for n in names).decode()
-            )
-        return names[0]
+        return re.findall(rb"/(\w+)", am.group(1))
     nm = _FILTER_NAME_RE.search(d)
-    return None if nm is None else nm.group(1)
+    return [] if nm is None else [nm.group(1)]
+
+
+def _filter_of(d: bytes) -> bytes | None:
+    """The LAST declared filter (the innermost encoding — what decides
+    raster routing); None when raw."""
+    names = _filters_of(d)
+    return names[-1] if names else None
 
 
 def _parms_of(d: bytes) -> bytes | None:
@@ -515,22 +541,47 @@ def _int_default(d: bytes, key: bytes, default: int) -> int:
     return default if m is None else int(m.group(1))
 
 
-def _decode_stream(d: bytes, raw: bytes) -> bytes:
-    """Apply the stream's declared /Filter for byte-oriented streams:
-    FlateDecode (stdlib zlib) and LZWDecode (the from-scratch codec in
-    :mod:`pdf_ocr_spark.sources.pdffilters`), then the /DecodeParms
-    predictor when declared (TIFF 2 and the PNG family 10-15 — the
-    shape most real image producers and 1.5 xref streams emit). Any
-    other filter raises naming it, so the Spark source can emit a
-    typed error row that tells the user exactly which codec their file
-    needs. (/DCTDecode raster streams are routed to the from-scratch
-    JPEG codec by the image path in decode_pdf, not here.)"""
+def _parms_list_of(d: bytes, n: int) -> list[bytes | None]:
+    """/DecodeParms aligned to the filter chain: an array parses as
+    ``null`` / ``<<..>>`` elements in order; a bare single dict with a
+    multi-filter chain attaches to the LAST filter (the compression
+    stage — the only one real producers parameterize)."""
+    m = re.search(rb"/(?:DecodeParms|DP)\s*(\[|<<)", d)
+    if m is None:
+        return [None] * n
+    if m.group(1) == b"<<":
+        single = _parms_of(d)
+        out: list[bytes | None] = [None] * n
+        if n:
+            out[-1] = single
+        return out
+    out = []
+    i = m.end()
+    while i < len(d) and len(out) < n:
+        c = d[i : i + 1]
+        if c in (b" ", b"\t", b"\r", b"\n"):
+            i += 1
+            continue
+        if c == b"]":
+            break
+        if d.startswith(b"null", i):
+            out.append(None)
+            i += 4
+            continue
+        if d.startswith(b"<<", i):
+            sub = _dict_of(d[i:])
+            out.append(sub)
+            i += len(sub)
+            continue
+        raise ValueError("malformed /DecodeParms array")
+    out.extend([None] * (n - len(out)))
+    return out
+
+
+def _apply_byte_filter(name: bytes, raw: bytes, parms: bytes | None) -> bytes:
+    """One byte-oriented filter stage + its predictor post-step."""
     from pdf_ocr_spark.sources import pdffilters
 
-    name = _filter_of(d)
-    if name is None:
-        return raw
-    parms = _parms_of(d)
     if name == b"FlateDecode":
         try:
             out = zlib.decompress(raw)
@@ -539,6 +590,10 @@ def _decode_stream(d: bytes, raw: bytes) -> bytes:
     elif name == b"LZWDecode":
         early = _int_default(parms or b"", b"EarlyChange", 1)
         out = pdffilters.lzw_decode(raw, early_change=early)
+    elif name == b"ASCIIHexDecode":
+        return pdffilters.asciihex_decode(raw)
+    elif name == b"ASCII85Decode":
+        return pdffilters.ascii85_decode(raw)
     else:
         raise ValueError("unsupported stream filter /%s" % name.decode())
     if parms is not None:
@@ -552,6 +607,27 @@ def _decode_stream(d: bytes, raw: bytes) -> bytes:
                 bpc=_int_default(parms, b"BitsPerComponent", 8),
             )
     return out
+
+
+def _decode_stream(d: bytes, raw: bytes) -> bytes:
+    """Apply the stream's declared /Filter CHAIN in order for
+    byte-oriented streams: FlateDecode (stdlib zlib), LZWDecode,
+    ASCIIHexDecode, ASCII85Decode (from-scratch codecs in
+    :mod:`pdf_ocr_spark.sources.pdffilters`), each with its
+    /DecodeParms predictor when declared (TIFF 2 and the PNG family
+    10-15 — the shape most real image producers and 1.5 xref streams
+    emit). Any other filter raises naming it, so the Spark source can
+    emit a typed error row that tells the user exactly which codec
+    their file needs. (/DCTDecode and /CCITTFaxDecode raster streams
+    are routed to the from-scratch codecs by the image path in
+    decode_pdf, not here.)"""
+    names = _filters_of(d)
+    if not names:
+        return raw
+    parms = _parms_list_of(d, len(names))
+    for name, p in zip(names, parms):
+        raw = _apply_byte_filter(name, raw, p)
+    return raw
 
 
 def _pdf_string(d: bytes, key: bytes) -> bytes:
@@ -782,6 +858,13 @@ def decode_pdf(data: bytes, password: bytes = b"") -> list[np.ndarray]:
         stream = _stream_of(img_body, _int(d, b"Length"))
         if decrypt is not None:
             stream = decrypt(img_num, stream)
+        # a chain ending in a raster filter (e.g. [/ASCII85Decode
+        # /DCTDecode]) applies its byte filters before raster decode
+        chain = _filters_of(d)
+        if chain and chain[-1] in (b"DCTDecode", b"CCITTFaxDecode"):
+            chain_parms = _parms_list_of(d, len(chain))
+            for name, p in zip(chain[:-1], chain_parms[:-1]):
+                stream = _apply_byte_filter(name, stream, p)
         if _filter_of(d) == b"DCTDecode":
             from pdf_ocr_spark.sources.jpegcodec import decode_jpeg
 
@@ -799,7 +882,9 @@ def decode_pdf(data: bytes, password: bytes = b"") -> list[np.ndarray]:
 
             if channels != 1:
                 raise ValueError("CCITT rasters must be DeviceGray")
-            parms = _parms_of(d) or b""
+            # last chain slot: with a filter chain the CCITT parms are
+            # the final /DecodeParms array element, not the first dict
+            parms = _parms_list_of(d, len(chain))[-1] or b""
             km = re.search(rb"/K\s+(-?\d+)", parms)
             k = int(km.group(1)) if km else 0
             if k >= 0:

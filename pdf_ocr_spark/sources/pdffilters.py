@@ -29,6 +29,8 @@ rows are short; Up and TIFF-2 vectorize fully).
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 
 
@@ -293,3 +295,82 @@ def lzw_encode(data: bytes, early_change: int = 1) -> bytes:
     if nbits:
         out.append((acc << (8 - nbits)) & 0xFF)
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# ASCII filters (ISO 32000-1 §7.4.2 / §7.4.3) — the wrapping half of
+# real-world filter CHAINS (/Filter [/ASCII85Decode /FlateDecode]).
+# ---------------------------------------------------------------------------
+
+
+def asciihex_decode(data: bytes) -> bytes:
+    """ASCIIHexDecode: hex pairs, whitespace ignored, ``>`` is EOD, an
+    odd trailing digit behaves as if followed by 0."""
+    end = data.find(b">")
+    body = data[:end] if end != -1 else data
+    hx = re.sub(rb"\s", b"", body)
+    if not re.fullmatch(rb"[0-9A-Fa-f]*", hx):
+        raise ValueError("invalid character in ASCIIHex stream")
+    if len(hx) % 2:
+        hx += b"0"
+    return bytes.fromhex(hx.decode())
+
+
+def asciihex_encode(data: bytes) -> bytes:
+    return data.hex().encode() + b">"
+
+
+def ascii85_decode(data: bytes) -> bytes:
+    """ASCII85Decode (the PDF/Adobe base-85 variant): 5 chars
+    ``!``..``u`` -> 4 bytes big-endian, ``z`` alone is four zero
+    bytes, whitespace ignored, ``~>`` is EOD, a final partial group of
+    n chars yields n-1 bytes (pad with ``u``)."""
+    end = data.find(b"~>")
+    body = re.sub(rb"\s", b"", data[:end] if end != -1 else data)
+    out = bytearray()
+    group: list[int] = []
+    for ch in body:
+        if ch == 0x7A:  # 'z'
+            if group:
+                raise ValueError("'z' inside an ASCII85 group")
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not 0x21 <= ch <= 0x75:
+            raise ValueError("invalid character %r in ASCII85 stream" % chr(ch))
+        group.append(ch - 0x21)
+        if len(group) == 5:
+            v = 0
+            for g in group:
+                v = v * 85 + g
+            if v > 0xFFFFFFFF:
+                raise ValueError("ASCII85 group overflows 32 bits")
+            out += v.to_bytes(4, "big")
+            group.clear()
+    if group:
+        if len(group) == 1:
+            raise ValueError("single trailing ASCII85 character")
+        n = len(group)
+        padded = group + [84] * (5 - n)  # pad with 'u'
+        v = 0
+        for g in padded:
+            v = v * 85 + g
+        out += v.to_bytes(4, "big")[: n - 1]
+    return bytes(out)
+
+
+def ascii85_encode(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), 4):
+        chunk = data[i : i + 4]
+        n = len(chunk)
+        v = int.from_bytes(chunk + b"\x00" * (4 - n), "big")
+        if v == 0 and n == 4:
+            out.append(0x7A)  # 'z'
+            continue
+        digits = []
+        for _ in range(5):
+            digits.append(v % 85)
+            v //= 85
+        enc = bytes(0x21 + d for d in reversed(digits))
+        out += enc[: n + 1]
+    return bytes(out) + b"~>"

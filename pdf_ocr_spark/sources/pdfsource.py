@@ -57,6 +57,10 @@ LZW_RESIDUES = 7
 #: doc id % CCITT_RESIDUES == 4 -> Group 4 fax raster (/CCITTFaxDecode
 #: /K -1, 1-bit) — the dominant wild scanned-PDF shape (non-DCT only).
 CCITT_RESIDUES = 9
+#: doc id % ASCII85_RESIDUES == 5 -> the raster stream additionally
+#: wrapped in /ASCII85Decode (a FILTER CHAIN, e.g.
+#: [/ASCII85Decode /FlateDecode] — the legacy-tool wrapping shape).
+ASCII85_RESIDUES = 13
 
 PDF_PAGES_SCHEMA = (
     "doc_id string, offset int, media_ref string, payload binary, parse_error string"
@@ -160,6 +164,7 @@ def write_pdf_corpus(
                             ),
                             lzw=not dct and d % LZW_RESIDUES == 3,
                             ccitt=not dct and d % CCITT_RESIDUES == 4,
+                            ascii85=d % ASCII85_RESIDUES == 5,
                         )
                     )
                 os.replace(tmp, path)  # atomic: readers never see partials

@@ -86,11 +86,20 @@ def test_codec_unsupported_filter_and_chain_are_typed_errors():
     # used to be 'unsupported stream filter')
     with pytest.raises(ValueError, match="not a JPEG"):
         decode_pdf(data.replace(b"/FlateDecode", b"/DCTDecode\x20\x20"))
+    # filter CHAINS are supported since round 5 — a chain whose stages
+    # mismatch the actual bytes fails with the stage's own typed error
+    # (here: zlib bytes are not an LZW stream), not a chain rejection
     chained = data.replace(
         b"/Filter /FlateDecode", b"/Filter [/LZWDecode /FlateDecode] %"
     )
-    with pytest.raises(ValueError, match="filter chains"):
+    with pytest.raises(ValueError, match="LZW"):
         decode_pdf(chained)
+    # a chain containing a genuinely unsupported filter names it
+    chained2 = data.replace(
+        b"/Filter /FlateDecode", b"/Filter [/JBIG2Decode /FlateDecode]"
+    )
+    with pytest.raises(ValueError, match="JBIG2Decode"):
+        decode_pdf(chained2)
 
 
 def test_rgb_pdf_extracts_through_ocr(spark, tmp_path):

@@ -109,3 +109,52 @@ def test_unknown_filter_still_typed_error():
     broken = data.replace(b"/Filter /FlateDecode", b"/Filter /JBIG2Decode")
     with pytest.raises(ValueError, match="JBIG2Decode"):
         pdfcodec.decode_pdf(broken)
+
+
+def test_ascii_filters_round_trip_and_stdlib_cross_check():
+    """ASCIIHex + ASCII85 (ISO 32000-1 §7.4.2/7.4.3) — ASCII85 is
+    cross-validated against stdlib base64's Adobe-85 implementation in
+    both directions."""
+    import base64
+    import os
+
+    for p in (b"", b"x", b"hello world", b"\x00" * 9, os.urandom(777)):
+        assert pdffilters.ascii85_decode(pdffilters.ascii85_encode(p)) == p
+        assert pdffilters.asciihex_decode(pdffilters.asciihex_encode(p)) == p
+        std = base64.a85encode(p, adobe=True)
+        assert pdffilters.ascii85_decode(std[2:]) == p
+        assert base64.a85decode(pdffilters.ascii85_encode(p)[:-2]) == p
+    assert pdffilters.ascii85_decode(b"z~>") == b"\x00\x00\x00\x00"
+    assert pdffilters.asciihex_decode(b"4 86\n56c>") == b"Hel"
+    with pytest.raises(ValueError, match="invalid character"):
+        pdffilters.ascii85_decode(b"vvvvv~>")
+    with pytest.raises(ValueError, match="'z' inside"):
+        pdffilters.ascii85_decode(b"!!z~>")
+    with pytest.raises(ValueError, match="invalid character"):
+        pdffilters.asciihex_decode(b"4x>")
+
+
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        dict(compress=True, ascii85=True),
+        dict(compress=True, predictor=12, ascii85=True),
+        dict(lzw=True, predictor=12, ascii85=True),
+        dict(ccitt=True, ascii85=True),
+        dict(compress=True, ascii85=True, object_streams=True),
+        dict(compress=True, ascii85=True, encrypt=True),
+    ],
+)
+def test_pdf_filter_chain_round_trip(kwargs):
+    """Filter CHAINS ([/ASCII85Decode /X] with aligned /DecodeParms
+    arrays) — the legacy-tool wrapping shape — decode end to end,
+    including chains ending in the CCITT raster filter."""
+    from pdf_ocr_spark.sources.glyphs import render_text_image
+
+    pages = (
+        [render_text_image("chain of filters")] if kwargs.get("ccitt") else [GRAY, RGB]
+    )
+    data = pdfcodec.encode_pdf(pages, **kwargs)
+    got = pdfcodec.decode_pdf(data)
+    assert len(got) == len(pages)
+    assert all((a == b).all() for a, b in zip(got, pages))
