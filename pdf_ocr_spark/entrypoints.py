@@ -3124,6 +3124,8 @@ _FORCE_WINDOW_UNTIL = {
     # branches end to end
     "pdf_page_count": 5,
     "pdf_extract_text": 5,
+    # r5: DCT corpus gained AES-256 and ASCII85-chain variants too
+    "pdf_extract_text_dct": 5,
     # r5: text-layer corpus rotates font encodings (legacy / WinAnsi /
     # Differences / Type0+ToUnicode) — a green row certifies the whole
     # font-decode surface
