@@ -115,7 +115,7 @@ def write_pdf_corpus(
     producers emit) and ``id % LZW_RESIDUES == 3`` rasters are
     /LZWDecode streams (the legacy-producer shape); ids hitting both
     residues get LZW + predictor together. Of the encrypted files,
-    every fifth (``(id // 5) % 5 == 2``) uses the AES-256 V5/R6
+    every 25th (``(id // 5) % 25 == 2``) uses the AES-256 V5/R6
     /AESV3 handler instead of RC4 — the post-2017 producer shape.
     ``id % CCITT_RESIDUES == 4`` docs store Group 4 fax rasters
     (/CCITTFaxDecode /K -1, 1-bit — the dominant wild scanned shape;
@@ -148,13 +148,17 @@ def write_pdf_corpus(
                             dct=dct,
                             dct_progressive=dct and d % PROGRESSIVE_RESIDUES == 1,
                             encrypt=d % ENCRYPT_RESIDUES == 1,
-                            # 1 in 5 of the encrypted files use the
-                            # ISO 32000-2 AES-256/R6 handler (pure-
-                            # python AES is ~50x RC4, so it gets the
-                            # minority share of the render budget)
+                            # 1 in 25 of the encrypted files use the
+                            # ISO 32000-2 AES-256/R6 handler. The R6
+                            # KDF is DESIGNED expensive (hardened
+                            # SHA-2/AES iteration, ~0.9 s/file open in
+                            # pure python, memoized per worker) — so
+                            # it gets a small but driver-certified
+                            # share (4 files at sf0.001, 40 at sf0.1)
+                            # and RC4 carries the bulk encrypted load
                             cipher=(
                                 "aes256"
-                                if (d // ENCRYPT_RESIDUES) % 5 == 2
+                                if (d // ENCRYPT_RESIDUES) % 25 == 2
                                 else "rc4"
                             ),
                             predictor=(

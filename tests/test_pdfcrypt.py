@@ -128,14 +128,16 @@ def test_fixture_corpus_contains_variant_files(spark, tmp_path):
     )
 
     docs = spark.createDataFrame(
-        pd.DataFrame({"doc_id": [str(i) for i in range(8)],
-                      "text": [f"alpha beta gamma delta {i}" for i in range(8)]})
+        pd.DataFrame({"doc_id": [str(i) for i in range(14)],
+                      "text": [f"alpha beta gamma delta {i}" for i in range(14)]})
     )
     out = str(tmp_path / "corpus")
     write_pdf_corpus(docs, out, dct=True).count()
-    for i in range(8):
+    for i in range(14):
         data = open(f"{out}/doc_{i}.pdf", "rb").read()
         assert (b"/Encrypt" in data) == (i % ENCRYPT_RESIDUES == 1), i
+        # id 11 is the first AES-256 slot ((11 // 5) % 25 == 2)
+        assert (b"/AESV3" in data) == (i == 11), i
         if i % ENCRYPT_RESIDUES != 1:  # SOF marker visible only in plaintext
             assert (b"\xff\xc2" in data) == (i % PROGRESSIVE_RESIDUES == 1), i
         imgs = decode_pdf(data)
