@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "pdf_extract_text",
     "pdf_extract_text_dct",
     "pdf_text_layer",
+    "pdf_interleaved_spans",
     "html_main_spans",
     "html_main_text",
     "html_links",

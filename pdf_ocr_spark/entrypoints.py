@@ -1898,6 +1898,77 @@ def _text_pdf_fixture_dir(spark: SparkSession, sf: str) -> str:
     return out
 
 
+def _mixed_pdf_fixture_dir(spark: SparkSession, sf: str) -> str:
+    """Hybrid (interleaved text+image page) PDF corpus for this scale
+    factor — same content-fingerprint /tmp cache contract as the
+    scanned and text-layer corpora."""
+    import os
+    import shutil
+
+    from pdf_ocr_spark.sources.pdfsource import write_mixed_pdf_corpus
+
+    tag = os.path.basename(os.path.normpath(sf)) or "sf"
+    out = os.path.join(_PDF_CACHE_ROOT, f"pdfs_{tag}_mixed")
+    docs = load_table(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    agg = docs.agg(
+        F.count("*").alias("n"),
+        F.sum(F.crc32(F.concat_ws("\x00", "doc_id", "text"))).alias("ck"),
+    ).first()
+    fingerprint = f"{agg['n']}:{agg['ck']}:mixed:r5"
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read().strip() == fingerprint:
+                return out
+        shutil.rmtree(out, ignore_errors=True)
+    n_written = write_mixed_pdf_corpus(docs, out).count()
+    assert n_written == agg["n"], (n_written, agg["n"])
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(fingerprint)
+    os.replace(tmp, marker)
+    return out
+
+
+@_register(
+    "pdf_interleaved_spans",
+    f"""
+WITH t AS (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents),
+pages AS (
+    SELECT doc_id, i,
+           array_to_string(toks[i*20+1 : i*20+10], ' ') AS text_part,
+           array_to_string(toks[i*20+11 : i*20+20], ' ') AS img_part
+    FROM t, generate_series(0, 400) AS g(i)
+    WHERE i < greatest(1, ceil(len(toks)/20.0))
+)
+SELECT doc_id, i*2 AS offset, 'text' AS kind, text_part AS text FROM pages
+UNION ALL
+SELECT doc_id, i*2+1, 'image', upper(img_part) FROM pages WHERE img_part != ''
+""",
+)
+def q_pdf_interleaved_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """The north star's core data model met at the PDF source: hybrid
+    pages interleaving born-digital text spans with raster image
+    spans, recovered in CONTENT-STREAM ORDER as (doc_id, offset,
+    kind, text) rows — text spans font-decoded from BT..ET blocks
+    (case preserved), image spans OCR-decoded from XObject Do
+    operators (the glyph kernel upper-cases). The fixture gives every
+    20-word page a 10-word text segment + a 10-word rendered-image
+    segment, so the expected interleaving is pure arithmetic for the
+    oracle. One binaryFile scan -> one Arrow stage, no shuffle."""
+    from pdf_ocr_spark.sources.pdfsource import read_pdf_spans
+
+    d = _mixed_pdf_fixture_dir(spark, sf)
+    return read_pdf_spans(spark, d).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "offset",
+        "kind",
+        "text",
+    )
+
+
 @_register(
     "pdf_text_layer",
     f"""

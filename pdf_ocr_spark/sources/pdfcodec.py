@@ -842,82 +842,86 @@ def decode_pdf(data: bytes, password: bytes = b"") -> list[np.ndarray]:
         if xobj_m is None:
             raise ValueError("page %d has no image XObject" % kid)
         img_num = _ref(xobj_m.group(1), b"Im0")
-        img_body = body(img_num)
-        d = _dict_of(img_body)
-        if re.search(rb"/DeviceGray\b", d):
-            channels = 1
-        elif re.search(rb"/DeviceRGB\b", d):
-            channels = 3
-        else:
-            cs = re.search(rb"/ColorSpace\s*/?(\w+)", d)
-            raise ValueError(
-                "unsupported colorspace /%s (subset: DeviceGray, DeviceRGB)"
-                % (cs.group(1).decode() if cs else "<missing>")
-            )
-        w, h = _int(d, b"Width"), _int(d, b"Height")
-        stream = _stream_of(img_body, _int(d, b"Length"))
-        if decrypt is not None:
-            stream = decrypt(img_num, stream)
-        # a chain ending in a raster filter (e.g. [/ASCII85Decode
-        # /DCTDecode]) applies its byte filters before raster decode
-        chain = _filters_of(d)
-        if chain and chain[-1] in (b"DCTDecode", b"CCITTFaxDecode"):
-            chain_parms = _parms_list_of(d, len(chain))
-            for name, p in zip(chain[:-1], chain_parms[:-1]):
-                stream = _apply_byte_filter(name, stream, p)
-        if _filter_of(d) == b"DCTDecode":
-            from pdf_ocr_spark.sources.jpegcodec import decode_jpeg
-
-            img = decode_jpeg(stream)
-            got_channels = 1 if img.ndim == 2 else img.shape[2]
-            if img.shape[:2] != (h, w) or got_channels != channels:
-                raise ValueError(
-                    "DCT raster is %s, XObject declares %dx%dx%d"
-                    % (img.shape, h, w, channels)
-                )
-            images.append(img)
-            continue
-        if _filter_of(d) == b"CCITTFaxDecode":
-            from pdf_ocr_spark.sources import ccittcodec
-
-            if channels != 1:
-                raise ValueError("CCITT rasters must be DeviceGray")
-            # last chain slot: with a filter chain the CCITT parms are
-            # the final /DecodeParms array element, not the first dict
-            parms = _parms_list_of(d, len(chain))[-1] or b""
-            km = re.search(rb"/K\s+(-?\d+)", parms)
-            k = int(km.group(1)) if km else 0
-            if k >= 0:
-                raise ValueError(
-                    "CCITT K=%d (1-D/mixed G3) outside subset (K<0 Group 4 only)"
-                    % k
-                )
-            cols = _int_default(parms, b"Columns", 1728)
-            nrows = _int_default(parms, b"Rows", h)
-            if cols != w or nrows != h:
-                raise ValueError(
-                    "CCITT geometry %dx%d, XObject declares %dx%d"
-                    % (cols, nrows, w, h)
-                )
-            black = ccittcodec.g4_decode(
-                stream,
-                cols,
-                nrows,
-                byte_align=bool(re.search(rb"/EncodedByteAlign\s+true", parms)),
-            )
-            # filter emits bits; BlackIs1 false (default) -> 0 is black
-            bits = black if re.search(rb"/BlackIs1\s+true", parms) else 1 - black
-            images.append((bits * 255).astype(np.uint8))
-            continue
-        raw = _decode_stream(d, stream)
-        if len(raw) != w * h * channels:
-            raise ValueError(
-                "decoded stream is %d bytes, expected %dx%dx%d raster"
-                % (len(raw), w, h, channels)
-            )
-        img = np.frombuffer(raw, dtype=np.uint8)
-        images.append(img.reshape(h, w) if channels == 1 else img.reshape(h, w, 3))
+        images.append(_decode_image_xobject(body, img_num, decrypt))
     return images
+
+
+def _decode_image_xobject(body, img_num: int, decrypt) -> np.ndarray:
+    """Decode one image XObject (by object number) into an HxW[x3]
+    uint8 array — the shared raster path for the scanned-page reader
+    and the interleaved span extractor. Handles raw / Flate / LZW
+    (+predictors), DCT (JPEG), CCITT G4, and ASCII-wrapped chains."""
+    img_body = body(img_num)
+    d = _dict_of(img_body)
+    if re.search(rb"/DeviceGray\b", d):
+        channels = 1
+    elif re.search(rb"/DeviceRGB\b", d):
+        channels = 3
+    else:
+        cs = re.search(rb"/ColorSpace\s*/?(\w+)", d)
+        raise ValueError(
+            "unsupported colorspace /%s (subset: DeviceGray, DeviceRGB)"
+            % (cs.group(1).decode() if cs else "<missing>")
+        )
+    w, h = _int(d, b"Width"), _int(d, b"Height")
+    stream = _stream_of(img_body, _int(d, b"Length"))
+    if decrypt is not None:
+        stream = decrypt(img_num, stream)
+    # a chain ending in a raster filter (e.g. [/ASCII85Decode
+    # /DCTDecode]) applies its byte filters before raster decode
+    chain = _filters_of(d)
+    if chain and chain[-1] in (b"DCTDecode", b"CCITTFaxDecode"):
+        chain_parms = _parms_list_of(d, len(chain))
+        for name, p in zip(chain[:-1], chain_parms[:-1]):
+            stream = _apply_byte_filter(name, stream, p)
+    if _filter_of(d) == b"DCTDecode":
+        from pdf_ocr_spark.sources.jpegcodec import decode_jpeg
+
+        img = decode_jpeg(stream)
+        got_channels = 1 if img.ndim == 2 else img.shape[2]
+        if img.shape[:2] != (h, w) or got_channels != channels:
+            raise ValueError(
+                "DCT raster is %s, XObject declares %dx%dx%d"
+                % (img.shape, h, w, channels)
+            )
+        return img
+    if _filter_of(d) == b"CCITTFaxDecode":
+        from pdf_ocr_spark.sources import ccittcodec
+
+        if channels != 1:
+            raise ValueError("CCITT rasters must be DeviceGray")
+        # last chain slot: with a filter chain the CCITT parms are
+        # the final /DecodeParms array element, not the first dict
+        parms = _parms_list_of(d, len(chain))[-1] or b""
+        km = re.search(rb"/K\s+(-?\d+)", parms)
+        k = int(km.group(1)) if km else 0
+        if k >= 0:
+            raise ValueError(
+                "CCITT K=%d (1-D/mixed G3) outside subset (K<0 Group 4 only)" % k
+            )
+        cols = _int_default(parms, b"Columns", 1728)
+        nrows = _int_default(parms, b"Rows", h)
+        if cols != w or nrows != h:
+            raise ValueError(
+                "CCITT geometry %dx%d, XObject declares %dx%d" % (cols, nrows, w, h)
+            )
+        black = ccittcodec.g4_decode(
+            stream,
+            cols,
+            nrows,
+            byte_align=bool(re.search(rb"/EncodedByteAlign\s+true", parms)),
+        )
+        # filter emits bits; BlackIs1 false (default) -> 0 is black
+        bits = black if re.search(rb"/BlackIs1\s+true", parms) else 1 - black
+        return (bits * 255).astype(np.uint8)
+    raw = _decode_stream(d, stream)
+    if len(raw) != w * h * channels:
+        raise ValueError(
+            "decoded stream is %d bytes, expected %dx%dx%d raster"
+            % (len(raw), w, h, channels)
+        )
+    img = np.frombuffer(raw, dtype=np.uint8)
+    return img.reshape(h, w) if channels == 1 else img.reshape(h, w, 3)
 
 
 def page_count(data: bytes, password: bytes = b"") -> int:
@@ -1347,4 +1351,163 @@ def extract_text_layer(data: bytes, password: bytes = b"") -> list[str]:
         out.append(
             _text_from_content(content[bt:et], fonts) if bt != -1 and et > bt else ""
         )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Interleaved (hybrid) pages — round 5
+# ---------------------------------------------------------------------------
+#
+# Real-world PDFs mix born-digital text and raster images ON THE SAME
+# PAGE (reports with figures, scans with OCR overlays, slide decks).
+# This is exactly the engine's interleaved span model — the north
+# star's (kind, text, media_ref, offset) rows — so the writer/extractor
+# pair below produces and recovers ordered span sequences from one
+# page's content stream: text spans from BT..ET blocks, image spans
+# from XObject Do operators, in content-stream order.
+
+
+def encode_mixed_pdf(pages: list[list[tuple[str, object]]]) -> bytes:
+    """Serialize hybrid pages: each page is an ordered list of
+    ``('text', [line, ...])`` and ``('image', HxW[x3] uint8 array)``
+    segments, interleaved freely. Text uses the legacy UTF-8 Tj
+    convention (the font-encoding variants are exercised by
+    :func:`encode_text_pdf`); each image is its own Flate XObject.
+    Object layout is dynamic (variable objects per page); a correct
+    classic xref is emitted."""
+    if not pages:
+        raise ValueError("a PDF needs at least one page")
+    objects: dict[int, bytes] = {}
+    kids = []
+    next_num = 3
+    page_specs = []
+    for segments in pages:
+        page_num = next_num
+        content_num = next_num + 1
+        next_num += 2
+        img_nums = []
+        for kind, _payload in segments:
+            if kind == "image":
+                img_nums.append(next_num)
+                next_num += 1
+        page_specs.append((page_num, content_num, img_nums, segments))
+        kids.append(f"{page_num} 0 R")
+    font_num = next_num
+    for page_num, content_num, img_nums, segments in page_specs:
+        xobj_entries = " ".join(
+            f"/Im{j} {num} 0 R" for j, num in enumerate(img_nums)
+        )
+        objects[page_num] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 {font_num} 0 R >> "
+            f"/XObject << {xobj_entries} >> >> "
+            f"/Contents {content_num} 0 R >>"
+        ).encode()
+        body = bytearray()
+        img_idx = 0
+        for kind, payload in segments:
+            if kind == "text":
+                body += b"BT /F1 12 Tf 14 TL 72 720 Td\n"
+                for line in payload:
+                    body += b"(" + _escape_pdf_string(line.encode("utf-8")) + b") Tj T*\n"
+                body += b"ET\n"
+            elif kind == "image":
+                img = payload
+                if img.dtype != np.uint8 or img.ndim not in (2, 3):
+                    raise ValueError("image segments must be uint8 2-D/3-D arrays")
+                h, w = img.shape[:2]
+                colorspace = "/DeviceGray" if img.ndim == 2 else "/DeviceRGB"
+                raw = zlib.compress(np.ascontiguousarray(img).tobytes(), 6)
+                objects[img_nums[img_idx]] = (
+                    f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
+                    f"/ColorSpace {colorspace} /BitsPerComponent 8 "
+                    f"/Filter /FlateDecode /Length {len(raw)} >>\n"
+                ).encode() + b"stream\n" + raw + b"\nendstream"
+                body += f"q {w} 0 0 {h} 72 400 cm /Im{img_idx} Do Q\n".encode()
+                img_idx += 1
+            else:
+                raise ValueError("segment kind must be 'text' or 'image'")
+        objects[content_num] = (
+            b"<< /Length %d >>\nstream\n%s\nendstream" % (len(body), bytes(body))
+        )
+    objects[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objects[2] = (
+        f"<< /Type /Pages /Kids [{' '.join(kids)}] /Count {len(pages)} >>"
+    ).encode()
+    objects[font_num] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    return _emit_pdf14(objects)
+
+
+_DO_RE = re.compile(rb"/(\w+)\s+Do\b")
+_BT_RE = re.compile(rb"\bBT\b")
+
+
+def extract_page_segments(
+    data: bytes, password: bytes = b""
+) -> list[list[tuple[str, object]]]:
+    """Recover each page's ordered segment sequence:
+    ``('text', str)`` for every BT..ET block (decoded through the
+    page's font encodings) and ``('image', ndarray)`` for every
+    XObject ``Do``, in content-stream order — the interleaved span
+    sequence of a hybrid document."""
+    if not data.startswith(b"%PDF-"):
+        raise ValueError("not a PDF (missing %PDF- header)")
+    body, trailer, decrypt = _load(data, password)
+
+    def get_stream(num: int) -> bytes:
+        sbody = body(num)
+        d = _dict_of(sbody)
+        raw = _stream_of(sbody, _int(d, b"Length"))
+        if decrypt is not None:
+            raw = decrypt(num, raw)
+        return _decode_stream(d, raw)
+
+    catalog = _dict_of(body(_ref(trailer, b"Root")))
+    out: list[list[tuple[str, object]]] = []
+    for page, resources in _walk_pages(body, _ref(catalog, b"Pages"), None):
+        cm = re.search(rb"/Contents\s+(?:(\d+)\s+0\s+R|\[([^\]]*)\])", page)
+        if cm is None:
+            out.append([])
+            continue
+        if cm.group(1) is not None:
+            cnums = [int(cm.group(1))]
+        else:
+            cnums = [int(x) for x in re.findall(rb"(\d+)\s+0\s+R", cm.group(2))]
+        content = b"\n".join(get_stream(c) for c in cnums)
+        fonts = _page_fonts(resources, body, get_stream)
+        xobjects: dict[bytes, int] = {}
+        if resources is not None:
+            xm = re.search(rb"/XObject\s*(?:(\d+)\s+0\s+R|(<<))", resources)
+            if xm is not None:
+                if xm.group(1) is not None:
+                    xdict = _dict_of(body(int(xm.group(1))))
+                else:
+                    xdict = _dict_of(resources[xm.start(2) :])
+                for m in re.finditer(rb"/([^\s/\[\]<>()]+)\s+(\d+)\s+0\s+R", xdict):
+                    xobjects[m.group(1)] = int(m.group(2))
+        # merge BT..ET blocks and Do operators by stream position
+        events: list[tuple[int, int, str, object]] = []
+        for m in _BT_RE.finditer(content):
+            et = content.find(b"ET", m.end())
+            if et == -1:
+                et = len(content)
+            events.append((m.start(), et + 2, "text", content[m.start() : et]))
+        for m in _DO_RE.finditer(content):
+            inside = any(s <= m.start() < e for s, e, k, _ in events if k == "text")
+            if not inside:
+                events.append((m.start(), m.end(), "image", m.group(1)))
+        events.sort(key=lambda e: e[0])
+        segments: list[tuple[str, object]] = []
+        for _s, _e, kind, payload in events:
+            if kind == "text":
+                segments.append(("text", _text_from_content(payload, fonts)))
+            else:
+                num = xobjects.get(payload)
+                if num is None:
+                    raise ValueError(
+                        "Do references undefined XObject /%s"
+                        % payload.decode(errors="replace")
+                    )
+                segments.append(("image", _decode_image_xobject(body, num, decrypt)))
+        out.append(segments)
     return out

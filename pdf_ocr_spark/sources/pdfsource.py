@@ -475,3 +475,113 @@ def read_pdf_text_layers(
     return bf.select("path", "content").mapInPandas(
         kernel, schema="doc_id string, txt string, parse_error string"
     )
+
+
+def mixed_page_segments(text: str, words_per_page: int = WORDS_PER_PAGE):
+    """Deterministic hybrid-page structure for the interleaved fixture
+    corpus: each 20-word page carries a born-digital TEXT segment
+    (first 10 words) followed by a rendered IMAGE segment (last 10
+    words, omitted when the chunk is empty) — so every page is a
+    genuine text+media interleaving and the expected span sequence is
+    derivable in pure SQL."""
+    half = words_per_page // 2
+    pages = []
+    for chunk in page_texts(text, words_per_page):
+        words = chunk.split()
+        text_part = " ".join(words[:half])
+        img_part = " ".join(words[half:])
+        segs = [("text", [text_part])]
+        if img_part:
+            segs.append(("image", img_part))  # rendered by the writer kernel
+        pages.append(segs)
+    return pages
+
+
+def write_mixed_pdf_corpus(docs: DataFrame, out_dir: str) -> DataFrame:
+    """One hybrid (interleaved text+image) PDF per (doc_id, text) row —
+    executor-side writes, same manifest contract as the other corpus
+    writers. This is the fixture for the north star's core data model:
+    pages that interleave born-digital text spans with raster media
+    spans in content-stream order."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_ocr_spark.sources.glyphs import render_text_image
+        from pdf_ocr_spark.sources.pdfcodec import encode_mixed_pdf
+
+        os.makedirs(out_dir, exist_ok=True)
+        for pdf in batches:
+            paths, n_pages = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                pages = [
+                    [
+                        (k, render_text_image(p) if k == "image" else p)
+                        for k, p in segs
+                    ]
+                    for segs in mixed_page_segments(text or "")
+                ]
+                path = os.path.join(out_dir, f"doc_{doc_id}.pdf")
+                tmp = path + ".tmp"
+                with open(tmp, "wb") as f:
+                    f.write(encode_mixed_pdf(pages))
+                os.replace(tmp, path)
+                paths.append(path)
+                n_pages.append(len(pages))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "path": paths, "n_pages": n_pages}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        kernel, schema="doc_id string, path string, n_pages int"
+    )
+
+
+def read_pdf_spans(
+    spark: SparkSession, pdf_dir: str, password: str = ""
+) -> DataFrame:
+    """binaryFile scan -> ordered interleaved span rows per document:
+    (doc_id, offset, kind, text). Text spans come from the content
+    stream's BT..ET blocks (font-decoded); image spans are
+    OCR-decoded rasters from the XObject ``Do`` operators, in
+    content-stream order — the PDF source emitting the engine's
+    native span model directly. Unparseable files become one
+    parse_error row."""
+    bf = _binary_scan(spark, os.path.join(pdf_dir, "*.pdf"))
+    pw = password.encode()
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_ocr_spark.operators.imaging import ocr_decode
+        from pdf_ocr_spark.sources.pdfcodec import extract_page_segments
+
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "offset", "kind", "text", "parse_error")}
+
+            def emit(doc_id, offset, kind, text, err=None):
+                rows["doc_id"].append(doc_id)
+                rows["offset"].append(offset)
+                rows["kind"].append(kind)
+                rows["text"].append(text)
+                rows["parse_error"].append(err)
+
+            for path, content in zip(pdf["path"], pdf["content"]):
+                m = _DOC_RE.search(path)
+                doc_id = m.group(1) if m else path
+                try:
+                    pages = extract_page_segments(bytes(content), password=pw)
+                except ValueError as e:
+                    emit(doc_id, 0, "error", None, str(e))
+                    continue
+                off = 0
+                for segs in pages:
+                    for kind, payload in segs:
+                        if kind == "text":
+                            emit(doc_id, off, "text", payload)
+                        else:
+                            text, _conf = ocr_decode(payload)
+                            emit(doc_id, off, "image", text)
+                        off += 1
+            yield pd.DataFrame(rows)
+
+    return bf.select("path", "content").mapInPandas(
+        kernel,
+        schema="doc_id string, offset int, kind string, text string, parse_error string",
+    )

@@ -378,3 +378,78 @@ def test_text_layer_spark_source(spark, tmp_path):
         want = "\n\n".join("\n".join(p) for p in text_page_lines(text))
         assert rows[did]["txt"] == want, did
     assert rows["bad"]["parse_error"] is not None
+
+
+def test_mixed_pdf_interleaved_round_trip():
+    """Hybrid pages (born-digital text + raster images interleaved in
+    one content stream) recover as ordered (kind, payload) segments —
+    the north star's span model at the PDF source."""
+    import numpy as np
+
+    from pdf_ocr_spark.sources.glyphs import render_text_image
+    from pdf_ocr_spark.sources.pdfcodec import (
+        encode_mixed_pdf,
+        extract_page_segments,
+    )
+
+    img1 = render_text_image("first figure words")
+    img2 = render_text_image("second figure words")
+    pages = [
+        [("text", ["intro line one", "intro two"]), ("image", img1), ("text", ["caption"])],
+        [("image", img2), ("text", ["page two text"])],
+        [("text", [""])],
+    ]
+    segs = extract_page_segments(encode_mixed_pdf(pages))
+    assert [[k for k, _ in p] for p in segs] == [
+        ["text", "image", "text"],
+        ["image", "text"],
+        ["text"],
+    ]
+    assert segs[0][0][1] == "intro line one\nintro two"
+    assert segs[0][2][1] == "caption"
+    assert (segs[0][1][1] == img1).all() and (segs[1][0][1] == img2).all()
+    assert segs[2][0][1] == ""
+    # OCR closes the loop on the image span
+    from pdf_ocr_spark.operators.imaging import ocr_decode
+
+    assert ocr_decode(segs[0][1][1])[0] == "FIRST FIGURE WORDS"
+
+
+def test_read_pdf_spans_order_and_error_rows(spark, tmp_path):
+    """The Spark span reader emits interleaved rows in content-stream
+    order and turns a broken file into one error row."""
+    import pyspark.sql.functions as F
+
+    from pdf_ocr_spark.sources.pdfsource import read_pdf_spans, write_mixed_pdf_corpus
+
+    docs = spark.createDataFrame(
+        [(str(i), " ".join(f"w{i}x{j}" for j in range(i * 13 % 45))) for i in range(6)],
+        "doc_id string, text string",
+    )
+    out = tmp_path / "mixed"
+    write_mixed_pdf_corpus(docs, str(out)).count()
+    (out / "doc_broken.pdf").write_bytes(b"%PDF-1.4\ngarbage")
+    rows = read_pdf_spans(spark, str(out)).collect()
+    errs = [r for r in rows if r["parse_error"]]
+    assert len(errs) == 1 and errs[0]["doc_id"] == "broken"
+    from collections import defaultdict
+
+    by_doc = defaultdict(list)
+    for r in rows:
+        if not r["parse_error"]:
+            by_doc[r["doc_id"]].append((r["offset"], r["kind"], r["text"]))
+    for i in range(6):
+        spans = sorted(by_doc[str(i)])
+        words = [f"w{i}x{j}" for j in range(i * 13 % 45)]
+        # expected structure: per 20-word page, a text span (first 10)
+        # then an image span (last 10, skipped when empty)
+        exp = []
+        off = 0
+        chunks = [words[k : k + 20] for k in range(0, max(len(words), 1), 20)]
+        for chunk in chunks:
+            exp.append((off, "text", " ".join(chunk[:10])))
+            off += 1
+            if chunk[10:]:
+                exp.append((off, "image", " ".join(chunk[10:]).upper()))
+                off += 1
+        assert spans == exp, (i, spans, exp)
