@@ -217,6 +217,68 @@ def _b1_b2(ref: list[int], a0: int, parity: int, width: int) -> tuple[int, int]:
     return b1, b2
 
 
+def _decode_2d_row(br: _BitReader, ref: list[int], columns: int) -> list[int]:
+    """One 2-D (MMR) coded row against the reference transitions."""
+    cur: list[int] = []
+    a0 = -1
+    while (a0 if a0 >= 0 else 0) < columns:
+        mode, dv = _read_mode(br)
+        parity = len(cur) & 1
+        b1, b2 = _b1_b2(ref, a0, parity, columns)
+        if mode == "V":
+            a1 = b1 + dv
+            if not 0 <= a1 <= columns:
+                raise ValueError("CCITT vertical move outside row")
+            cur.append(a1)
+            a0 = a1
+        elif mode == "P":
+            a0 = b2
+        else:  # H: two runs, current color then opposite
+            start = a0 if a0 > 0 else 0
+            run1 = _read_run(br, white=parity == 0)
+            run2 = _read_run(br, white=parity == 1)
+            a1 = start + run1
+            a2 = a1 + run2
+            if a2 > columns:
+                raise ValueError("CCITT horizontal runs overflow row")
+            cur.extend((a1, a2))
+            a0 = a2
+        if len(cur) > 2 * columns + 4:
+            raise ValueError("CCITT row transition overflow (corrupt)")
+    return cur
+
+
+def _decode_1d_row(br: _BitReader, columns: int) -> list[int]:
+    """One 1-D (MH, T.4 §2.2) coded row: alternating white/black run
+    codes starting with a (possibly zero-length) white run."""
+    cur: list[int] = []
+    pos = 0
+    white = True
+    while pos < columns:
+        run = _read_run(br, white=white)
+        pos += run
+        if pos > columns:
+            raise ValueError("CCITT 1-D run overflows row")
+        cur.append(pos)
+        white = not white
+        if len(cur) > 2 * columns + 4:
+            raise ValueError("CCITT row transition overflow (corrupt)")
+    return cur
+
+
+def _paint_row(out: np.ndarray, r: int, cur: list[int], columns: int) -> None:
+    color = 0
+    prev = 0
+    for t in cur:
+        t = min(t, columns)
+        if color:
+            out[r, prev:t] = 1
+        prev = t
+        color ^= 1
+    if color and prev < columns:
+        out[r, prev:] = 1
+
+
 def g4_decode(
     data: bytes,
     columns: int,
@@ -232,43 +294,8 @@ def g4_decode(
     for r in range(rows):
         if byte_align:
             br.byte_align()
-        cur: list[int] = []
-        a0 = -1
-        while (a0 if a0 >= 0 else 0) < columns:
-            mode, dv = _read_mode(br)
-            parity = len(cur) & 1
-            b1, b2 = _b1_b2(ref, a0, parity, columns)
-            if mode == "V":
-                a1 = b1 + dv
-                if not 0 <= a1 <= columns:
-                    raise ValueError("CCITT vertical move outside row")
-                cur.append(a1)
-                a0 = a1
-            elif mode == "P":
-                a0 = b2
-            else:  # H: two runs, current color then opposite
-                start = a0 if a0 > 0 else 0
-                run1 = _read_run(br, white=parity == 0)
-                run2 = _read_run(br, white=parity == 1)
-                a1 = start + run1
-                a2 = a1 + run2
-                if a2 > columns:
-                    raise ValueError("CCITT horizontal runs overflow row")
-                cur.extend((a1, a2))
-                a0 = a2
-            if len(cur) > 2 * columns + 4:
-                raise ValueError("CCITT row transition overflow (corrupt)")
-        # paint the row from its transitions
-        color = 0
-        prev = 0
-        for t in cur:
-            t = min(t, columns)
-            if color:
-                out[r, prev:t] = 1
-            prev = t
-            color ^= 1
-        if color and prev < columns:
-            out[r, prev:] = 1
+        cur = _decode_2d_row(br, ref, columns)
+        _paint_row(out, r, cur, columns)
         ref = [t for t in cur if t <= columns]
     return out
 
@@ -346,5 +373,116 @@ def g4_encode(img: np.ndarray) -> bytes:
                 _write_run(bw, a2 - a1, white=parity == 1)
                 a0 = a2
                 idx += 2
+        ref = cur
+    return bw.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# Group 3 (ITU-T T.4) — round 5: K=0 pure 1-D MH, K>0 mixed 1-D/2-D.
+# Older fax hardware and many scan-to-PDF tools emit these (/K 0 is
+# the PDF default when /CCITTFaxDecode carries no /K at all).
+# ---------------------------------------------------------------------------
+
+_EOL = "000000000001"
+
+
+def _skip_eol(br: _BitReader) -> bool:
+    """Consume one EOL (11 zero bits + 1, T.4 allows fill zeros before
+    it) if present at the cursor; returns whether one was consumed."""
+    buf = br.peek(64)
+    i = 0
+    while i < len(buf) and buf[i] == "0":
+        i += 1
+    if i >= 11 and i < len(buf) and buf[i] == "1":
+        br.skip(i + 1)
+        return True
+    return False
+
+
+def g3_decode(
+    data: bytes,
+    columns: int,
+    rows: int,
+    k: int = 0,
+    byte_align: bool = False,
+) -> np.ndarray:
+    """Decode a /K >= 0 Group 3 stream -> (rows, columns) uint8, 1 =
+    black. ``k == 0``: every row is 1-D MH (leading EOLs tolerated —
+    /EndOfLine producers emit them, the PDF default omits them).
+    ``k > 0``: each row is preceded by EOL + a tag bit (1 = 1-D,
+    0 = 2-D against the previous row), per T.4 §4.2."""
+    br = _BitReader(data)
+    out = np.zeros((rows, columns), dtype=np.uint8)
+    ref: list[int] = []
+    for r in range(rows):
+        if byte_align:
+            br.byte_align()
+        if k > 0:
+            if not _skip_eol(br):
+                raise ValueError("CCITT K>0 row %d missing its EOL" % r)
+            tag = br.peek(1)
+            if not tag:
+                raise ValueError("CCITT K>0 row %d missing its 1-D/2-D tag" % r)
+            br.skip(1)
+            one_d = tag == "1"
+        else:
+            _skip_eol(br)  # optional (EndOfLine producers)
+            one_d = True
+        cur = _decode_1d_row(br, columns) if one_d else _decode_2d_row(br, ref, columns)
+        _paint_row(out, r, cur, columns)
+        ref = [t for t in cur if t <= columns]
+    return out
+
+
+def g3_encode(img: np.ndarray, k: int = 0) -> bytes:
+    """Encode a 0/1 array as Group 3: ``k == 0`` writes plain 1-D MH
+    rows (no EOLs — the PDF default layout); ``k > 0`` writes
+    EOL+tag-delimited rows with a 1-D row every ``k`` rows and 2-D
+    rows between (the standard's K-factor error-confinement shape)."""
+    if img.ndim != 2:
+        raise ValueError("CCITT encoder needs a 2-D bitonal array")
+    rows, columns = img.shape
+    bw = _BitWriter()
+    ref: list[int] = []
+    for r in range(rows):
+        cur = _transitions(img[r])
+        one_d = k == 0 or r % k == 0
+        if k > 0:
+            bw.write(_EOL)
+            bw.write("1" if one_d else "0")
+        if one_d:
+            # alternating runs from transitions, starting white
+            prev = 0
+            white = True
+            for t in cur:
+                _write_run(bw, t - prev, white=white)
+                prev = t
+                white = not white
+            if prev < columns:
+                _write_run(bw, columns - prev, white=white)
+            elif not cur:
+                _write_run(bw, columns, white=True)
+        else:
+            a0 = -1
+            idx = 0
+            while (a0 if a0 >= 0 else 0) < columns:
+                a1 = cur[idx] if idx < len(cur) else columns
+                parity = idx & 1
+                b1, b2 = _b1_b2(ref, a0, parity, columns)
+                if b2 < a1:
+                    bw.write(_MODE_P)
+                    a0 = b2
+                elif abs(a1 - b1) <= 3:
+                    bw.write(_MODE_V[a1 - b1])
+                    a0 = a1
+                    idx += 1
+                else:
+                    a2 = cur[idx + 1] if idx + 1 < len(cur) else columns
+                    start = a0 if a0 > 0 else 0
+                    bw.write(_MODE_H)
+                    _write_run(bw, a1 - start, white=parity == 0)
+                    _write_run(bw, a2 - a1, white=parity == 1)
+                    a0 = a2
+                    idx += 2
         ref = cur
     return bw.tobytes()

@@ -54,6 +54,7 @@ def encode_pdf(
     predictor: int = 1,
     lzw: bool = False,
     ccitt: bool = False,
+    ccitt_k: int = -1,
     ascii85: bool = False,
     user_password: bytes | str = b"",
     owner_password: bytes | str = b"",
@@ -111,9 +112,13 @@ def encode_pdf(
             if img.ndim != 2:
                 raise ValueError("CCITT pages must be grayscale (2-D)")
             # bitonal: <128 is ink; exact round trip for 0/255 input
-            raw = ccittcodec.g4_encode((img < 128).astype(np.uint8))
+            bits = (img < 128).astype(np.uint8)
+            if ccitt_k < 0:
+                raw = ccittcodec.g4_encode(bits)
+            else:
+                raw = ccittcodec.g3_encode(bits, k=ccitt_k)
             fnames.append("/CCITTFaxDecode")
-            fparms.append(f"<< /K -1 /Columns {w} /Rows {h} >>")
+            fparms.append(f"<< /K {ccitt_k} /Columns {w} /Rows {h} >>")
             bpc = 1
         elif dct:
             from pdf_ocr_spark.sources.jpegcodec import encode_jpeg
@@ -895,22 +900,17 @@ def _decode_image_xobject(body, img_num: int, decrypt) -> np.ndarray:
         parms = _parms_list_of(d, len(chain))[-1] or b""
         km = re.search(rb"/K\s+(-?\d+)", parms)
         k = int(km.group(1)) if km else 0
-        if k >= 0:
-            raise ValueError(
-                "CCITT K=%d (1-D/mixed G3) outside subset (K<0 Group 4 only)" % k
-            )
         cols = _int_default(parms, b"Columns", 1728)
         nrows = _int_default(parms, b"Rows", h)
         if cols != w or nrows != h:
             raise ValueError(
                 "CCITT geometry %dx%d, XObject declares %dx%d" % (cols, nrows, w, h)
             )
-        black = ccittcodec.g4_decode(
-            stream,
-            cols,
-            nrows,
-            byte_align=bool(re.search(rb"/EncodedByteAlign\s+true", parms)),
-        )
+        align = bool(re.search(rb"/EncodedByteAlign\s+true", parms))
+        if k < 0:  # Group 4 (pure MMR)
+            black = ccittcodec.g4_decode(stream, cols, nrows, byte_align=align)
+        else:  # Group 3: K=0 pure 1-D MH, K>0 mixed (round 5)
+            black = ccittcodec.g3_decode(stream, cols, nrows, k=k, byte_align=align)
         # filter emits bits; BlackIs1 false (default) -> 0 is black
         bits = black if re.search(rb"/BlackIs1\s+true", parms) else 1 - black
         return (bits * 255).astype(np.uint8)

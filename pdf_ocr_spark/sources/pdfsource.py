@@ -117,9 +117,10 @@ def write_pdf_corpus(
     residues get LZW + predictor together. Of the encrypted files,
     every 25th (``(id // 5) % 25 == 2``) uses the AES-256 V5/R6
     /AESV3 handler instead of RC4 — the post-2017 producer shape.
-    ``id % CCITT_RESIDUES == 4`` docs store Group 4 fax rasters
-    (/CCITTFaxDecode /K -1, 1-bit — the dominant wild scanned shape;
-    exact because glyph renders are bitonal)."""
+    ``id % CCITT_RESIDUES == 4`` docs store CCITT fax rasters with the
+    mode rotating by ``(id // 9) % 3`` over /K -1 (Group 4 MMR — the
+    dominant wild shape), /K 0 (Group 3 1-D MH), and /K 2 (Group 3
+    mixed) — 1-bit, exact because glyph renders are bitonal."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np  # noqa: F401  (renderer dependency, worker-side)
@@ -168,6 +169,8 @@ def write_pdf_corpus(
                             ),
                             lzw=not dct and d % LZW_RESIDUES == 3,
                             ccitt=not dct and d % CCITT_RESIDUES == 4,
+                            # rotate the fax mode: G4, G3 1-D, G3 mixed
+                            ccitt_k=(-1, 0, 2)[(d // CCITT_RESIDUES) % 3],
                             ascii85=d % ASCII85_RESIDUES == 5,
                         )
                     )

@@ -110,10 +110,62 @@ def test_ccitt_pdf_round_trip(kwargs):
     assert (got[0] == pg1).all() and (got[1] == pg2).all()
 
 
-def test_ccitt_k_zero_is_typed_error():
+def test_ccitt_mode_mismatch_is_typed_error():
+    """A G4 (/K -1) stream relabeled /K 0 decodes as 1-D MH garbage —
+    must fail with a typed CCITT error, not crash or mis-decode
+    silently. (K=0 itself is SUPPORTED since round 5 — see
+    test_ccitt_k_modes_pdf_round_trip.)"""
     from pdf_ocr_spark.sources.glyphs import render_text_image
 
     data = pdfcodec.encode_pdf([render_text_image("x")], ccitt=True)
     broken = data.replace(b"/K -1", b"/K 0 ")
-    with pytest.raises(ValueError, match="K=0"):
+    with pytest.raises(ValueError, match="CCITT"):
         pdfcodec.decode_pdf(broken)
+
+
+@pytest.mark.parametrize("k", [0, 1, 2, 4])
+def test_g3_round_trip(k):
+    """Group 3 (round 5): K=0 pure 1-D MH rows; K>0 EOL+tag-delimited
+    mixed 1-D/2-D rows."""
+    for img in [
+        np.zeros((4, 30), dtype=np.uint8),
+        np.ones((4, 30), dtype=np.uint8),
+        (RNG.random((25, 61)) < 0.35).astype(np.uint8),
+        np.eye(16, 16, dtype=np.uint8),
+    ]:
+        enc = cc.g3_encode(img, k=k)
+        assert (cc.g3_decode(enc, img.shape[1], img.shape[0], k=k) == img).all()
+
+
+def test_g3_k0_tolerates_leading_eol():
+    """/EndOfLine producers prefix rows with EOLs; the K=0 decoder
+    must accept a leading EOL (fill zeros + terminator) before data
+    while plain (PDF-default) streams decode unchanged."""
+    img = (RNG.random((6, 40)) < 0.4).astype(np.uint8)
+    plain = cc.g3_encode(img, k=0)
+    assert (cc.g3_decode(plain, 40, 6, k=0) == img).all()
+    combined = cc._BitWriter()
+    combined.write(cc._EOL)
+    combined.write("".join(f"{b:08b}" for b in plain))
+    # the padded tail bits belong to the final byte boundary; rows are
+    # consumed by code structure, so the shifted stream decodes too
+    assert (cc.g3_decode(combined.tobytes(), 40, 6, k=0) == img).all()
+
+
+def test_g3_k_positive_missing_eol_is_typed_error():
+    img = np.eye(5, 5, dtype=np.uint8)
+    enc = cc.g3_encode(img, k=2)
+    # strip the leading EOL: decoder must name the problem
+    with pytest.raises(ValueError, match="EOL"):
+        cc.g3_decode(b"\xff" + enc, 5, 5, k=2)
+
+
+@pytest.mark.parametrize("k", [-1, 0, 2])
+def test_ccitt_k_modes_pdf_round_trip(k):
+    from pdf_ocr_spark.sources.glyphs import render_text_image
+
+    pg = render_text_image("fax mode coverage page")
+    data = pdfcodec.encode_pdf([pg], ccitt=True, ccitt_k=k)
+    assert f"/K {k}".encode() in data
+    got = pdfcodec.decode_pdf(data)
+    assert (got[0] == pg).all()
