@@ -79,6 +79,12 @@ def main() -> None:
     ap.add_argument("--quality", default="standard")
     ap.add_argument("--preprocess", action="store_true")
     ap.add_argument("--derotate", action="store_true")
+    ap.add_argument(
+        "--pdf-password",
+        default="",
+        help="password for encrypted PDFs (tried as user then owner; "
+        "empty opens only prompt-free files)",
+    )
     ap.add_argument("--buckets", type=int, default=256)
     ap.add_argument("--seed", type=int, default=42)
     args = ap.parse_args()
@@ -112,6 +118,7 @@ def main() -> None:
         quality=args.quality,
         preprocess=args.preprocess,
         derotate=args.derotate,
+        pdf_password=args.pdf_password,
     )
     processed = run_extraction(
         spark,
