@@ -53,6 +53,7 @@ def encode_pdf(
     cipher: str = "rc4",
     predictor: int = 1,
     lzw: bool = False,
+    rle: bool = False,
     ccitt: bool = False,
     ccitt_k: int = -1,
     ascii85: bool = False,
@@ -79,7 +80,9 @@ def encode_pdf(
     /DecodeParms predictor to the raster before compression — 2 =
     TIFF, 10-15 = PNG family; 12 (Up) is what most real producers
     emit. ``lzw=True`` writes /LZWDecode instead of /FlateDecode (the
-    legacy-producer shape).
+    legacy-producer shape); ``rle=True`` writes /RunLengthDecode (the
+    PostScript-converter / fax-export shape), taking precedence over
+    both.
     """
     if not pages:
         raise ValueError("a PDF needs at least one page")
@@ -125,6 +128,12 @@ def encode_pdf(
 
             raw = encode_jpeg(img, dct_quality, progressive=dct_progressive)
             fnames.append("/DCTDecode")
+            fparms.append(None)
+        elif rle:
+            from pdf_ocr_spark.sources import pdffilters
+
+            raw = pdffilters.runlength_encode(np.ascontiguousarray(img).tobytes())
+            fnames.append("/RunLengthDecode")
             fparms.append(None)
         else:
             raw = np.ascontiguousarray(img).tobytes()
@@ -595,6 +604,8 @@ def _apply_byte_filter(name: bytes, raw: bytes, parms: bytes | None) -> bytes:
     elif name == b"LZWDecode":
         early = _int_default(parms or b"", b"EarlyChange", 1)
         out = pdffilters.lzw_decode(raw, early_change=early)
+    elif name == b"RunLengthDecode":
+        return pdffilters.runlength_decode(raw)
     elif name == b"ASCIIHexDecode":
         return pdffilters.asciihex_decode(raw)
     elif name == b"ASCII85Decode":

@@ -374,3 +374,64 @@ def ascii85_encode(data: bytes) -> bytes:
         enc = bytes(0x21 + d for d in reversed(digits))
         out += enc[: n + 1]
     return bytes(out) + b"~>"
+
+
+# ---------------------------------------------------------------------------
+# RunLengthDecode (ISO 32000-1 §7.4.5) — the simple byte-RLE many
+# fax/scan exporters and PostScript converters emit for bitonal or
+# flat-tint rasters.
+# ---------------------------------------------------------------------------
+
+
+def runlength_decode(data: bytes) -> bytes:
+    """Decode a RunLengthDecode stream: a length byte L in 0..127
+    copies the next L+1 bytes literally; L in 129..255 repeats the
+    next byte 257-L times; 128 is EOD. A stream that ends inside a
+    run (or without EOD) raises ValueError."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        length = data[i]
+        i += 1
+        if length == 128:
+            return bytes(out)
+        if length < 128:
+            end = i + length + 1
+            if end > n:
+                raise ValueError("RunLength literal run past end of stream")
+            out += data[i:end]
+            i = end
+        else:
+            if i >= n:
+                raise ValueError("RunLength repeat run missing its byte")
+            out += data[i : i + 1] * (257 - length)
+            i += 1
+    raise ValueError("RunLength stream missing EOD (128)")
+
+
+def runlength_encode(data: bytes) -> bytes:
+    """Encode bytes as a RunLengthDecode stream (fixture writer + the
+    round-trip half of the tests): maximal repeat runs for >=3 equal
+    bytes, literal runs otherwise, both capped at 128."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        j = i + 1
+        while j < n and j - i < 128 and data[j] == data[i]:
+            j += 1
+        if j - i >= 3:
+            out.append(257 - (j - i))
+            out.append(data[i])
+            i = j
+            continue
+        # literal run: until the next >=3 repeat (or 128-byte cap)
+        j = i
+        while j < n and j - i < 128:
+            if j + 2 < n and data[j] == data[j + 1] == data[j + 2]:
+                break
+            j += 1
+        out.append(j - i - 1)
+        out += data[i:j]
+        i = j
+    out.append(128)
+    return bytes(out)

@@ -61,6 +61,9 @@ CCITT_RESIDUES = 9
 #: wrapped in /ASCII85Decode (a FILTER CHAIN, e.g.
 #: [/ASCII85Decode /FlateDecode] — the legacy-tool wrapping shape).
 ASCII85_RESIDUES = 13
+#: doc id % RLE_RESIDUES == 6 -> /RunLengthDecode raster (the
+#: PostScript-converter / fax-export byte-RLE shape; non-DCT only).
+RLE_RESIDUES = 11
 
 PDF_PAGES_SCHEMA = (
     "doc_id string, offset int, media_ref string, payload binary, parse_error string"
@@ -120,7 +123,10 @@ def write_pdf_corpus(
     ``id % CCITT_RESIDUES == 4`` docs store CCITT fax rasters with the
     mode rotating by ``(id // 9) % 3`` over /K -1 (Group 4 MMR — the
     dominant wild shape), /K 0 (Group 3 1-D MH), and /K 2 (Group 3
-    mixed) — 1-bit, exact because glyph renders are bitonal."""
+    mixed) — 1-bit, exact because glyph renders are bitonal.
+    ``id % RLE_RESIDUES == 6`` rasters are /RunLengthDecode streams
+    (the PostScript-converter byte-RLE shape; CCITT wins on ids
+    hitting both residues)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np  # noqa: F401  (renderer dependency, worker-side)
@@ -168,6 +174,7 @@ def write_pdf_corpus(
                                 else 1
                             ),
                             lzw=not dct and d % LZW_RESIDUES == 3,
+                            rle=not dct and d % RLE_RESIDUES == 6,
                             ccitt=not dct and d % CCITT_RESIDUES == 4,
                             # rotate the fax mode: G4, G3 1-D, G3 mixed
                             ccitt_k=(-1, 0, 2)[(d // CCITT_RESIDUES) % 3],

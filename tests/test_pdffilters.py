@@ -138,6 +138,8 @@ def test_ascii_filters_round_trip_and_stdlib_cross_check():
     "kwargs",
     [
         dict(compress=True, ascii85=True),
+        dict(rle=True),
+        dict(rle=True, ascii85=True),
         dict(compress=True, predictor=12, ascii85=True),
         dict(lzw=True, predictor=12, ascii85=True),
         dict(ccitt=True, ascii85=True),
@@ -158,3 +160,30 @@ def test_pdf_filter_chain_round_trip(kwargs):
     got = pdfcodec.decode_pdf(data)
     assert len(got) == len(pages)
     assert all((a == b).all() for a, b in zip(got, pages))
+
+
+def test_runlength_vectors_and_round_trips():
+    """ISO 32000-1 §7.4.5: literal runs (L+1 bytes), repeat runs
+    (257-L copies), 128 = EOD; truncation raises."""
+    import os
+
+    assert pdffilters.runlength_decode(b"\x02abc\x80") == b"abc"
+    assert pdffilters.runlength_decode(b"\xfeZ\x80") == b"ZZZ"
+    assert pdffilters.runlength_decode(b"\x00a\x81b\x80") == b"a" + b"b" * 128
+    for p in (b"", b"x", b"aaaabbbbccdd", b"\x00" * 300, os.urandom(513), b"ab" * 200):
+        assert pdffilters.runlength_decode(pdffilters.runlength_encode(p)) == p
+    with pytest.raises(ValueError, match="literal run past end"):
+        pdffilters.runlength_decode(b"\x05ab")
+    with pytest.raises(ValueError, match="missing its byte"):
+        pdffilters.runlength_decode(b"\xfe")
+    with pytest.raises(ValueError, match="missing EOD"):
+        pdffilters.runlength_decode(b"\x00a")
+
+
+def test_runlength_helps_on_flat_rasters():
+    """The encoder must actually RLE-compress runs (identity guard,
+    mirroring the predictor-12 test): a flat raster shrinks ~63x
+    (2-byte repeat runs capped at 128 copies)."""
+    flat = b"\xff" * 4096
+    enc = pdffilters.runlength_encode(flat)
+    assert len(enc) < len(flat) // 50
