@@ -439,6 +439,7 @@ def encode_jpeg(
     subsampling: str = "444",
     restart_interval: int = 0,
     progressive: bool = False,
+    cmyk_transform: int = 0,
 ) -> bytes:
     """Encode H x W uint8 (grayscale) or H x W x 3 uint8 (RGB) to a
     baseline JFIF byte string. ``subsampling`` is '444', '422', or
@@ -448,27 +449,48 @@ def encode_jpeg(
     ``progressive`` emits an SOF2 multi-scan file (spectral selection +
     successive approximation, the libjpeg-style script) — same
     quantized coefficients, so progressive and baseline decodes of the
-    same image are pixel-identical."""
+    same image are pixel-identical.
+
+    H x W x 4 input is **CMYK** (the print-workflow scan shape): a
+    4-component Adobe file — APP14 marker with transform 0, samples
+    stored inverted (255-X, the Adobe-application convention libjpeg
+    documents in libjpeg.txt and every PDF viewer compensates for),
+    no subsampling, no JFIF marker (JFIF allows only 1/3 components).
+    Baseline only. ``cmyk_transform=2`` stores YCCK instead (the
+    other Adobe shape: the inverted C/M/Y channels pushed through the
+    YCbCr forward transform, K carried through)."""
+    if cmyk_transform not in (0, 2):
+        raise ValueError("cmyk_transform must be 0 (CMYK) or 2 (YCCK)")
     if progressive and restart_interval:
         raise ValueError("restart intervals unsupported in the progressive encoder")
     if img.dtype != np.uint8 or img.ndim not in (2, 3):
-        raise ValueError("image must be 2-D gray or 3-D RGB uint8")
-    if img.ndim == 3 and img.shape[2] != 3:
-        raise ValueError("3-D images must have exactly 3 channels")
+        raise ValueError("image must be 2-D gray or 3-D RGB/CMYK uint8")
+    if img.ndim == 3 and img.shape[2] not in (3, 4):
+        raise ValueError("3-D images must have 3 (RGB) or 4 (CMYK) channels")
+    if img.ndim == 3 and img.shape[2] == 4 and progressive:
+        raise ValueError("progressive CMYK unsupported (baseline Adobe only)")
     if subsampling not in _SAMPLING:
         raise ValueError("subsampling must be one of %s" % sorted(_SAMPLING))
     h, w = img.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty image")
-    n_comp = 1 if img.ndim == 2 else 3
+    n_comp = 1 if img.ndim == 2 else img.shape[2]
     lum_q, chrom_q = _quality_tables(quality)
-    yh, yv = (1, 1) if n_comp == 1 else _SAMPLING[subsampling]
+    yh, yv = (1, 1) if n_comp != 3 else _SAMPLING[subsampling]
     samp = [(yh, yv)] + [(1, 1)] * (n_comp - 1)
     hmax, vmax = yh, yv
     mcus_x, mcus_y = -(-w // (8 * hmax)), -(-h // (8 * vmax))
 
     if n_comp == 1:
         planes = [img.astype(np.float64)]
+    elif n_comp == 4:
+        # Adobe inversion: CMYK samples are stored complemented
+        inv = 255.0 - img.astype(np.float64)
+        if cmyk_transform == 2:  # YCCK: YCbCr forward on inverted CMY
+            ycc = _rgb_to_ycbcr(np.clip(inv[..., :3], 0, 255).astype(np.uint8))
+            planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2], inv[..., 3]]
+        else:
+            planes = [inv[..., i] for i in range(4)]
     else:
         ycc = _rgb_to_ycbcr(img)
         planes = [
@@ -490,7 +512,9 @@ def encode_jpeg(
             .reshape(-1, 8, 8)
         )
         coeffs = np.einsum("ij,bjk,lk->bil", _DCT_T, blocks - 128.0, _DCT_T)
-        q = lum_q if ci == 0 else chrom_q
+        # CMYK: every channel carries image detail — all use the
+        # luminance table (what Adobe-path encoders do)
+        q = lum_q if ci == 0 or n_comp == 4 else chrom_q
         quant = np.rint(coeffs / q).astype(np.int32)
         comp_zz.append(quant.reshape(-1, 64)[:, ZIGZAG])
         grid_cols.append(cols // 8)
@@ -517,7 +541,7 @@ def encode_jpeg(
                 mcu_i += 1
                 for ci in range(n_comp):
                     hi, vi = samp[ci]
-                    t = 0 if ci == 0 else 1
+                    t = 0 if ci == 0 or n_comp == 4 else 1
                     for by in range(vi):
                         for bx in range(hi):
                             bidx = (my * vi + by) * grid_cols[ci] + mx * hi + bx
@@ -527,7 +551,7 @@ def encode_jpeg(
         bw.flush()
         sos = bytearray([n_comp])
         for ci in range(n_comp):
-            tid = 0 if ci == 0 else 1
+            tid = 0 if ci == 0 or n_comp == 4 else 1
             sos += bytes([ci + 1, (tid << 4) | tid])
         sos += bytes([0, 63, 0])
         scans = [(bytes(sos), bytes(bw.out))]
@@ -537,14 +561,19 @@ def encode_jpeg(
         return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
 
     out = bytearray(b"\xff\xd8")  # SOI
-    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    if n_comp == 4:
+        # APP14 "Adobe": version 100, flags 0/0, transform 0 (samples
+        # are (inverted) CMYK) or 2 (YCCK)
+        out += seg(0xEE, b"Adobe" + bytes([0, 100, 0, 0, 0, 0, cmyk_transform]))
+    else:
+        out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += seg(0xDB, b"\x00" + bytes(lum_q.reshape(-1)[ZIGZAG].astype(np.uint8)))
     if n_comp == 3:
         out += seg(0xDB, b"\x01" + bytes(chrom_q.reshape(-1)[ZIGZAG].astype(np.uint8)))
     sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([n_comp])
     for ci in range(n_comp):
         hi, vi = samp[ci]
-        sof += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
+        sof += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 or n_comp == 4 else 1])
     out += seg(0xC2 if progressive else 0xC0, bytes(sof))
     for cls, tid, (bits, vals) in (
         (0, 0, DC_LUM),
@@ -552,7 +581,7 @@ def encode_jpeg(
         (0, 1, DC_CHROM),
         (1, 1, AC_CHROM),
     ):
-        if n_comp == 1 and tid == 1:
+        if n_comp != 3 and tid == 1:
             continue
         out += seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
     if restart_interval:
@@ -671,6 +700,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     dri = 0
     frame = None  # (h, w, [(comp_id, qtab_id, h_samp, v_samp)])
     progressive = False
+    adobe = None  # APP14 transform byte (0 CMYK/RGB, 1 YCbCr, 2 YCCK)
     coeff: list[np.ndarray] | None = None  # progressive coefficient state
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -685,7 +715,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
         pos += 2
         if marker == 0xD9:  # EOI — progressive files land here after scans
             if progressive and coeff is not None:
-                return _reconstruct(coeff, frame, qtabs)
+                return _reconstruct(coeff, frame, qtabs, adobe)
             continue
         if marker == 0xD8:
             continue
@@ -696,6 +726,8 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             )
         ln = int.from_bytes(data[pos : pos + 2], "big")
         payload = data[pos + 2 : pos + ln]
+        if marker == 0xEE and payload[:5] == b"Adobe" and len(payload) >= 12:
+            adobe = payload[11]  # color-transform code
         if marker == 0xDB:  # DQT (possibly multiple tables per marker)
             p = 0
             while p < len(payload):
@@ -723,7 +755,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             h = int.from_bytes(payload[1:3], "big")
             w = int.from_bytes(payload[3:5], "big")
             n_comp = payload[5]
-            if n_comp not in (1, 3):
+            if n_comp not in (1, 3, 4):
                 raise ValueError("%d-component JPEG unsupported" % n_comp)
             comps = []
             for ci in range(n_comp):
@@ -759,7 +791,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 if ent_end == -1:
                     raise ValueError("truncated JPEG (missing EOI)")
                 return _decode_scan(
-                    data[ent_start:ent_end], frame, qtabs, htabs, scan_tabs, dri
+                    data[ent_start:ent_end], frame, qtabs, htabs, scan_tabs, dri, adobe
                 )
             # progressive: this is one of several scans over persistent
             # coefficient state; spectral band + successive-approximation
@@ -790,7 +822,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     if progressive and coeff is not None:
         # tolerate a missing EOI if all scans parsed (some producers
         # truncate the trailer)
-        return _reconstruct(coeff, frame, qtabs)
+        return _reconstruct(coeff, frame, qtabs, adobe)
     raise ValueError("no SOS marker (truncated JPEG)")
 
 
@@ -814,7 +846,7 @@ def _entropy_end(data: bytes, start: int) -> int:
         return i
 
 
-def _decode_scan(ent, frame, qtabs, htabs, scan_tabs, dri=0) -> np.ndarray:
+def _decode_scan(ent, frame, qtabs, htabs, scan_tabs, dri=0, adobe=None) -> np.ndarray:
     h, w, comps = frame
     n_comp = len(comps)
     hmax = max(c[2] for c in comps)
@@ -948,7 +980,7 @@ def _decode_scan(ent, frame, qtabs, htabs, scan_tabs, dri=0) -> np.ndarray:
                             row[k] = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
                             k += 1
 
-    return _reconstruct(zz, frame, qtabs)
+    return _reconstruct(zz, frame, qtabs, adobe)
 
 
 def _geometry(frame):
@@ -966,10 +998,15 @@ def _geometry(frame):
     return hmax, vmax, mcus_x, mcus_y, grid, nat
 
 
-def _reconstruct(zz, frame, qtabs) -> np.ndarray:
+def _reconstruct(zz, frame, qtabs, adobe=None) -> np.ndarray:
     """Dequantize + IDCT the per-component zigzag coefficient arrays
     (padded-grid layout) into the final image — shared by the baseline
-    single-scan path and the progressive multi-scan path."""
+    single-scan path and the progressive multi-scan path. 4-component
+    frames return H x W x 4 **true CMYK**: an APP14 transform of 2
+    (YCCK) first converts the leading three channels through the
+    YCbCr inverse, and the presence of any Adobe marker undoes the
+    Adobe sample inversion (255-X); a markerless 4-component file is
+    taken as direct CMYK."""
     h, w, comps = frame
     n_comp = len(comps)
     hmax, vmax, _mx, _my, grid, _nat = _geometry(frame)
@@ -992,6 +1029,12 @@ def _reconstruct(zz, frame, qtabs) -> np.ndarray:
         planes.append(plane[:h, :w])
     if n_comp == 1:
         return np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
+    if n_comp == 4:
+        if adobe == 2:  # YCCK: YCbCr inverse on the first three planes
+            rgbish = _ycbcr_to_rgb(np.stack(planes[:3], axis=-1)).astype(np.float64)
+            planes = [rgbish[..., 0], rgbish[..., 1], rgbish[..., 2], planes[3]]
+        stored = np.clip(np.rint(np.stack(planes, axis=-1)), 0, 255).astype(np.uint8)
+        return 255 - stored if adobe is not None else stored
     return _ycbcr_to_rgb(np.stack(planes, axis=-1))
 
 

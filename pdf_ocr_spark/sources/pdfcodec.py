@@ -49,6 +49,8 @@ def encode_pdf(
     dct: bool = False,
     dct_quality: int = 90,
     dct_progressive: bool = False,
+    dct_cmyk: bool = False,
+    dct_cmyk_transform: int = 0,
     encrypt: bool = False,
     cipher: str = "rc4",
     predictor: int = 1,
@@ -126,7 +128,22 @@ def encode_pdf(
         elif dct:
             from pdf_ocr_spark.sources.jpegcodec import encode_jpeg
 
-            raw = encode_jpeg(img, dct_quality, progressive=dct_progressive)
+            if dct_cmyk:
+                # print-workflow scan shape: /DeviceCMYK XObject over a
+                # 4-component Adobe JPEG. Gray g -> (0,0,0,255-g); RGB
+                # -> (255-R,255-G,255-B,0). Baseline only (Adobe CMYK
+                # progressive files are not a real producer shape).
+                if img.ndim == 2:
+                    zeros = np.zeros_like(img)
+                    cmyk = np.stack([zeros, zeros, zeros, 255 - img], axis=-1)
+                else:
+                    cmyk = np.concatenate(
+                        [255 - img, np.zeros_like(img[..., :1])], axis=-1
+                    )
+                raw = encode_jpeg(cmyk, dct_quality, cmyk_transform=dct_cmyk_transform)
+                colorspace = "/DeviceCMYK"
+            else:
+                raw = encode_jpeg(img, dct_quality, progressive=dct_progressive)
             fnames.append("/DCTDecode")
             fparms.append(None)
         elif rle:
@@ -873,10 +890,12 @@ def _decode_image_xobject(body, img_num: int, decrypt) -> np.ndarray:
         channels = 1
     elif re.search(rb"/DeviceRGB\b", d):
         channels = 3
+    elif re.search(rb"/DeviceCMYK\b", d):
+        channels = 4
     else:
         cs = re.search(rb"/ColorSpace\s*/?(\w+)", d)
         raise ValueError(
-            "unsupported colorspace /%s (subset: DeviceGray, DeviceRGB)"
+            "unsupported colorspace /%s (subset: DeviceGray, DeviceRGB, DeviceCMYK)"
             % (cs.group(1).decode() if cs else "<missing>")
         )
     w, h = _int(d, b"Width"), _int(d, b"Height")
@@ -900,7 +919,7 @@ def _decode_image_xobject(body, img_num: int, decrypt) -> np.ndarray:
                 "DCT raster is %s, XObject declares %dx%dx%d"
                 % (img.shape, h, w, channels)
             )
-        return img
+        return _cmyk_to_rgb(img) if channels == 4 else img
     if _filter_of(d) == b"CCITTFaxDecode":
         from pdf_ocr_spark.sources import ccittcodec
 
@@ -932,7 +951,24 @@ def _decode_image_xobject(body, img_num: int, decrypt) -> np.ndarray:
             % (len(raw), w, h, channels)
         )
     img = np.frombuffer(raw, dtype=np.uint8)
-    return img.reshape(h, w) if channels == 1 else img.reshape(h, w, 3)
+    if channels == 1:
+        return img.reshape(h, w)
+    if channels == 4:
+        return _cmyk_to_rgb(img.reshape(h, w, 4))
+    return img.reshape(h, w, 3)
+
+
+def _cmyk_to_rgb(img: np.ndarray) -> np.ndarray:
+    """Naive device conversion (the PDF 32000-1 §8.6.4.4 un-managed
+    formula): X = (255-C)·(255-K)/255 — shared by the DCT (Adobe
+    4-component JPEG) and raw/Flate /DeviceCMYK raster paths. The
+    downstream OCR kernel binarizes on luminance, so the exactness
+    contract is unaffected."""
+    cmy = img[..., :3].astype(np.float64)
+    k = img[..., 3:4].astype(np.float64)
+    return np.clip(np.rint((255.0 - cmy) * (255.0 - k) / 255.0), 0, 255).astype(
+        np.uint8
+    )
 
 
 def page_count(data: bytes, password: bytes = b"") -> int:

@@ -64,6 +64,10 @@ ASCII85_RESIDUES = 13
 #: doc id % RLE_RESIDUES == 6 -> /RunLengthDecode raster (the
 #: PostScript-converter / fax-export byte-RLE shape; non-DCT only).
 RLE_RESIDUES = 11
+#: doc id % CMYK_RESIDUES == 2 -> /DeviceCMYK XObject over a
+#: 4-component Adobe JPEG (DCT corpus only — the print-workflow scan
+#: shape), APP14 transform rotating 0 (CMYK) / 2 (YCCK) by (id//7)%2.
+CMYK_RESIDUES = 7
 
 PDF_PAGES_SCHEMA = (
     "doc_id string, offset int, media_ref string, payload binary, parse_error string"
@@ -126,7 +130,11 @@ def write_pdf_corpus(
     mixed) — 1-bit, exact because glyph renders are bitonal.
     ``id % RLE_RESIDUES == 6`` rasters are /RunLengthDecode streams
     (the PostScript-converter byte-RLE shape; CCITT wins on ids
-    hitting both residues)."""
+    hitting both residues). In the DCT corpus ``id % CMYK_RESIDUES ==
+    2`` pages are /DeviceCMYK XObjects over 4-component Adobe JPEGs
+    (the print-workflow shape), APP14 transform rotating CMYK/YCCK by
+    ``(id // 7) % 2``; CMYK wins over progressive on overlapping
+    ids (Adobe CMYK progressive is not a real producer shape)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np  # noqa: F401  (renderer dependency, worker-side)
@@ -153,7 +161,11 @@ def write_pdf_corpus(
                             compress=compress,
                             object_streams=object_streams,
                             dct=dct,
-                            dct_progressive=dct and d % PROGRESSIVE_RESIDUES == 1,
+                            dct_progressive=dct
+                            and d % PROGRESSIVE_RESIDUES == 1
+                            and d % CMYK_RESIDUES != 2,
+                            dct_cmyk=dct and d % CMYK_RESIDUES == 2,
+                            dct_cmyk_transform=((d // CMYK_RESIDUES) % 2) * 2,
                             encrypt=d % ENCRYPT_RESIDUES == 1,
                             # 1 in 25 of the encrypted files use the
                             # ISO 32000-2 AES-256/R6 handler. The R6

@@ -302,3 +302,64 @@ def test_progressive_dct_pdf_roundtrip_and_ocr():
     imgs = decode_pdf(data)
     got, conf = ocr_decode(imgs[0])
     assert got == text and conf == 1.0
+
+
+@pytest.mark.parametrize("transform", [0, 2])
+def test_cmyk_adobe_roundtrip_bounded_error(transform):
+    """4-component Adobe CMYK files (APP14, inverted samples — the
+    print-workflow scan shape): transform 0 stores CMYK directly,
+    transform 2 stores YCCK; both decode back to true CMYK with
+    bounded DCT error."""
+    h, w = 48, 80
+    yy, xx = np.mgrid[0:h, 0:w]
+    img4 = np.stack(
+        [(xx * 8) % 256, (yy * 8) % 256, ((xx + yy) * 4) % 256, (xx + 2 * yy) % 256],
+        axis=-1,
+    )
+    img4 = ((img4 // 32) * 32).astype(np.uint8)  # smooth: small DCT error
+    data = encode_jpeg(img4, 95, cmyk_transform=transform)
+    assert b"Adobe" in data[:64] and b"JFIF" not in data[:64]
+    assert data[data.find(b"Adobe") + 11] == transform
+    out = decode_jpeg(data)
+    assert out.shape == img4.shape and out.dtype == np.uint8
+    err = np.abs(out.astype(int) - img4.astype(int)).mean()
+    assert err < 8, (transform, err)
+
+
+def test_cmyk_without_adobe_marker_is_direct():
+    """A markerless 4-component file decodes as DIRECT CMYK (no
+    inversion) — the foreign-producer default libjpeg applies."""
+    g = render_text_image("NO MARKER")
+    zeros = np.zeros_like(g)
+    cmyk = np.stack([zeros, zeros, zeros, 255 - g], axis=-1)
+    data = encode_jpeg(cmyk, 95)
+    i = data.find(b"\xff\xee")  # strip the APP14 segment
+    ln = int.from_bytes(data[i + 2 : i + 4], "big")
+    stripped = data[:i] + data[i + 2 + ln :]
+    out = decode_jpeg(stripped)
+    # stored samples are the INVERTED cmyk; markerless decode returns
+    # them as-is, so out ~ 255 - cmyk
+    err = np.abs(out.astype(int) - (255 - cmyk).astype(int)).mean()
+    assert err < 4, err
+
+
+def test_cmyk_progressive_rejected_by_encoder():
+    with pytest.raises(ValueError, match="progressive CMYK"):
+        encode_jpeg(np.zeros((8, 8, 4), dtype=np.uint8), progressive=True)
+
+
+@pytest.mark.parametrize("transform", [0, 2])
+def test_cmyk_dct_pdf_roundtrip_and_ocr(transform):
+    """Scanned-PDF chain with a /DeviceCMYK XObject over a 4-component
+    Adobe JPEG: parse -> CMYK decode -> naive device conversion -> OCR
+    recovers the exact text."""
+    text = "CMYK PDF SCAN 789"
+    page = render_text_image(text)
+    data = encode_pdf(
+        [page], dct=True, dct_cmyk=True, dct_cmyk_transform=transform
+    )
+    assert b"/DeviceCMYK" in data and b"Adobe" in data
+    imgs = decode_pdf(data)
+    assert imgs[0].ndim == 3 and imgs[0].shape[:2] == page.shape
+    got, conf = ocr_decode(imgs[0])
+    assert got == text and conf == 1.0
