@@ -58,6 +58,8 @@ def encode_pdf(
     rle: bool = False,
     ccitt: bool = False,
     ccitt_k: int = -1,
+    jbig2: bool = False,
+    jbig2_mode: str = "tpgd",
     ascii85: bool = False,
     user_password: bytes | str = b"",
     owner_password: bytes | str = b"",
@@ -124,6 +126,16 @@ def encode_pdf(
                 raw = ccittcodec.g3_encode(bits, k=ccitt_k)
             fnames.append("/CCITTFaxDecode")
             fparms.append(f"<< /K {ccitt_k} /Columns {w} /Rows {h} >>")
+            bpc = 1
+        elif jbig2:
+            from pdf_ocr_spark.sources import jbig2codec
+
+            if img.ndim != 2:
+                raise ValueError("JBIG2 pages must be grayscale (2-D)")
+            bits = (img < 128).astype(np.uint8)  # 1 = black (T.88)
+            raw = jbig2codec.encode_embedded(bits, mode=jbig2_mode)
+            fnames.append("/JBIG2Decode")
+            fparms.append(None)
             bpc = 1
         elif dct:
             from pdf_ocr_spark.sources.jpegcodec import encode_jpeg
@@ -905,7 +917,7 @@ def _decode_image_xobject(body, img_num: int, decrypt) -> np.ndarray:
     # a chain ending in a raster filter (e.g. [/ASCII85Decode
     # /DCTDecode]) applies its byte filters before raster decode
     chain = _filters_of(d)
-    if chain and chain[-1] in (b"DCTDecode", b"CCITTFaxDecode"):
+    if chain and chain[-1] in (b"DCTDecode", b"CCITTFaxDecode", b"JBIG2Decode"):
         chain_parms = _parms_list_of(d, len(chain))
         for name, p in zip(chain[:-1], chain_parms[:-1]):
             stream = _apply_byte_filter(name, stream, p)
@@ -944,6 +956,31 @@ def _decode_image_xobject(body, img_num: int, decrypt) -> np.ndarray:
         # filter emits bits; BlackIs1 false (default) -> 0 is black
         bits = black if re.search(rb"/BlackIs1\s+true", parms) else 1 - black
         return (bits * 255).astype(np.uint8)
+    if _filter_of(d) == b"JBIG2Decode":
+        from pdf_ocr_spark.sources import jbig2codec
+
+        if channels != 1:
+            raise ValueError("JBIG2 rasters must be DeviceGray")
+        # /JBIG2Globals (shared segment stream, usually symbol dicts)
+        # is parsed ahead of the page's own segments
+        parms = _parms_list_of(d, len(chain))[-1] or b""
+        gm = re.search(rb"/JBIG2Globals\s+(\d+)\s+0\s+R", parms)
+        globals_data = None
+        if gm is not None:
+            gbody = body(int(gm.group(1)))
+            gdict = _dict_of(gbody)
+            graw = _stream_of(gbody, _int(gdict, b"Length"))
+            if decrypt is not None:
+                graw = decrypt(int(gm.group(1)), graw)
+            globals_data = _decode_stream(gdict, graw)
+        bits = jbig2codec.decode_embedded(stream, globals_data)
+        if bits.shape != (h, w):
+            raise ValueError(
+                "JBIG2 page is %dx%d, XObject declares %dx%d"
+                % (bits.shape[1], bits.shape[0], w, h)
+            )
+        # T.88: 1 = black -> DeviceGray 0
+        return ((1 - bits) * 255).astype(np.uint8)
     raw = _decode_stream(d, stream)
     if len(raw) != w * h * channels:
         raise ValueError(

@@ -68,6 +68,11 @@ RLE_RESIDUES = 11
 #: 4-component Adobe JPEG (DCT corpus only — the print-workflow scan
 #: shape), APP14 transform rotating 0 (CMYK) / 2 (YCCK) by (id//7)%2.
 CMYK_RESIDUES = 7
+#: doc id % JBIG2_RESIDUES == 7 -> /JBIG2Decode raster (the
+#: "optimized"/compressed bitonal shape Acrobat and scanner stacks
+#: emit), coding mode rotating by (id//17)%3 over arithmetic+TPGDON,
+#: plain arithmetic, and MMR=1 (non-DCT only; CCITT wins on overlap).
+JBIG2_RESIDUES = 17
 
 PDF_PAGES_SCHEMA = (
     "doc_id string, offset int, media_ref string, payload binary, parse_error string"
@@ -130,7 +135,11 @@ def write_pdf_corpus(
     mixed) — 1-bit, exact because glyph renders are bitonal.
     ``id % RLE_RESIDUES == 6`` rasters are /RunLengthDecode streams
     (the PostScript-converter byte-RLE shape; CCITT wins on ids
-    hitting both residues). In the DCT corpus ``id % CMYK_RESIDUES ==
+    hitting both residues). ``id % JBIG2_RESIDUES == 7`` rasters are
+    /JBIG2Decode generic-region streams (the compressed-bitonal shape
+    Acrobat's optimizer emits), coding mode rotating by ``(id//17)%3``
+    over arithmetic+TPGDON / plain arithmetic / MMR; CCITT wins on
+    overlapping ids. In the DCT corpus ``id % CMYK_RESIDUES ==
     2`` pages are /DeviceCMYK XObjects over 4-component Adobe JPEGs
     (the print-workflow shape), APP14 transform rotating CMYK/YCCK by
     ``(id // 7) % 2``; CMYK wins over progressive on overlapping
@@ -190,6 +199,12 @@ def write_pdf_corpus(
                             ccitt=not dct and d % CCITT_RESIDUES == 4,
                             # rotate the fax mode: G4, G3 1-D, G3 mixed
                             ccitt_k=(-1, 0, 2)[(d // CCITT_RESIDUES) % 3],
+                            jbig2=not dct
+                            and d % JBIG2_RESIDUES == 7
+                            and d % CCITT_RESIDUES != 4,
+                            jbig2_mode=("tpgd", "arith", "mmr")[
+                                (d // JBIG2_RESIDUES) % 3
+                            ],
                             ascii85=d % ASCII85_RESIDUES == 5,
                         )
                     )
