@@ -42,6 +42,110 @@ def _obj(num: int, body: bytes) -> bytes:
     return b"%d 0 obj\n%s\nendobj\n" % (num, body)
 
 
+def _pack_samples(img: np.ndarray, bpc: int, invert: bool = False) -> bytes:
+    """Serialize a uint8 raster at /BitsPerComponent ``bpc``.
+
+    16-bit widens each sample to ``v*257`` big-endian (ISO 32000-1
+    §8.9.5.1 stores 16-bit samples high byte first), so the 16→8
+    downconversion ``v >> 8`` on read is the exact inverse. Sub-byte
+    depths (1/2/4) pack samples MSB-first with each row padded to a
+    byte boundary (§8.9.5.1: every row starts on a byte), and demand
+    inputs already quantized to multiples of ``255/(2^bpc-1)`` —
+    fixture renders are bitonal 0/255, which is exact at every depth.
+    ``invert=True`` stores ``max-v`` (paired with a ``/Decode [1 0]``
+    declaration by the caller, §8.9.5.2)."""
+    h = img.shape[0]
+    flat = img.reshape(h, -1)
+    if invert:
+        flat = 255 - flat
+    if bpc == 8:
+        return np.ascontiguousarray(flat).tobytes()
+    if bpc == 16:
+        return (flat.astype(np.uint16) * 257).astype(">u2").tobytes()
+    step = 255 // ((1 << bpc) - 1)  # 255 / 85 / 17 — exact for 1/2/4
+    if np.any(flat % step):
+        raise ValueError(
+            "samples must be multiples of %d for lossless %d-bit packing"
+            % (step, bpc)
+        )
+    vals = (flat // step).astype(np.uint8)
+    bits = (
+        (vals[:, :, None] >> np.arange(bpc - 1, -1, -1, dtype=np.uint8)) & 1
+    ).reshape(h, -1)
+    rb = (flat.shape[1] * bpc + 7) // 8
+    padded = np.zeros((h, rb * 8), dtype=np.uint8)
+    padded[:, : bits.shape[1]] = bits
+    return np.packbits(padded, axis=1).tobytes()
+
+
+def _unpack_samples(
+    raw: bytes, w: int, h: int, channels: int, bpc: int
+) -> np.ndarray:
+    """Inverse of :func:`_pack_samples`: decode a raster stream at any
+    subset /BitsPerComponent into an ``h x (w*channels)`` uint8 array.
+    16-bit samples are read big-endian and downconverted ``v >> 8``
+    (the scanner-export path — precision beyond 8 bits is noise to a
+    binarizing OCR pipeline); sub-byte rows are unpacked MSB-first
+    honouring the per-row byte padding and rescaled to 0..255."""
+    rb = (w * channels * bpc + 7) // 8
+    if len(raw) != h * rb:
+        raise ValueError(
+            "decoded stream is %d bytes, expected %dx%d rows of %d bytes "
+            "(%d-bit %d-channel)" % (len(raw), h, rb, rb, bpc, channels)
+        )
+    if bpc == 8:
+        return np.frombuffer(raw, dtype=np.uint8).reshape(h, w * channels)
+    if bpc == 16:
+        wide = np.frombuffer(raw, dtype=">u2").reshape(h, w * channels)
+        return (wide >> 8).astype(np.uint8)
+    if bpc not in (1, 2, 4):
+        raise ValueError("unsupported /BitsPerComponent %d" % bpc)
+    bits = np.unpackbits(np.frombuffer(raw, dtype=np.uint8).reshape(h, rb), axis=1)
+    spp = w * channels
+    groups = bits[:, : spp * bpc].reshape(h, spp, bpc).astype(np.uint16)
+    weights = (1 << np.arange(bpc - 1, -1, -1, dtype=np.uint16))
+    vals = (groups * weights).sum(axis=2)
+    return (vals * (255 // ((1 << bpc) - 1))).astype(np.uint8)
+
+
+def _apply_decode_array(d: bytes, img: np.ndarray, channels: int) -> np.ndarray:
+    """Honour the XObject's /Decode array (ISO 32000-1 §8.9.5.2) on an
+    already-unpacked uint8 raster. The subset accepts the two shapes
+    real producers emit per component: the default ``[0 1]`` identity
+    and the inverted ``[1 0]`` (negative fax/PostScript exports);
+    fractional ranges raise a typed error naming the array."""
+    m = re.search(rb"/Decode\s*\[([^\]]*)\]", d)
+    if m is None:
+        return img
+    parts = re.split(rb"\s+", m.group(1).strip())
+    try:
+        nums = [float(p) for p in parts if p]
+    except ValueError:
+        raise ValueError("malformed /Decode array %r" % m.group(1)) from None
+    if len(nums) != 2 * channels:
+        raise ValueError(
+            "/Decode has %d entries, expected %d" % (len(nums), 2 * channels)
+        )
+    out = img.reshape(img.shape[0], -1, channels)
+    inverted = out
+    copied = False
+    for c in range(channels):
+        lo, hi = nums[2 * c], nums[2 * c + 1]
+        if (lo, hi) == (0.0, 1.0):
+            continue
+        if (lo, hi) == (1.0, 0.0):
+            if not copied:
+                inverted = out.copy()
+                copied = True
+            inverted[:, :, c] = 255 - inverted[:, :, c]
+        else:
+            raise ValueError(
+                "unsupported /Decode range [%g %g] (subset: identity, inverted)"
+                % (lo, hi)
+            )
+    return inverted.reshape(img.shape)
+
+
 def encode_pdf(
     pages: list[np.ndarray],
     compress: bool = False,
@@ -61,6 +165,8 @@ def encode_pdf(
     jbig2: bool = False,
     jbig2_mode: str = "tpgd",
     ascii85: bool = False,
+    sample_bpc: int = 8,
+    decode_invert: bool = False,
     user_password: bytes | str = b"",
     owner_password: bytes | str = b"",
 ) -> bytes:
@@ -87,9 +193,27 @@ def encode_pdf(
     legacy-producer shape); ``rle=True`` writes /RunLengthDecode (the
     PostScript-converter / fax-export shape), taking precedence over
     both.
+
+    ``sample_bpc`` stores the raw/Flate/LZW raster at a non-8
+    /BitsPerComponent — 16 widens each uint8 sample to the big-endian
+    16-bit value ``v*257`` (the high-bit-depth scanner export shape,
+    ISO 32000-1 §8.9.5.1: 16-bit samples are stored high byte first);
+    1/2/4 pack sub-byte samples MSB-first with rows padded to byte
+    boundaries (the low-color legacy shape) and require every input
+    value to be an exact multiple of ``255/(2^bpc-1)`` so the round
+    trip is lossless. ``decode_invert=True`` stores the raster
+    inverted and declares ``/Decode [1 0 ...]`` — the
+    negative-samples mapping some fax exporters and PostScript
+    converters emit (§8.9.5.2).
     """
     if not pages:
         raise ValueError("a PDF needs at least one page")
+    if (sample_bpc != 8 or decode_invert) and (dct or ccitt or jbig2 or rle):
+        raise ValueError(
+            "sample_bpc/decode_invert apply to the raw/Flate/LZW raster path only"
+        )
+    if sample_bpc not in (1, 2, 4, 8, 16):
+        raise ValueError("sample_bpc must be 1, 2, 4, 8 or 16")
     objects: dict[int, bytes] = {}
     kids = []
     for i, img in enumerate(pages):
@@ -165,7 +289,8 @@ def encode_pdf(
             fnames.append("/RunLengthDecode")
             fparms.append(None)
         else:
-            raw = np.ascontiguousarray(img).tobytes()
+            raw = _pack_samples(img, sample_bpc, invert=decode_invert)
+            bpc = sample_bpc
             if compress or lzw:
                 colors = 1 if img.ndim == 2 else 3
                 parms = None
@@ -173,11 +298,11 @@ def encode_pdf(
                     from pdf_ocr_spark.sources import pdffilters
 
                     raw = pdffilters.predictor_encode(
-                        raw, predictor, columns=w, colors=colors
+                        raw, predictor, columns=w, colors=colors, bpc=sample_bpc
                     )
                     parms = (
                         f"<< /Predictor {predictor} /Columns {w} "
-                        f"/Colors {colors} /BitsPerComponent 8 >>"
+                        f"/Colors {colors} /BitsPerComponent {sample_bpc} >>"
                     )
                 if lzw:
                     from pdf_ocr_spark.sources import pdffilters
@@ -210,10 +335,14 @@ def encode_pdf(
                     + " ".join(p if p else "null" for p in fparms)
                     + "] "
                 )
+        decode_entry = ""
+        if decode_invert:
+            n_comp = 1 if img.ndim == 2 else 3
+            decode_entry = "/Decode [" + " ".join(["1 0"] * n_comp) + "] "
         objects[image_num] = (
             f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
             f"/ColorSpace {colorspace} /BitsPerComponent {bpc} "
-            f"{filt}/Length {len(raw)} >>\n"
+            f"{decode_entry}{filt}/Length {len(raw)} >>\n"
         ).encode() + b"stream\n" + raw + b"\nendstream"
     objects[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
     objects[2] = (
@@ -931,6 +1060,7 @@ def _decode_image_xobject(body, img_num: int, decrypt) -> np.ndarray:
                 "DCT raster is %s, XObject declares %dx%dx%d"
                 % (img.shape, h, w, channels)
             )
+        img = _apply_decode_array(d, img, channels)
         return _cmyk_to_rgb(img) if channels == 4 else img
     if _filter_of(d) == b"CCITTFaxDecode":
         from pdf_ocr_spark.sources import ccittcodec
@@ -955,7 +1085,7 @@ def _decode_image_xobject(body, img_num: int, decrypt) -> np.ndarray:
             black = ccittcodec.g3_decode(stream, cols, nrows, k=k, byte_align=align)
         # filter emits bits; BlackIs1 false (default) -> 0 is black
         bits = black if re.search(rb"/BlackIs1\s+true", parms) else 1 - black
-        return (bits * 255).astype(np.uint8)
+        return _apply_decode_array(d, (bits * 255).astype(np.uint8), 1)
     if _filter_of(d) == b"JBIG2Decode":
         from pdf_ocr_spark.sources import jbig2codec
 
@@ -980,14 +1110,11 @@ def _decode_image_xobject(body, img_num: int, decrypt) -> np.ndarray:
                 % (bits.shape[1], bits.shape[0], w, h)
             )
         # T.88: 1 = black -> DeviceGray 0
-        return ((1 - bits) * 255).astype(np.uint8)
+        return _apply_decode_array(d, ((1 - bits) * 255).astype(np.uint8), 1)
     raw = _decode_stream(d, stream)
-    if len(raw) != w * h * channels:
-        raise ValueError(
-            "decoded stream is %d bytes, expected %dx%dx%d raster"
-            % (len(raw), w, h, channels)
-        )
-    img = np.frombuffer(raw, dtype=np.uint8)
+    bpc = _int_default(d, b"BitsPerComponent", 8)
+    img = _unpack_samples(raw, w, h, channels, bpc)
+    img = _apply_decode_array(d, img, channels)
     if channels == 1:
         return img.reshape(h, w)
     if channels == 4:

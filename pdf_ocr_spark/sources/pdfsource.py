@@ -73,6 +73,11 @@ CMYK_RESIDUES = 7
 #: emit), coding mode rotating by (id//17)%3 over arithmetic+TPGDON,
 #: plain arithmetic, and MMR=1 (non-DCT only; CCITT wins on overlap).
 JBIG2_RESIDUES = 17
+#: doc id % DEPTH_RESIDUES == 8 -> non-8-bit /BitsPerComponent raster
+#: (raw/Flate path only; ccitt/jbig2/rle win on overlap), depth
+#: rotating by (id//19)%3 over 16 / 4 / 1 bits, and every other one
+#: ((id//57)%2) additionally stored inverted behind /Decode [1 0].
+DEPTH_RESIDUES = 19
 
 PDF_PAGES_SCHEMA = (
     "doc_id string, offset int, media_ref string, payload binary, parse_error string"
@@ -143,7 +148,14 @@ def write_pdf_corpus(
     2`` pages are /DeviceCMYK XObjects over 4-component Adobe JPEGs
     (the print-workflow shape), APP14 transform rotating CMYK/YCCK by
     ``(id // 7) % 2``; CMYK wins over progressive on overlapping
-    ids (Adobe CMYK progressive is not a real producer shape)."""
+    ids (Adobe CMYK progressive is not a real producer shape).
+    ``id % DEPTH_RESIDUES == 8`` raw/Flate rasters are stored at a
+    non-8-bit /BitsPerComponent — 16-bit big-endian widened, 4-bit
+    and 1-bit packed, rotating by ``(id // 19) % 3`` — and every
+    other depth doc (``(id // 57) % 2``) is additionally stored
+    inverted behind ``/Decode [1 0]`` (the negative-sample export
+    shape); all depth variants are content-transparent because the
+    bitonal renders are exact at every depth."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np  # noqa: F401  (renderer dependency, worker-side)
@@ -161,6 +173,13 @@ def write_pdf_corpus(
                     d = int(doc_id)
                 except ValueError:
                     d = 0
+                depth = (
+                    not dct
+                    and d % DEPTH_RESIDUES == 8
+                    and d % CCITT_RESIDUES != 4
+                    and d % JBIG2_RESIDUES != 7
+                    and d % RLE_RESIDUES != 6
+                )
                 path = os.path.join(out_dir, f"doc_{doc_id}.pdf")
                 tmp = path + ".tmp"
                 with open(tmp, "wb") as f:
@@ -206,6 +225,17 @@ def write_pdf_corpus(
                                 (d // JBIG2_RESIDUES) % 3
                             ],
                             ascii85=d % ASCII85_RESIDUES == 5,
+                            # depth rotation: 16-bit widened, 4-bit
+                            # and 1-bit packed (bitonal renders are
+                            # exact at every depth); every other depth
+                            # doc stored inverted behind /Decode [1 0]
+                            sample_bpc=(
+                                (16, 4, 1)[(d // DEPTH_RESIDUES) % 3]
+                                if depth
+                                else 8
+                            ),
+                            decode_invert=depth
+                            and (d // (DEPTH_RESIDUES * 3)) % 2 == 1,
                         )
                     )
                 os.replace(tmp, path)  # atomic: readers never see partials
