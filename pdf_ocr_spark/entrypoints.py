@@ -1848,9 +1848,10 @@ def _pdf_fixture_dir(spark: SparkSession, sf: str, dct: bool = False) -> str:
     # encoding changes (r3: compressed, then PDF 1.5 object streams,
     # plus the /DCTDecode JPEG-scan variant corpus; r4: 1-in-5 docs
     # RC4-encrypted, 1-in-3 DCT docs progressive).
-    # r5depth: non-DCT corpus additionally rotates 16/4/1-bit
-    # /BitsPerComponent rasters with /Decode [1 0] inversion
-    fingerprint = f"{agg['n']}:{agg['ck']}:{variant}:r5depth"
+    # r5sym: non-DCT corpus rotates 16/4/1-bit /BitsPerComponent +
+    # /Decode [1 0] rasters, and JBIG2 docs rotate symbol-coded
+    # (text region) and /JBIG2Globals organizations
+    fingerprint = f"{agg['n']}:{agg['ck']}:{variant}:r5sym"
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker):
         with open(marker) as f:

@@ -1,13 +1,20 @@
-"""From-scratch JBIG2 (ITU-T T.88) subset codec — generic regions.
+"""From-scratch JBIG2 (ITU-T T.88) subset codec — generic regions,
+symbol dictionaries, and text regions.
 
 Why it exists: alongside CCITT G3/G4, /JBIG2Decode is the other raster
 filter real scanner/compressor output (and "optimized" PDFs from
 Acrobat) embed for bitonal pages; the reference accepts such files
 implicitly through Poppler (/root/reference/app.py:447-482). This
 module gives :mod:`pdf_ocr_spark.sources.pdfcodec` a real decode path
-for the *generic-region* organization, and an encoder so the fixture
-corpus can plant JBIG2 pages whose extraction the DuckDB oracle then
-certifies end to end.
+for both wild organizations — plain *generic regions* and the
+dominant *symbol-coded* layout (a shared glyph dictionary + per-page
+(symbol id, position) text regions, optionally via the PDF
+``/JBIG2Globals`` side stream) — and an encoder for each so the
+fixture corpus can plant JBIG2 pages whose extraction the DuckDB
+oracle then certifies end to end. The symbol encoder works the way
+real producers (jbig2enc, Acrobat) do: 8-connected components of the
+page become deduplicated dictionary symbols, the page becomes a
+placement list.
 
 Scope (subset, typed errors outside it):
 
@@ -25,12 +32,23 @@ Scope (subset, typed errors outside it):
   follows the spec's template figure (bits 0-3: the four row-y
   neighbours, bit 4: A1, bits 5-9: row y-1, bits 10-11: A2/A3,
   bits 12-14: row y-2, bit 15: A4).
+* **Integer arithmetic decoding** (T.88 Annex A): the IAx prefix
+  code (six magnitude classes, PREV-chained contexts, OOB as negative
+  zero) and the IAID binary-tree symbol-id code, both directions.
+* **Symbol dictionary + text region** (T.88 §6.5/§6.4, segment types
+  0/6/7): arithmetic coding only (SDHUFF=0, REFAGG=0, SBHUFF=0,
+  SBREFINE=0), GBTEMPLATE 0, TRANSPOSED=0, all four REFCORNER
+  values, OR/XOR compositing, height-class dictionary decode with
+  one shared bitmap-coding context, export-run flags, and symbols
+  gathered from referred-to segments in order (so a /JBIG2Globals
+  dictionary serves the page's text regions).
 * **Embedded-stream organization** (T.88 Annex D / ISO 32000-1
   §7.4.7): the sequence of segments a PDF /JBIG2Decode stream holds —
-  segment headers, page information (type 48), immediate (lossless)
-  generic regions (38/39) composited onto the page with OR, end-of-
-  page/stripe/file (49/50/51), extensions (62, skipped). Symbol
-  dictionaries, text/halftone/refinement regions raise ``ValueError``
+  segment headers (short- and long-form referred lists), page
+  information (type 48), immediate (lossless) generic regions
+  (38/39) and text regions (6/7) composited onto the page with OR,
+  end-of-page/stripe/file (49/50/51), extensions (62, skipped).
+  Halftone/refinement regions and Huffman coding raise ``ValueError``
   naming the feature so the PDF source surfaces a typed error row.
 
 There are no third-party JBIG2 files in this container, so interop is
@@ -288,17 +306,14 @@ def _template0_ctx(p, py, px, at):
     )
 
 
-def generic_region_encode(
-    bits: np.ndarray, tpgdon: bool = True, at=NOMINAL_AT
-) -> bytes:
-    """MQ-encode an H x W 0/1 bitmap as a GBTEMPLATE-0 generic region
-    (TPGDON per the flag). Row loops are plain Python over an int list
-    snapshot — the MQ coder is inherently sequential; fixture pages
-    are ~13k pixels so this stays in the low milliseconds."""
+def _generic_encode_into(
+    enc: MQEncoder, states: list, bits: np.ndarray, tpgdon: bool, at
+) -> None:
+    """MQ-encode one GBTEMPLATE-0 generic bitmap through an EXISTING
+    encoder + context-state array (symbol dictionaries code every
+    symbol bitmap through one shared coder, §6.5.8.2)."""
     h, w = bits.shape
     p = _padded(bits.astype(np.uint8))
-    enc = MQEncoder()
-    states = [0] * (1 << 16)
     ltp = 0
     rows = p.tolist()  # python ints: ~3x faster element reads
     for y in range(h):
@@ -317,18 +332,16 @@ def generic_region_encode(
             px = x + 4
             ctx = _template0_ctx(rows, py, px, at)
             enc.encode(states, ctx, row[px])
-    return enc.flush()
 
 
-def generic_region_decode(
-    data: bytes, w: int, h: int, tpgdon: bool = False, at=NOMINAL_AT
+def _generic_decode_into(
+    dec: MQDecoder, states: list, w: int, h: int, tpgdon: bool, at
 ) -> np.ndarray:
-    """Decode a GBTEMPLATE-0 generic region into an H x W uint8
-    bitmap (1 = black)."""
+    """Decode one GBTEMPLATE-0 generic bitmap from an EXISTING decoder
+    + context-state array (shared across a symbol dictionary's
+    symbols, interleaved with its integer-class decodes)."""
     if w <= 0 or h <= 0:
         raise ValueError("generic region with non-positive dimensions")
-    dec = MQDecoder(data)
-    states = [0] * (1 << 16)
     p = np.zeros((h + 2, w + 7), dtype=np.uint8)
     rows = p.tolist()
     ltp = 0
@@ -349,6 +362,484 @@ def generic_region_decode(
     return out[2:, 4 : 4 + w]
 
 
+def generic_region_encode(
+    bits: np.ndarray, tpgdon: bool = True, at=NOMINAL_AT
+) -> bytes:
+    """MQ-encode an H x W 0/1 bitmap as a standalone GBTEMPLATE-0
+    generic region (TPGDON per the flag). Fixture pages are ~13k
+    pixels so the sequential MQ loop stays in the low milliseconds."""
+    enc = MQEncoder()
+    states = [0] * (1 << 16)
+    _generic_encode_into(enc, states, bits, tpgdon, at)
+    return enc.flush()
+
+
+def generic_region_decode(
+    data: bytes, w: int, h: int, tpgdon: bool = False, at=NOMINAL_AT
+) -> np.ndarray:
+    """Decode a standalone GBTEMPLATE-0 generic region into an H x W
+    uint8 bitmap (1 = black)."""
+    dec = MQDecoder(data)
+    states = [0] * (1 << 16)
+    return _generic_decode_into(dec, states, w, h, tpgdon, at)
+
+
+# ---------------------------------------------------------------------------
+# Integer arithmetic decoding procedures (T.88 Annex A)
+# ---------------------------------------------------------------------------
+
+#: Sentinel for the out-of-band value (A.2: S=1, V=0).
+OOB = None
+
+#: (prefix-length marker bits, value-bit count, offset) per A.2 — the
+#: six magnitude classes of the IAx integer code.
+_INT_CLASSES = ((2, 0), (4, 4), (6, 20), (8, 52), (12, 308), (32, 4404))
+
+
+def new_int_ctx() -> list:
+    """Fresh 512-entry context-state array for one IAx integer class
+    (IADH, IADW, IAEX, IAAI, IADT, IAFS, IADS, IAIT each get one)."""
+    return [0] * 512
+
+
+def _int_bit_dec(dec: MQDecoder, cx: list, prev: int):
+    bit = dec.decode(cx, prev)
+    if prev < 256:
+        prev = (prev << 1) | bit
+    else:
+        prev = ((((prev << 1) | bit) & 511) | 256)
+    return bit, prev
+
+
+def decode_int(dec: MQDecoder, cx: list):
+    """A.2 IAx integer decode: returns the signed value, or ``OOB``
+    (None) for the out-of-band marker (negative zero)."""
+    prev = 1
+    s, prev = _int_bit_dec(dec, cx, prev)
+    # prefix 0 / 10 / 110 / 1110 / 11110 / 11111 selects the class
+    cls = 0
+    while cls < len(_INT_CLASSES) - 1:
+        marker, prev = _int_bit_dec(dec, cx, prev)
+        if marker == 0:
+            break
+        cls += 1
+    nbits, offset = _INT_CLASSES[cls]
+    v = 0
+    for _ in range(nbits):
+        bit, prev = _int_bit_dec(dec, cx, prev)
+        v = (v << 1) | bit
+    v += offset
+    if s and v == 0:
+        return OOB
+    return -v if s else v
+
+
+def _int_bit_enc(enc: MQEncoder, cx: list, prev: int, bit: int) -> int:
+    enc.encode(cx, prev, bit)
+    if prev < 256:
+        return (prev << 1) | bit
+    return ((((prev << 1) | bit) & 511) | 256)
+
+
+def encode_int(enc: MQEncoder, cx: list, value) -> None:
+    """A.2 mirror-image integer encode; ``value=OOB`` (None) writes
+    the out-of-band marker."""
+    prev = 1
+    if value is OOB:
+        s, v = 1, 0
+    elif value < 0:
+        s, v = 1, -value
+    else:
+        s, v = 0, value
+    prev = _int_bit_enc(enc, cx, prev, s)
+    cls = 0
+    while cls < len(_INT_CLASSES) - 1:
+        nbits, offset = _INT_CLASSES[cls]
+        if v <= offset + (1 << nbits) - 1:
+            break
+        prev = _int_bit_enc(enc, cx, prev, 1)
+        cls += 1
+    nbits, offset = _INT_CLASSES[cls]
+    if cls < len(_INT_CLASSES) - 1:
+        prev = _int_bit_enc(enc, cx, prev, 0)
+    rel = v - offset
+    if not 0 <= rel < (1 << nbits):
+        raise ValueError("integer %r outside the IAx code range" % (value,))
+    for b in range(nbits - 1, -1, -1):
+        prev = _int_bit_enc(enc, cx, prev, (rel >> b) & 1)
+
+
+def decode_iaid(dec: MQDecoder, cx: list, symcodelen: int) -> int:
+    """A.3 IAID decode: ``symcodelen`` bits through a binary-tree
+    context (``cx`` sized ``1 << (symcodelen+1)``)."""
+    prev = 1
+    for _ in range(symcodelen):
+        prev = (prev << 1) | dec.decode(cx, prev)
+    return prev - (1 << symcodelen)
+
+
+def encode_iaid(enc: MQEncoder, cx: list, symcodelen: int, value: int) -> None:
+    prev = 1
+    for b in range(symcodelen - 1, -1, -1):
+        bit = (value >> b) & 1
+        enc.encode(cx, prev, bit)
+        prev = (prev << 1) | bit
+
+
+# ---------------------------------------------------------------------------
+# Symbol dictionary (T.88 §6.5 / §7.4.3) and text region (§6.4 / §7.4.4)
+# — the organization real "optimizing" producers (Acrobat, jbig2enc,
+# scanner stacks) actually emit: glyph-shaped connected components go
+# into a shared dictionary, pages become (symbol id, position) lists.
+# Subset: arithmetic coding only (SDHUFF=0, REFAGG=0, SBHUFF=0,
+# SBREFINE=0), GBTEMPLATE 0, TRANSPOSED=0; outside -> typed ValueError.
+# ---------------------------------------------------------------------------
+
+
+def _symcodelen(nsyms: int) -> int:
+    """SBSYMCODELEN = max(1, ceil(log2(SBNUMSYMS))) (§6.4.5 + errata:
+    a one-symbol dictionary still codes one bit)."""
+    n, bits = 1, 0
+    while n < nsyms:
+        n <<= 1
+        bits += 1
+    return max(1, bits)
+
+
+def decode_symbol_dict(payload: bytes) -> list[np.ndarray]:
+    """Decode a symbol-dictionary segment body (§7.4.3) into its
+    exported symbol bitmaps, in export order."""
+    if len(payload) < 2:
+        raise ValueError("truncated JBIG2 symbol dictionary")
+    flags = int.from_bytes(payload[0:2], "big")
+    sdhuff = flags & 1
+    refagg = (flags >> 1) & 1
+    ctx_used = (flags >> 8) & 1
+    ctx_retained = (flags >> 9) & 1
+    template = (flags >> 10) & 3
+    if sdhuff:
+        raise ValueError("JBIG2 Huffman-coded symbol dictionary unsupported")
+    if refagg:
+        raise ValueError("JBIG2 refinement/aggregate symbol coding unsupported")
+    if ctx_used or ctx_retained:
+        raise ValueError("JBIG2 shared bitmap-coding contexts unsupported")
+    if template != 0:
+        raise ValueError("JBIG2 SDTEMPLATE %d unsupported (0 only)" % template)
+    p = 2
+    if len(payload) < p + 8 + 8:
+        raise ValueError("truncated JBIG2 symbol dictionary")
+    at = []
+    for _ in range(4):
+        ax, ay = payload[p], payload[p + 1]
+        at.append((ax - 256 if ax > 127 else ax, ay - 256 if ay > 127 else ay))
+        p += 2
+    numex = int.from_bytes(payload[p : p + 4], "big")
+    numnew = int.from_bytes(payload[p + 4 : p + 8], "big")
+    p += 8
+    if numnew > 10_000_000 or numex > 10_000_000:
+        raise ValueError("implausible JBIG2 symbol counts")
+    dec = MQDecoder(payload[p:])
+    iadh, iadw, iaex = new_int_ctx(), new_int_ctx(), new_int_ctx()
+    gb_states = [0] * (1 << 16)
+    newsyms: list[np.ndarray] = []
+    hcheight = 0
+    while len(newsyms) < numnew:
+        hcdh = decode_int(dec, iadh)
+        if hcdh is OOB:
+            raise ValueError("JBIG2 symbol dictionary: OOB height delta")
+        hcheight += hcdh
+        if hcheight <= 0 or hcheight > 1 << 20:
+            raise ValueError("JBIG2 symbol dictionary: bad height class")
+        symwidth = 0
+        while True:
+            dw = decode_int(dec, iadw)
+            if dw is OOB:
+                break
+            symwidth += dw
+            if symwidth <= 0 or symwidth > 1 << 20:
+                raise ValueError("JBIG2 symbol dictionary: bad symbol width")
+            if len(newsyms) >= numnew:
+                raise ValueError("JBIG2 symbol dictionary: too many symbols")
+            newsyms.append(
+                _generic_decode_into(
+                    dec, gb_states, symwidth, hcheight, False, tuple(at)
+                )
+            )
+    # export flags (§6.5.10): alternating skip/export run lengths over
+    # the input+new symbol list (no input symbols in this subset)
+    exported: list[np.ndarray] = []
+    exindex, curexflag = 0, 0
+    while exindex < len(newsyms):
+        run = decode_int(dec, iaex)
+        if run is OOB or run < 0:
+            raise ValueError("JBIG2 symbol dictionary: bad export run")
+        if curexflag:
+            exported.extend(newsyms[exindex : exindex + run])
+        exindex += run
+        curexflag = 1 - curexflag
+    if len(exported) != numex:
+        raise ValueError(
+            "JBIG2 symbol dictionary exports %d symbols, declared %d"
+            % (len(exported), numex)
+        )
+    return exported
+
+
+def encode_symbol_dict(symbols: list[np.ndarray]) -> bytes:
+    """Encode a symbol-dictionary segment body exporting ``symbols``
+    (uint8 0/1 bitmaps). Symbols are coded sorted by (height, width)
+    as height classes — the caller receives the export order via
+    :func:`_sorted_symbol_order` to assign text-region ids."""
+    order = _sorted_symbol_order(symbols)
+    enc = MQEncoder()
+    iadh, iadw, iaex = new_int_ctx(), new_int_ctx(), new_int_ctx()
+    gb_states = [0] * (1 << 16)
+    hcheight = 0
+    i = 0
+    while i < len(order):
+        h = symbols[order[i]].shape[0]
+        encode_int(enc, iadh, h - hcheight)
+        hcheight = h
+        symwidth = 0
+        while i < len(order) and symbols[order[i]].shape[0] == h:
+            sym = symbols[order[i]]
+            encode_int(enc, iadw, sym.shape[1] - symwidth)
+            symwidth = sym.shape[1]
+            _generic_encode_into(enc, gb_states, sym, False, NOMINAL_AT)
+            i += 1
+        encode_int(enc, iadw, OOB)
+    # export all symbols: skip-run 0, export-run n
+    encode_int(enc, iaex, 0)
+    encode_int(enc, iaex, len(order))
+    payload = enc.flush()
+    head = (0).to_bytes(2, "big")  # flags: arithmetic, template 0
+    head += b"".join(
+        bytes([x & 0xFF, y & 0xFF]) for x, y in NOMINAL_AT
+    )
+    head += len(order).to_bytes(4, "big")  # SDNUMEXSYMS
+    head += len(order).to_bytes(4, "big")  # SDNUMNEWSYMS
+    return head + payload
+
+
+def _sorted_symbol_order(symbols: list[np.ndarray]) -> list[int]:
+    """Dictionary coding order (ascending height classes, ascending
+    width inside a class, stable) — index i of the returned list is
+    the symbol ID the text region must use for ``symbols[order[i]]``."""
+    return sorted(
+        range(len(symbols)),
+        key=lambda i: (symbols[i].shape[0], symbols[i].shape[1], i),
+    )
+
+
+def decode_text_region(payload: bytes, symbols: list[np.ndarray]):
+    """Decode a text-region segment body (§7.4.4) -> (x, y, bitmap),
+    drawing instances of ``symbols`` (ids in dictionary export
+    order)."""
+    if len(payload) < 17 + 2 + 4:
+        raise ValueError("truncated JBIG2 text region")
+    w = int.from_bytes(payload[0:4], "big")
+    h = int.from_bytes(payload[4:8], "big")
+    x = int.from_bytes(payload[8:12], "big")
+    y = int.from_bytes(payload[12:16], "big")
+    flags = int.from_bytes(payload[17:19], "big")
+    sbhuff = flags & 1
+    sbrefine = (flags >> 1) & 1
+    logsbstrips = (flags >> 2) & 3
+    refcorner = (flags >> 4) & 3  # 0 BL, 1 TL, 2 BR, 3 TR
+    transposed = (flags >> 6) & 1
+    sbcombop = (flags >> 7) & 3
+    sbdefpixel = (flags >> 9) & 1
+    sbdsoffset = (flags >> 10) & 0x1F
+    if sbdsoffset > 15:
+        sbdsoffset -= 32
+    if sbhuff:
+        raise ValueError("JBIG2 Huffman-coded text region unsupported")
+    if sbrefine:
+        raise ValueError("JBIG2 refined text region unsupported")
+    if transposed:
+        raise ValueError("JBIG2 transposed text region unsupported")
+    if sbcombop not in (0, 2):  # OR, XOR — jbig2enc/Acrobat emit OR
+        raise ValueError("JBIG2 text combination op %d unsupported" % sbcombop)
+    if not symbols:
+        raise ValueError("JBIG2 text region with no referred symbols")
+    sbstrips = 1 << logsbstrips
+    ninst_declared = int.from_bytes(payload[19:23], "big")
+    if ninst_declared > 10_000_000:
+        raise ValueError("implausible JBIG2 instance count")
+    dec = MQDecoder(payload[23:])
+    iadt, iafs, iads, iait = (
+        new_int_ctx(), new_int_ctx(), new_int_ctx(), new_int_ctx(),
+    )
+    symcodelen = _symcodelen(len(symbols))
+    iaid_cx = [0] * (1 << (symcodelen + 1))
+    region = np.full((h, w), sbdefpixel, dtype=np.uint8)
+    dt = decode_int(dec, iadt)
+    if dt is OOB:
+        raise ValueError("JBIG2 text region: OOB strip T")
+    stript = -dt * sbstrips
+    firsts = 0
+    ninst = 0
+    while ninst < ninst_declared:
+        dt = decode_int(dec, iadt)
+        if dt is OOB:
+            raise ValueError("JBIG2 text region: OOB strip T")
+        stript += dt * sbstrips
+        first = True
+        while True:
+            if first:
+                dfs = decode_int(dec, iafs)
+                if dfs is OOB:
+                    raise ValueError("JBIG2 text region: OOB first S")
+                firsts += dfs
+                curs = firsts
+                first = False
+            else:
+                ids = decode_int(dec, iads)
+                if ids is OOB:
+                    break  # end of strip
+                curs += ids + sbdsoffset
+            if ninst >= ninst_declared:
+                raise ValueError("JBIG2 text region: instances past count")
+            curt = 0 if sbstrips == 1 else decode_int(dec, iait)
+            if curt is OOB:
+                raise ValueError("JBIG2 text region: OOB instance T")
+            ti = stript + curt
+            sid = decode_iaid(dec, iaid_cx, symcodelen)
+            if not 0 <= sid < len(symbols):
+                raise ValueError("JBIG2 text region: symbol id %d out of range" % sid)
+            sym = symbols[sid]
+            hi, wi = sym.shape
+            if refcorner in (2, 3):  # right corners advance before draw
+                curs += wi - 1
+                x0 = curs - wi + 1
+            else:
+                x0 = curs
+            y0 = ti if refcorner in (1, 3) else ti - hi + 1  # top vs bottom
+            # clip to the region like real renderers (instances at the
+            # edge are a wild-file shape; fixtures always fit)
+            sy0, sx0 = max(0, -y0), max(0, -x0)
+            ry0, rx0 = max(0, y0), max(0, x0)
+            ry1, rx1 = min(h, y0 + hi), min(w, x0 + wi)
+            if ry1 > ry0 and rx1 > rx0:
+                piece = sym[sy0 : sy0 + ry1 - ry0, sx0 : sx0 + rx1 - rx0]
+                if sbcombop == 2:
+                    region[ry0:ry1, rx0:rx1] ^= piece
+                else:
+                    region[ry0:ry1, rx0:rx1] |= piece
+            if refcorner in (0, 1):  # left corners advance after draw
+                curs += wi - 1
+            ninst += 1
+    return x, y, region
+
+
+def encode_text_region(
+    placements: list[tuple[int, int, int]],
+    symbols: list[np.ndarray],
+    w: int,
+    h: int,
+) -> bytes:
+    """Encode a text-region segment body drawing ``placements`` of
+    ``(y0, x0, symbol_index)`` (top-left corners, indices into
+    ``symbols`` — NOT dictionary order; this function applies the
+    dictionary's (height, width) id mapping itself). One strip per
+    distinct y0 (SBSTRIPS=1, REFCORNER=TOPLEFT, OR compositing)."""
+    order = _sorted_symbol_order(symbols)
+    id_of = {orig: sid for sid, orig in enumerate(order)}
+    symcodelen = _symcodelen(len(symbols))
+    enc = MQEncoder()
+    iadt, iafs, iads = new_int_ctx(), new_int_ctx(), new_int_ctx()
+    iaid_cx = [0] * (1 << (symcodelen + 1))
+    by_strip: dict[int, list[tuple[int, int]]] = {}
+    for y0, x0, si in placements:
+        by_strip.setdefault(y0, []).append((x0, si))
+    encode_int(enc, iadt, 0)  # STRIPT init -> 0
+    stript = 0
+    firsts = 0
+    for t in sorted(by_strip):
+        encode_int(enc, iadt, t - stript)
+        stript = t
+        row = sorted(by_strip[t])
+        first = True
+        curs = 0
+        for x0, si in row:
+            if first:
+                encode_int(enc, iafs, x0 - firsts)
+                firsts = x0
+                curs = x0
+                first = False
+            else:
+                encode_int(enc, iads, x0 - curs)
+                curs = x0
+            encode_iaid(enc, iaid_cx, symcodelen, id_of[si])
+            curs += symbols[si].shape[1] - 1
+        encode_int(enc, iads, OOB)
+    payload = enc.flush()
+    head = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + (0).to_bytes(4, "big")
+        + (0).to_bytes(4, "big")
+        + b"\x00"  # external combination operator: OR
+    )
+    # flags: SBHUFF=0 SBREFINE=0 LOGSBSTRIPS=0 REFCORNER=TL(1)
+    # TRANSPOSED=0 SBCOMBOP=OR SBDEFPIXEL=0 SBDSOFFSET=0
+    head += (1 << 4).to_bytes(2, "big")
+    head += len(placements).to_bytes(4, "big")
+    return head + payload
+
+
+def _connected_components(bits: np.ndarray):
+    """8-connected components of a 0/1 bitmap -> list of
+    ``(y0, x0, bitmap)`` with tight bounding boxes — the glyph
+    decomposition a symbol-coding JBIG2 producer performs. Pure-python
+    BFS; runs once per fixture page at corpus-generation time."""
+    h, w = bits.shape
+    grid = bits.astype(bool)
+    visited = np.zeros((h, w), dtype=bool)
+    comps = []
+    ys, xs = np.nonzero(grid)
+    for y, x in zip(ys.tolist(), xs.tolist()):
+        if visited[y, x]:
+            continue
+        stack = [(y, x)]
+        visited[y, x] = True
+        pix = []
+        while stack:
+            cy, cx = stack.pop()
+            pix.append((cy, cx))
+            for ny in range(max(0, cy - 1), min(h, cy + 2)):
+                for nx in range(max(0, cx - 1), min(w, cx + 2)):
+                    if grid[ny, nx] and not visited[ny, nx]:
+                        visited[ny, nx] = True
+                        stack.append((ny, nx))
+        py = [p[0] for p in pix]
+        px = [p[1] for p in pix]
+        y0, x0 = min(py), min(px)
+        bm = np.zeros((max(py) - y0 + 1, max(px) - x0 + 1), dtype=np.uint8)
+        for cy, cx in pix:
+            bm[cy - y0, cx - x0] = 1
+        comps.append((y0, x0, bm))
+    return comps
+
+
+def _symbolize(bits: np.ndarray):
+    """Decompose a page bitmap into (unique symbols, placements) by
+    exact-bitmap deduplication of its connected components — lossless:
+    OR-ing every placement back reproduces the page exactly."""
+    symbols: list[np.ndarray] = []
+    index: dict[bytes, int] = {}
+    placements: list[tuple[int, int, int]] = []
+    for y0, x0, bm in _connected_components(bits):
+        key = bm.shape[0].to_bytes(4, "big") + bm.shape[1].to_bytes(4, "big") + bm.tobytes()
+        si = index.get(key)
+        if si is None:
+            si = len(symbols)
+            index[key] = si
+            symbols.append(bm)
+        placements.append((y0, x0, si))
+    return symbols, placements
+
+
 # ---------------------------------------------------------------------------
 # Embedded-stream segment layer (T.88 Annex D / ISO 32000-1 §7.4.7)
 # ---------------------------------------------------------------------------
@@ -362,11 +853,12 @@ _SEG_GENERIC_IMMEDIATE = 38
 _SEG_GENERIC_IMMEDIATE_LOSSLESS = 39
 _SEG_GENERIC_INTERMEDIATE = 36
 
+_SEG_SYMBOL_DICT = 0
+_SEG_TEXT_IMMEDIATE = 6
+_SEG_TEXT_IMMEDIATE_LOSSLESS = 7
+
 _UNSUPPORTED_SEGMENTS = {
-    0: "symbol dictionary",
     4: "intermediate text region",
-    6: "immediate text region",
-    7: "immediate lossless text region",
     16: "pattern dictionary",
     20: "intermediate halftone region",
     22: "immediate halftone region",
@@ -378,29 +870,25 @@ _UNSUPPORTED_SEGMENTS = {
 }
 
 
-def _seg_header(number: int, seg_type: int, page: int, length: int) -> bytes:
-    """One segment header: no referred-to segments, 1-byte page
-    association (all our segments associate to page 1)."""
+def _seg_header(
+    number: int, seg_type: int, page: int, length: int, referred=()
+) -> bytes:
+    """One segment header: short-form referred-to list (≤4 refs, all
+    retain bits 0, 1-byte ref numbers), 1-byte page association."""
+    if len(referred) > 4 or any(r > 255 for r in referred):
+        raise ValueError("subset writer supports ≤4 one-byte referred segments")
     return (
         number.to_bytes(4, "big")
         + bytes([seg_type & 0x3F])
-        + b"\x00"  # referred-to count 0, retain bits 0
+        + bytes([len(referred) << 5])
+        + bytes(referred)
         + bytes([page])
         + length.to_bytes(4, "big")
     )
 
 
-def encode_embedded(bits: np.ndarray, mode: str = "tpgd") -> bytes:
-    """Serialize a 0/1 bitmap as the embedded-stream segment sequence
-    a PDF /JBIG2Decode stream holds: page information, one immediate
-    lossless generic region covering the page, end-of-page. ``mode``:
-    ``tpgd`` (arithmetic, TPGDON on), ``arith`` (TPGDON off), or
-    ``mmr`` (MMR=1 — the T.6 coder)."""
-    if mode not in ("tpgd", "arith", "mmr"):
-        raise ValueError("mode must be tpgd, arith, or mmr")
-    h, w = bits.shape
-    bits = (bits > 0).astype(np.uint8)
-    page_info = (
+def _page_info(w: int, h: int) -> bytes:
+    return (
         w.to_bytes(4, "big")
         + h.to_bytes(4, "big")
         + (0).to_bytes(4, "big")  # x resolution (unknown)
@@ -409,6 +897,23 @@ def encode_embedded(bits: np.ndarray, mode: str = "tpgd") -> bytes:
         # "might contain refinements" off, lossless on
         + b"\x00\x00"  # no striping
     )
+
+
+def encode_embedded(bits: np.ndarray, mode: str = "tpgd") -> bytes:
+    """Serialize a 0/1 bitmap as the embedded-stream segment sequence
+    a PDF /JBIG2Decode stream holds. ``mode``: ``tpgd`` (generic
+    region, arithmetic, TPGDON on), ``arith`` (TPGDON off), ``mmr``
+    (MMR=1 — the T.6 coder), or ``text`` (symbol dictionary + text
+    region — the organization optimizing producers emit; falls back to
+    ``arith`` for an all-white page with no components)."""
+    if mode == "text":
+        glob, data = encode_embedded_split(bits, split=False)
+        assert glob is None
+        return data
+    if mode not in ("tpgd", "arith", "mmr"):
+        raise ValueError("mode must be tpgd, arith, mmr, or text")
+    h, w = bits.shape
+    bits = (bits > 0).astype(np.uint8)
     region_info = (
         w.to_bytes(4, "big")
         + h.to_bytes(4, "big")
@@ -431,7 +936,8 @@ def encode_embedded(bits: np.ndarray, mode: str = "tpgd") -> bytes:
         payload = generic_region_encode(bits, tpgdon=tpgdon)
     region_data = region_info + flags + at + payload
     out = bytearray()
-    out += _seg_header(0, _SEG_PAGE_INFO, 1, len(page_info)) + page_info
+    pi = _page_info(w, h)
+    out += _seg_header(0, _SEG_PAGE_INFO, 1, len(pi)) + pi
     out += (
         _seg_header(1, _SEG_GENERIC_IMMEDIATE_LOSSLESS, 1, len(region_data))
         + region_data
@@ -440,9 +946,40 @@ def encode_embedded(bits: np.ndarray, mode: str = "tpgd") -> bytes:
     return bytes(out)
 
 
+def encode_embedded_split(bits: np.ndarray, split: bool = True):
+    """Symbol-coded embedded stream as ``(globals, page_data)``.
+
+    ``split=True`` puts the symbol dictionary in a separate stream —
+    the PDF ``/JBIG2Globals`` organization Acrobat emits so one
+    dictionary serves many pages; ``split=False`` inlines it and
+    returns ``(None, page_data)``. A page with no ink components falls
+    back to a plain arithmetic generic region (what real symbol
+    encoders do for blank pages)."""
+    h, w = bits.shape
+    bits = (bits > 0).astype(np.uint8)
+    symbols, placements = _symbolize(bits)
+    if not symbols:
+        data = encode_embedded(bits, mode="arith")
+        return (b"" if split else None, data)
+    sd = encode_symbol_dict(symbols)
+    tr = encode_text_region(placements, symbols, w, h)
+    dict_seg = _seg_header(1, _SEG_SYMBOL_DICT, 1, len(sd)) + sd
+    page = bytearray()
+    pi = _page_info(w, h)
+    page += _seg_header(0, _SEG_PAGE_INFO, 1, len(pi)) + pi
+    if not split:
+        page += dict_seg
+    page += (
+        _seg_header(2, _SEG_TEXT_IMMEDIATE_LOSSLESS, 1, len(tr), referred=(1,))
+        + tr
+    )
+    page += _seg_header(3, _SEG_END_OF_PAGE, 1, 0)
+    return (bytes(dict_seg) if split else None, bytes(page))
+
+
 def _parse_segment_headers(data: bytes):
-    """Yield (seg_type, payload) for each segment in an embedded
-    stream. Malformed headers raise ValueError."""
+    """Yield (seg_num, seg_type, referred, payload) for each segment
+    in an embedded stream. Malformed headers raise ValueError."""
     pos, n = 0, len(data)
     while pos < n:
         if pos + 11 > n:
@@ -460,6 +997,12 @@ def _parse_segment_headers(data: bytes):
             p += 1
         seg_num = int.from_bytes(data[pos : pos + 4], "big")
         ref_size = 1 if seg_num <= 256 else (2 if seg_num <= 65536 else 4)
+        if p + count * ref_size > n:
+            raise ValueError("truncated JBIG2 segment header")
+        referred = [
+            int.from_bytes(data[p + i * ref_size : p + (i + 1) * ref_size], "big")
+            for i in range(count)
+        ]
         p += count * ref_size
         p += 4 if page_assoc_4 else 1
         if p + 4 > n:
@@ -470,7 +1013,7 @@ def _parse_segment_headers(data: bytes):
             raise ValueError("JBIG2 unknown-length segment unsupported")
         if p + length > n:
             raise ValueError("JBIG2 segment data past end of stream")
-        yield seg_type, data[p : p + length]
+        yield seg_num, seg_type, referred, data[p : p + length]
         pos = p + length
 
 
@@ -522,8 +1065,12 @@ def decode_embedded(data: bytes, globals_data: bytes | None = None) -> np.ndarra
     regions, which is all real generic-region files use)."""
     page: np.ndarray | None = None
     page_default = 0
+    # seg_num -> exported symbol list, filled by symbol-dictionary
+    # segments (globals first, so a /JBIG2Globals dictionary is
+    # visible to the page's text regions)
+    sym_store: dict[int, list[np.ndarray]] = {}
     for blob in ([globals_data] if globals_data else []) + [data]:
-        for seg_type, payload in _parse_segment_headers(blob):
+        for seg_num, seg_type, referred, payload in _parse_segment_headers(blob):
             if seg_type == _SEG_PAGE_INFO:
                 if len(payload) < 19:
                     raise ValueError("truncated JBIG2 page information")
@@ -533,12 +1080,29 @@ def decode_embedded(data: bytes, globals_data: bytes | None = None) -> np.ndarra
                     raise ValueError("JBIG2 striped/unknown-height page unsupported")
                 page_default = (payload[16] >> 2) & 1
                 page = np.full((ph, pw), page_default, dtype=np.uint8)
+            elif seg_type == _SEG_SYMBOL_DICT:
+                sym_store[seg_num] = decode_symbol_dict(payload)
             elif seg_type in (
                 _SEG_GENERIC_IMMEDIATE,
                 _SEG_GENERIC_IMMEDIATE_LOSSLESS,
                 _SEG_GENERIC_INTERMEDIATE,
+                _SEG_TEXT_IMMEDIATE,
+                _SEG_TEXT_IMMEDIATE_LOSSLESS,
             ):
-                x, y, bitmap = _decode_region_segment(payload)
+                if seg_type in (_SEG_TEXT_IMMEDIATE, _SEG_TEXT_IMMEDIATE_LOSSLESS):
+                    # symbols from the referred dictionaries, in
+                    # referred order (§6.4.3: ids index their
+                    # concatenated exports)
+                    symbols: list[np.ndarray] = []
+                    for r in referred:
+                        if r not in sym_store:
+                            raise ValueError(
+                                "JBIG2 text region refers to missing segment %d" % r
+                            )
+                        symbols.extend(sym_store[r])
+                    x, y, bitmap = decode_text_region(payload, symbols)
+                else:
+                    x, y, bitmap = _decode_region_segment(payload)
                 h, w = bitmap.shape
                 if page is None:
                     # headerless shape some producers emit: the page
@@ -556,8 +1120,7 @@ def decode_embedded(data: bytes, globals_data: bytes | None = None) -> np.ndarra
                 continue
             elif seg_type in _UNSUPPORTED_SEGMENTS:
                 raise ValueError(
-                    "JBIG2 %s segments unsupported (generic regions only)"
-                    % _UNSUPPORTED_SEGMENTS[seg_type]
+                    "JBIG2 %s segments unsupported" % _UNSUPPORTED_SEGMENTS[seg_type]
                 )
             else:
                 raise ValueError("unknown JBIG2 segment type %d" % seg_type)

@@ -216,6 +216,10 @@ def encode_pdf(
         raise ValueError("sample_bpc must be 1, 2, 4, 8 or 16")
     objects: dict[int, bytes] = {}
     kids = []
+    # objects that must stay out of the 1.5 ObjStm (appended stream
+    # objects like /JBIG2Globals whose numbers fall outside the
+    # 3-per-page layout, plus the /Encrypt dict added below)
+    extra_toplevel: set[int] = set()
     for i, img in enumerate(pages):
         if img.dtype != np.uint8 or img.ndim not in (2, 3):
             raise ValueError("pages must be 2-D (gray) or 3-D (RGB) uint8 arrays")
@@ -257,9 +261,22 @@ def encode_pdf(
             if img.ndim != 2:
                 raise ValueError("JBIG2 pages must be grayscale (2-D)")
             bits = (img < 128).astype(np.uint8)  # 1 = black (T.88)
-            raw = jbig2codec.encode_embedded(bits, mode=jbig2_mode)
             fnames.append("/JBIG2Decode")
-            fparms.append(None)
+            if jbig2_mode == "textg":
+                # symbol dictionary in a separate /JBIG2Globals
+                # stream — the shared-dictionary organization Acrobat
+                # emits; the globals object lives past the 3-per-page
+                # layout and must stay out of any ObjStm
+                glob, raw = jbig2codec.encode_embedded_split(bits)
+                glob_num = 3 * len(pages) + 3 + i
+                objects[glob_num] = (
+                    b"<< /Length %d >>\nstream\n" % len(glob)
+                ) + glob + b"\nendstream"
+                extra_toplevel.add(glob_num)
+                fparms.append(f"<< /JBIG2Globals {glob_num} 0 R >>")
+            else:
+                raw = jbig2codec.encode_embedded(bits, mode=jbig2_mode)
+                fparms.append(None)
             bpc = 1
         elif dct:
             from pdf_ocr_spark.sources.jpegcodec import encode_jpeg
@@ -351,7 +368,6 @@ def encode_pdf(
 
     trailer_extra = b""
     enc = None
-    extra_toplevel: set[int] = set()
     if encrypt:
         # standard security handler — RC4-128 R3 (cipher='rc4'),
         # AES-128-CBC V4/R4 /AESV2 (cipher='aes'), or AES-256 V5/R6

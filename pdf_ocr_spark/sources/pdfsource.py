@@ -70,8 +70,10 @@ RLE_RESIDUES = 11
 CMYK_RESIDUES = 7
 #: doc id % JBIG2_RESIDUES == 7 -> /JBIG2Decode raster (the
 #: "optimized"/compressed bitonal shape Acrobat and scanner stacks
-#: emit), coding mode rotating by (id//17)%3 over arithmetic+TPGDON,
-#: plain arithmetic, and MMR=1 (non-DCT only; CCITT wins on overlap).
+#: emit), coding mode rotating by (id//17)%5 over arithmetic+TPGDON,
+#: plain arithmetic, MMR=1, symbol-coded (dictionary + text region),
+#: and symbol-coded with the dictionary in a shared /JBIG2Globals
+#: stream (non-DCT only; CCITT wins on overlap).
 JBIG2_RESIDUES = 17
 #: doc id % DEPTH_RESIDUES == 8 -> non-8-bit /BitsPerComponent raster
 #: (raw/Flate path only; ccitt/jbig2/rle win on overlap), depth
@@ -141,9 +143,11 @@ def write_pdf_corpus(
     ``id % RLE_RESIDUES == 6`` rasters are /RunLengthDecode streams
     (the PostScript-converter byte-RLE shape; CCITT wins on ids
     hitting both residues). ``id % JBIG2_RESIDUES == 7`` rasters are
-    /JBIG2Decode generic-region streams (the compressed-bitonal shape
-    Acrobat's optimizer emits), coding mode rotating by ``(id//17)%3``
-    over arithmetic+TPGDON / plain arithmetic / MMR; CCITT wins on
+    /JBIG2Decode streams (the compressed-bitonal shape Acrobat's
+    optimizer emits), organization rotating by ``(id//17)%5`` over
+    generic-region arithmetic+TPGDON / plain arithmetic / MMR /
+    symbol-coded (dictionary + text region) / symbol-coded with the
+    dictionary in a shared /JBIG2Globals stream; CCITT wins on
     overlapping ids. In the DCT corpus ``id % CMYK_RESIDUES ==
     2`` pages are /DeviceCMYK XObjects over 4-component Adobe JPEGs
     (the print-workflow shape), APP14 transform rotating CMYK/YCCK by
@@ -221,8 +225,8 @@ def write_pdf_corpus(
                             jbig2=not dct
                             and d % JBIG2_RESIDUES == 7
                             and d % CCITT_RESIDUES != 4,
-                            jbig2_mode=("tpgd", "arith", "mmr")[
-                                (d // JBIG2_RESIDUES) % 3
+                            jbig2_mode=("tpgd", "arith", "mmr", "text", "textg")[
+                                (d // JBIG2_RESIDUES) % 5
                             ],
                             ascii85=d % ASCII85_RESIDUES == 5,
                             # depth rotation: 16-bit widened, 4-bit
