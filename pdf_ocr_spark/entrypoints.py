@@ -1820,7 +1820,9 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 _PDF_CACHE_ROOT = "/tmp/pdf_ocr_spark_cache"
 
 
-def _pdf_fixture_dir(spark: SparkSession, sf: str, dct: bool = False) -> str:
+def _pdf_fixture_dir(
+    spark: SparkSession, sf: str, dct: bool = False, jpx: bool = False
+) -> str:
     """Generate (once, executor-side) the PDF corpus for an sf dir.
     The re-entry marker is keyed by a CONTENT fingerprint (row count +
     order-independent checksum over (doc_id, text)), not just the doc
@@ -1835,11 +1837,20 @@ def _pdf_fixture_dir(spark: SparkSession, sf: str, dct: bool = False) -> str:
     from pdf_ocr_spark.sources.pdfsource import write_pdf_corpus
 
     tag = os.path.basename(os.path.normpath(sf)) or "sf"
-    variant = "dct" if dct else "objstm"
-    out = os.path.join(_PDF_CACHE_ROOT, f"pdfs_{tag}_{variant}" if dct else f"pdfs_{tag}")
+    variant = "jpx" if jpx else ("dct" if dct else "objstm")
+    out = os.path.join(
+        _PDF_CACHE_ROOT,
+        f"pdfs_{tag}_{variant}" if (dct or jpx) else f"pdfs_{tag}",
+    )
     docs = load_table(spark, sf, "documents").select(
         F.col("doc_id").cast("string").alias("doc_id"), "text"
     )
+    if jpx:
+        # EBCOT tier-1 is the priciest pure-python codec (~100-200 ms
+        # per page); the JPX corpus certifies the decode surface over
+        # every 4th document instead of all of them — the oracle SQL
+        # carries the same doc_id % 4 = 1 predicate
+        docs = docs.where(F.col("doc_id").cast("long") % 4 == 1)
     agg = docs.agg(
         F.count("*").alias("n"),
         F.sum(F.crc32(F.concat_ws("\x00", "doc_id", "text"))).alias("ck"),
@@ -1850,15 +1861,18 @@ def _pdf_fixture_dir(spark: SparkSession, sf: str, dct: bool = False) -> str:
     # RC4-encrypted, 1-in-3 DCT docs progressive).
     # r5sym: non-DCT corpus rotates 16/4/1-bit /BitsPerComponent +
     # /Decode [1 0] rasters, and JBIG2 docs rotate symbol-coded
-    # (text region) and /JBIG2Globals organizations
-    fingerprint = f"{agg['n']}:{agg['ck']}:{variant}:r5sym"
+    # (text region) and /JBIG2Globals organizations.
+    # r5inline (non-DCT only, so the pricey DCT/JPX caches survive):
+    # 1-in-23 docs store the raster as a §8.9.7 INLINE image.
+    gen_tag = "r5inline" if variant == "objstm" else "r5sym"
+    fingerprint = f"{agg['n']}:{agg['ck']}:{variant}:{gen_tag}"
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker):
         with open(marker) as f:
             if f.read().strip() == fingerprint:
                 return out
         shutil.rmtree(out, ignore_errors=True)
-    n_written = write_pdf_corpus(docs, out, dct=dct).count()
+    n_written = write_pdf_corpus(docs, out, dct=dct, jpx=jpx).count()
     assert n_written == agg["n"], (n_written, agg["n"])
     tmp = marker + ".tmp"
     with open(tmp, "w") as f:
@@ -2069,6 +2083,31 @@ def q_pdf_extract_text_dct(spark: SparkSession, sf: str) -> DataFrame:
 
 
 ORACLES["pdf_extract_text_dct"] = ORACLES["pdf_extract_text"]
+
+
+@_register("pdf_extract_text_jpx")
+def q_pdf_extract_text_jpx(spark: SparkSession, sf: str) -> DataFrame:
+    """The same end-to-end pipeline over a **JPEG 2000** corpus: every
+    raster is a JP2-wrapped /JPXDecode codestream, decoded by the
+    from-scratch T.800 codec (sources/jpxcodec.py — 5/3 reversible
+    DWT, EBCOT tier-1/tier-2) before OCR. The 5/3 path is lossless,
+    so the extracted text must match the pure-SQL reconstruction
+    byte-for-byte over the same ``doc_id % 4 = 1`` subset the corpus
+    covers (EBCOT in pure python earns a capped corpus, not a capped
+    contract — the codec itself is exhaustively round-trip tested in
+    tests/test_jpx.py)."""
+    from pdf_ocr_spark.sources.pdfsource import extract_pdf_documents
+
+    d = _pdf_fixture_dir(spark, sf, jpx=True)
+    return extract_pdf_documents(spark, d).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "txt"
+    )
+
+
+ORACLES["pdf_extract_text_jpx"] = (
+    ORACLES["pdf_extract_text"].rstrip()
+    + "\nWHERE (doc_id % 4) = 1\n"
+)
 
 
 # --- HTML boilerplate strip (web main-content extraction) ------------------

@@ -1,0 +1,1171 @@
+"""From-scratch JPEG 2000 (ITU-T T.800 / ISO 15444-1) subset codec.
+
+Why it exists: /JPXDecode is the remaining raster filter modern
+scanner and DMS output embeds in PDFs (ISO 32000-1 §7.4.9); the
+reference accepts such files implicitly through Poppler
+(/root/reference/app.py:447-482). This module implements the lossless
+path from scratch — the same architecture as the sibling JPEG and
+JBIG2 codecs: a real encoder so the fixture corpus can plant
+/JPXDecode pages, and a decoder whose extraction the DuckDB oracle
+certifies end to end. The MQ arithmetic coder is shared with
+:mod:`pdf_ocr_spark.sources.jbig2codec` — T.800 Annex C and T.88
+Annex E specify the identical coder.
+
+Scope (subset, typed errors outside it):
+
+* **Codestream syntax** (Annex A): SOC, SIZ, COD, QCD, COM, SOT/SOD
+  tile-parts, EOC; single tile, no precinct subdivision (PPx=15),
+  LRCP progression; the raw codestream either bare or wrapped in a
+  JP2 box container (ISO 15444-1 Annex I — the shape Acrobat embeds;
+  the ``jp2c`` box is located by box walking).
+* **Reversible 5/3 wavelet** (Annex F) with whole-sample symmetric
+  extension, any decomposition depth, odd sizes down to 1; the
+  reversible multiple component transform (RCT, G.2) for RGB.
+* **EBCOT tier-1** (Annex D): all three coding passes (significance
+  propagation, magnitude refinement, cleanup with run-length mode),
+  the published ZC/SC/MR context tables, default code-block style 0
+  (one MQ codeword per block, no bypass/reset/causal/segmentation).
+* **Tier-2** (Annex B): tag-tree coded inclusion and
+  missing-bit-plane signalling, coding-pass counts (Table B.4),
+  Lblock length coding, bit-stuffed packet headers, one packet per
+  (layer, resolution) — multi-layer streams decode (inclusion layers
+  accumulate); the writer emits a single layer.
+
+No third-party JPEG 2000 files ship in this container, so — like the
+CCITT/JBIG2 coders — conformance is pinned by exhaustive
+encoder/decoder round-trips (lossless: byte-exact) over structured
+and adversarial images plus the published standard constants.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pdf_ocr_spark.sources.jbig2codec import MQDecoder, MQEncoder
+
+# ---------------------------------------------------------------------------
+# Reversible 5/3 DWT (T.800 Annex F) + RCT (G.2)
+# ---------------------------------------------------------------------------
+
+
+def _dwt53_1d(a: np.ndarray, axis: int):
+    """One 5/3 analysis step along ``axis`` -> (low, high)."""
+    n = a.shape[axis]
+    if n == 1:
+        return a.copy(), np.take(a, [], axis=axis)
+    x = np.moveaxis(a.astype(np.int64), axis, 0)
+    ne, no = (n + 1) // 2, n // 2
+    even = x[0::2]
+    odd = x[1::2]
+    # predict: high[i] = odd[i] - floor((even[i] + even[i+1]) / 2)
+    right = x[2::2]
+    if right.shape[0] < no:
+        right = np.concatenate([right, x[n - 2 : n - 1]], axis=0)
+    high = odd - ((even[:no] + right) >> 1)
+    # update: low[i] = even[i] + floor((high[i-1] + high[i] + 2) / 4)
+    hl = np.concatenate([high[0:1], high], axis=0)[:ne]
+    hr = high if ne == no else np.concatenate([high, high[-1:]], axis=0)
+    low = even + ((hl + hr + 2) >> 2)
+    return (
+        np.moveaxis(low, 0, axis),
+        np.moveaxis(high, 0, axis),
+    )
+
+
+def _idwt53_1d(low: np.ndarray, high: np.ndarray, axis: int, n: int) -> np.ndarray:
+    """One 5/3 synthesis step along ``axis`` -> signal of length n."""
+    if n == 1:
+        return low.copy()
+    lo = np.moveaxis(low.astype(np.int64), axis, 0)
+    hi = np.moveaxis(high.astype(np.int64), axis, 0)
+    ne, no = (n + 1) // 2, n // 2
+    hl = np.concatenate([hi[0:1], hi], axis=0)[:ne]
+    hr = hi if ne == no else np.concatenate([hi, hi[-1:]], axis=0)
+    even = lo - ((hl + hr + 2) >> 2)
+    right = even[1:]
+    if right.shape[0] < no:
+        right = np.concatenate([right, even[-1:]], axis=0)
+    odd = hi + ((even[:no] + right) >> 1)
+    out = np.empty((n,) + lo.shape[1:], dtype=np.int64)
+    out[0::2] = even
+    out[1::2] = odd
+    return np.moveaxis(out, 0, axis)
+
+
+def dwt53_forward(a: np.ndarray, levels: int):
+    """Multi-level 2D analysis (vertical then horizontal per level,
+    F.4.2). Returns (LL, [(HL, LH, HH) per level, finest first])."""
+    ll = a.astype(np.int64)
+    bands = []
+    for _ in range(levels):
+        lo, hi = _dwt53_1d(ll, axis=0)
+        llx, hlx = _dwt53_1d(lo, axis=1)
+        lhx, hhx = _dwt53_1d(hi, axis=1)
+        bands.append((hlx, lhx, hhx))
+        ll = llx
+    return ll, bands
+
+
+def dwt53_inverse(ll: np.ndarray, bands) -> np.ndarray:
+    """Inverse of :func:`dwt53_forward`."""
+    out = ll.astype(np.int64)
+    for hl, lh, hh in reversed(bands):
+        h = out.shape[0] + lh.shape[0]
+        w = out.shape[1] + hl.shape[1]
+        lo = _idwt53_1d(out, hl, axis=1, n=w)
+        hi = _idwt53_1d(lh, hh, axis=1, n=w)
+        out = _idwt53_1d(lo, hi, axis=0, n=h)
+    return out
+
+
+def rct_forward(rgb: np.ndarray):
+    """Reversible color transform (G.2): RGB int -> (Y, Cb, Cr)."""
+    r = rgb[..., 0].astype(np.int64)
+    g = rgb[..., 1].astype(np.int64)
+    b = rgb[..., 2].astype(np.int64)
+    y = (r + 2 * g + b) >> 2
+    cb = b - g
+    cr = r - g
+    return y, cb, cr
+
+
+def rct_inverse(y, cb, cr) -> np.ndarray:
+    g = y - ((cb + cr) >> 2)
+    r = cr + g
+    b = cb + g
+    return np.stack([r, g, b], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Packet-header bit I/O (B.10.1) and tag trees (B.10.2)
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    """MSB-first bit packing with the packet-header stuffing rule:
+    a byte of 0xFF is followed by a byte whose MSB is 0 (the writer
+    emits only 7 payload bits into that byte)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, bit: int) -> None:
+        width = 7 if self.out and self.out[-1] == 0xFF else 8
+        self.acc = (self.acc << 1) | (bit & 1)
+        self.nbits += 1
+        if self.nbits == width:
+            self.out.append(self.acc)
+            self.acc, self.nbits = 0, 0
+
+    def put_bits(self, value: int, n: int) -> None:
+        for b in range(n - 1, -1, -1):
+            self.put((value >> b) & 1)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            width = 7 if self.out and self.out[-1] == 0xFF else 8
+            self.out.append(self.acc << (width - self.nbits))
+            self.acc, self.nbits = 0, 0
+        if self.out and self.out[-1] == 0xFF:  # cannot end a header on FF
+            self.out.append(0x00)
+        return bytes(self.out)
+
+
+class _BitReader:
+    """Inverse of :class:`_BitWriter` (B.10.1 bit de-stuffing)."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.prev_ff = False
+
+    def get(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG 2000 packet header")
+            byte = self.data[self.pos]
+            self.pos += 1
+            if self.prev_ff:
+                if byte & 0x80:
+                    raise ValueError("malformed packet-header bit stuffing")
+                self.acc, self.nbits = byte, 7
+            else:
+                self.acc, self.nbits = byte, 8
+            self.prev_ff = byte == 0xFF
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def get_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.get()
+        return v
+
+    def align(self) -> int:
+        """Terminate the header (drop partial bits; if the last
+        consumed byte was 0xFF its stuffed follower is part of the
+        header) and return the byte position of the packet body."""
+        self.nbits = 0
+        if self.prev_ff:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG 2000 packet header")
+            if self.data[self.pos] & 0x80:
+                raise ValueError("malformed packet-header bit stuffing")
+            self.pos += 1
+            self.prev_ff = False
+        return self.pos
+
+
+class TagTree:
+    """B.10.2 tag tree over a ``rows x cols`` leaf grid. One instance
+    serves either direction: ``encode_value`` against a threshold
+    emits bits into a :class:`_BitWriter`; ``decode`` consumes them.
+    Internal nodes carry the minimum of their children."""
+
+    def __init__(self, rows: int, cols: int):
+        self.levels = [[ [0] * (rows * cols), rows, cols ]]
+        r, c = rows, cols
+        while r > 1 or c > 1:
+            r, c = (r + 1) // 2, (c + 1) // 2
+            self.levels.append([[0] * (r * c), r, c])
+        n = sum(len(lv[0]) for lv in self.levels)
+        self.value = [0] * n
+        self.low = [0] * n
+        self.known = [False] * n
+
+    def _chain(self, row: int, col: int):
+        """Node indices root..leaf for a leaf coordinate."""
+        idx = []
+        off = 0
+        r, c = row, col
+        for vals, rows, cols in self.levels:
+            idx.append(off + r * cols + c)
+            off += len(vals)
+            r, c = r // 2, c // 2
+        return list(reversed(idx))
+
+    def set_values(self, leaf_values) -> None:
+        """Load leaf values (row-major) and fold mins upward —
+        encoder side."""
+        vals, rows, cols = self.levels[0]
+        assert len(leaf_values) == rows * cols
+        self.levels[0][0] = list(leaf_values)
+        for li in range(1, len(self.levels)):
+            below, brows, bcols = self.levels[li - 1]
+            vals, rows, cols = self.levels[li]
+            for r in range(rows):
+                for c in range(cols):
+                    children = [
+                        below[br * bcols + bc]
+                        for br in (2 * r, 2 * r + 1)
+                        for bc in (2 * c, 2 * c + 1)
+                        if br < brows and bc < bcols
+                    ]
+                    vals[r * cols + c] = min(children)
+        # flatten into the shared arrays (root-first offsets as used
+        # by _chain) and reset coding state
+        flat = []
+        for vals, _, _ in self.levels:
+            flat.extend(vals)
+        self.value = flat
+        self.low = [0] * len(flat)
+        self.known = [False] * len(flat)
+
+    def encode(self, w: _BitWriter, row: int, col: int, threshold: int) -> None:
+        low = 0
+        for node in self._chain(row, col):
+            if self.low[node] < low:
+                self.low[node] = low
+            while self.low[node] < threshold:
+                if self.low[node] >= self.value[node]:
+                    if not self.known[node]:
+                        w.put(1)
+                        self.known[node] = True
+                    break
+                w.put(0)
+                self.low[node] += 1
+            low = self.low[node]
+
+    def decode(self, r_: _BitReader, row: int, col: int, threshold: int) -> bool:
+        """Consume bits until the leaf's relation to ``threshold`` is
+        known; returns True iff leaf value < threshold (in which case
+        ``get(row, col)`` returns the exact value)."""
+        low = 0
+        for node in self._chain(row, col):
+            if self.low[node] < low:
+                self.low[node] = low
+            while not self.known[node] and self.low[node] < threshold:
+                if r_.get():
+                    self.known[node] = True
+                else:
+                    self.low[node] += 1
+            low = self.low[node]
+        leaf = self._chain(row, col)[-1]
+        return self.known[leaf] and self.low[leaf] < threshold
+
+    def get(self, row: int, col: int) -> int:
+        return self.low[self._chain(row, col)[-1]]
+
+
+# ---------------------------------------------------------------------------
+# EBCOT tier-1 (T.800 Annex D) — context modelling + MQ coding of
+# code blocks. Contexts: 0-8 zero coding, 9-13 sign coding, 14-16
+# magnitude refinement, 17 run-length, 18 uniform.
+# ---------------------------------------------------------------------------
+
+_CTX_RLC = 17
+_CTX_UNI = 18
+
+
+def _t1_initial_states() -> list:
+    """Initial (index, MPS) per context (D.7): all (0,0) except ZC
+    context 0 at index 4, RLC at 3, UNIFORM at 46."""
+    st = [0] * 19
+    st[0] = 4 << 1
+    st[_CTX_RLC] = 3 << 1
+    st[_CTX_UNI] = 46 << 1
+    return st
+
+
+def _zc_ctx(band: str, hsum: int, vsum: int, dsum: int) -> int:
+    """Zero-coding context (Table D.1) for significance coding."""
+    if band == "HL":  # horizontal high-pass: swap roles of h and v
+        hsum, vsum = vsum, hsum
+    if band != "HH":
+        if hsum == 2:
+            return 8
+        if hsum == 1:
+            return 7 if vsum >= 1 else (6 if dsum >= 1 else 5)
+        if vsum == 2:
+            return 4
+        if vsum == 1:
+            return 3
+        return 2 if dsum >= 2 else (1 if dsum == 1 else 0)
+    if dsum >= 3:
+        return 8
+    if dsum == 2:
+        return 7 if hsum + vsum >= 1 else 6
+    if dsum == 1:
+        hv = hsum + vsum
+        return 5 if hv >= 2 else (4 if hv == 1 else 3)
+    hv = hsum + vsum
+    return 2 if hv >= 2 else (1 if hv == 1 else 0)
+
+
+#: Sign-coding context + XOR bit (Table D.3) keyed by clamped
+#: (H, V) neighbor sign contributions in -1..1.
+_SC_TABLE = {
+    (1, 1): (13, 0), (1, 0): (12, 0), (1, -1): (11, 0),
+    (0, 1): (10, 0), (0, 0): (9, 0), (0, -1): (10, 1),
+    (-1, 1): (11, 1), (-1, 0): (12, 1), (-1, -1): (13, 1),
+}
+
+
+class _T1Block:
+    """Shared state + neighbourhood helpers for one code block —
+    subclassed by nothing; the encoder and decoder drive it with
+    mirror-image pass loops. Coordinates are (y, x) in a h x w block;
+    neighbours outside the block are insignificant (default code-block
+    style: no vertical-causal, no inter-block context)."""
+
+    def __init__(self, w: int, h: int, band: str):
+        self.w, self.h, self.band = w, h, band
+        n = w * h
+        self.sig = bytearray(n)
+        self.visited = bytearray(n)
+        self.refined = bytearray(n)
+        self.sgn = bytearray(n)  # 1 = negative, valid once significant
+
+    def _nbr_counts(self, y: int, x: int):
+        w, h, sig = self.w, self.h, self.sig
+        hsum = vsum = dsum = 0
+        x0, x1 = x > 0, x < w - 1
+        y0, y1 = y > 0, y < h - 1
+        i = y * w + x
+        if x0:
+            hsum += sig[i - 1]
+        if x1:
+            hsum += sig[i + 1]
+        if y0:
+            vsum += sig[i - w]
+        if y1:
+            vsum += sig[i + w]
+        if y0 and x0:
+            dsum += sig[i - w - 1]
+        if y0 and x1:
+            dsum += sig[i - w + 1]
+        if y1 and x0:
+            dsum += sig[i + w - 1]
+        if y1 and x1:
+            dsum += sig[i + w + 1]
+        return hsum, vsum, dsum
+
+    def _sc_ctx(self, y: int, x: int):
+        w, h = self.w, self.h
+        sig, sgn = self.sig, self.sgn
+        i = y * w + x
+
+        def contrib(j):
+            if not sig[j]:
+                return 0
+            return -1 if sgn[j] else 1
+
+        hc = (contrib(i - 1) if x > 0 else 0) + (contrib(i + 1) if x < w - 1 else 0)
+        vc = (contrib(i - w) if y > 0 else 0) + (contrib(i + w) if y < h - 1 else 0)
+        hc = max(-1, min(1, hc))
+        vc = max(-1, min(1, vc))
+        return _SC_TABLE[(hc, vc)]
+
+
+def t1_encode_block(coeffs: np.ndarray, band: str):
+    """EBCOT-encode one code block of signed integer coefficients.
+    Returns ``(data, numpasses, nbps)``; an all-zero block returns
+    ``(b"", 0, 0)`` (signalled "not included" at tier-2)."""
+    h, w = coeffs.shape
+    mag = np.abs(coeffs).astype(np.int64)
+    maxmag = int(mag.max()) if mag.size else 0
+    if maxmag == 0:
+        return b"", 0, 0
+    nbps = maxmag.bit_length()
+    blk = _T1Block(w, h, band)
+    magf = [int(v) for v in mag.ravel()]
+    for i, v in enumerate(coeffs.ravel()):
+        blk.sgn[i] = 1 if v < 0 else 0
+    enc = MQEncoder()
+    cx = _t1_initial_states()
+    sig, visited, refined = blk.sig, blk.visited, blk.refined
+
+    def spp(p):
+        for y0 in range(0, h, 4):
+            for x in range(w):
+                for y in range(y0, min(y0 + 4, h)):
+                    i = y * w + x
+                    if sig[i]:
+                        continue
+                    hs, vs, ds = blk._nbr_counts(y, x)
+                    if hs + vs + ds == 0:
+                        continue
+                    bit = (magf[i] >> p) & 1
+                    enc.encode(cx, _zc_ctx(band, hs, vs, ds), bit)
+                    visited[i] = 1
+                    if bit:
+                        ctx, xor = blk._sc_ctx(y, x)
+                        enc.encode(cx, ctx, blk.sgn[i] ^ xor)
+                        sig[i] = 1
+
+    def mrp(p):
+        for y0 in range(0, h, 4):
+            for x in range(w):
+                for y in range(y0, min(y0 + 4, h)):
+                    i = y * w + x
+                    if not sig[i] or visited[i]:
+                        continue
+                    if refined[i]:
+                        ctx = 16
+                    else:
+                        hs, vs, ds = blk._nbr_counts(y, x)
+                        ctx = 15 if hs + vs + ds > 0 else 14
+                    enc.encode(cx, ctx, (magf[i] >> p) & 1)
+                    refined[i] = 1
+
+    def cup(p):
+        for y0 in range(0, h, 4):
+            sh = min(4, h - y0)
+            for x in range(w):
+                start = 0
+                if sh == 4:
+                    rlc = True
+                    for y in range(y0, y0 + 4):
+                        i = y * w + x
+                        if sig[i] or visited[i]:
+                            rlc = False
+                            break
+                        hs, vs, ds = blk._nbr_counts(y, x)
+                        if hs + vs + ds:
+                            rlc = False
+                            break
+                    if rlc:
+                        bits = [(magf[(y0 + k) * w + x] >> p) & 1 for k in range(4)]
+                        if 1 not in bits:
+                            enc.encode(cx, _CTX_RLC, 0)
+                            continue
+                        r = bits.index(1)
+                        enc.encode(cx, _CTX_RLC, 1)
+                        enc.encode(cx, _CTX_UNI, (r >> 1) & 1)
+                        enc.encode(cx, _CTX_UNI, r & 1)
+                        i = (y0 + r) * w + x
+                        ctx, xor = blk._sc_ctx(y0 + r, x)
+                        enc.encode(cx, ctx, blk.sgn[i] ^ xor)
+                        sig[i] = 1
+                        start = r + 1
+                for k in range(start, sh):
+                    y = y0 + k
+                    i = y * w + x
+                    if sig[i] or visited[i]:
+                        continue
+                    hs, vs, ds = blk._nbr_counts(y, x)
+                    bit = (magf[i] >> p) & 1
+                    enc.encode(cx, _zc_ctx(band, hs, vs, ds), bit)
+                    if bit:
+                        ctx, xor = blk._sc_ctx(y, x)
+                        enc.encode(cx, ctx, blk.sgn[i] ^ xor)
+                        sig[i] = 1
+        for i in range(len(visited)):
+            visited[i] = 0
+
+    cup(nbps - 1)
+    for p in range(nbps - 2, -1, -1):
+        spp(p)
+        mrp(p)
+        cup(p)
+    return enc.flush(), 3 * nbps - 2, nbps
+
+
+def t1_decode_block(
+    data: bytes, w: int, h: int, band: str, numpasses: int, nbps: int
+) -> np.ndarray:
+    """Mirror of :func:`t1_encode_block`: decode ``numpasses`` coding
+    passes from ``data`` into an h x w signed coefficient array."""
+    if nbps <= 0 or numpasses <= 0:
+        return np.zeros((h, w), dtype=np.int64)
+    if nbps > 40:
+        raise ValueError("implausible JPEG 2000 bit-plane count %d" % nbps)
+    blk = _T1Block(w, h, band)
+    magf = [0] * (w * h)
+    dec = MQDecoder(data)
+    cx = _t1_initial_states()
+    sig, visited, refined = blk.sig, blk.visited, blk.refined
+
+    def spp(p):
+        for y0 in range(0, h, 4):
+            for x in range(w):
+                for y in range(y0, min(y0 + 4, h)):
+                    i = y * w + x
+                    if sig[i]:
+                        continue
+                    hs, vs, ds = blk._nbr_counts(y, x)
+                    if hs + vs + ds == 0:
+                        continue
+                    bit = dec.decode(cx, _zc_ctx(band, hs, vs, ds))
+                    visited[i] = 1
+                    if bit:
+                        ctx, xor = blk._sc_ctx(y, x)
+                        blk.sgn[i] = dec.decode(cx, ctx) ^ xor
+                        sig[i] = 1
+                        magf[i] |= 1 << p
+
+    def mrp(p):
+        for y0 in range(0, h, 4):
+            for x in range(w):
+                for y in range(y0, min(y0 + 4, h)):
+                    i = y * w + x
+                    if not sig[i] or visited[i]:
+                        continue
+                    if refined[i]:
+                        ctx = 16
+                    else:
+                        hs, vs, ds = blk._nbr_counts(y, x)
+                        ctx = 15 if hs + vs + ds > 0 else 14
+                    if dec.decode(cx, ctx):
+                        magf[i] |= 1 << p
+                    refined[i] = 1
+
+    def cup(p):
+        for y0 in range(0, h, 4):
+            sh = min(4, h - y0)
+            for x in range(w):
+                start = 0
+                if sh == 4:
+                    rlc = True
+                    for y in range(y0, y0 + 4):
+                        i = y * w + x
+                        if sig[i] or visited[i]:
+                            rlc = False
+                            break
+                        hs, vs, ds = blk._nbr_counts(y, x)
+                        if hs + vs + ds:
+                            rlc = False
+                            break
+                    if rlc:
+                        if not dec.decode(cx, _CTX_RLC):
+                            continue
+                        r = (dec.decode(cx, _CTX_UNI) << 1) | dec.decode(
+                            cx, _CTX_UNI
+                        )
+                        y = y0 + r
+                        i = y * w + x
+                        ctx, xor = blk._sc_ctx(y, x)
+                        blk.sgn[i] = dec.decode(cx, ctx) ^ xor
+                        sig[i] = 1
+                        magf[i] |= 1 << p
+                        start = r + 1
+                for k in range(start, sh):
+                    y = y0 + k
+                    i = y * w + x
+                    if sig[i] or visited[i]:
+                        continue
+                    hs, vs, ds = blk._nbr_counts(y, x)
+                    if dec.decode(cx, _zc_ctx(band, hs, vs, ds)):
+                        ctx, xor = blk._sc_ctx(y, x)
+                        blk.sgn[i] = dec.decode(cx, ctx) ^ xor
+                        sig[i] = 1
+                        magf[i] |= 1 << p
+        for i in range(len(visited)):
+            visited[i] = 0
+
+    passes = 0
+    p = nbps - 1
+    cup(p)
+    passes += 1
+    while passes < numpasses:
+        p -= 1
+        if p < 0:
+            raise ValueError("JPEG 2000 code block declares too many passes")
+        for kind in (spp, mrp, cup):
+            if passes >= numpasses:
+                break
+            kind(p)
+            passes += 1
+    out = np.array(magf, dtype=np.int64).reshape(h, w)
+    signs = np.frombuffer(bytes(blk.sgn), dtype=np.uint8).reshape(h, w)
+    return np.where(signs == 1, -out, out)
+
+
+# ---------------------------------------------------------------------------
+# Tier-2 (Annex B): packets, and the codestream (Annex A)
+# ---------------------------------------------------------------------------
+
+_GAIN = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}
+_GUARD_BITS = 2
+_CB_EXP = 6  # 64x64 code blocks (SPcod value 4 = exponent-2)
+
+
+def _subband_layout(w: int, h: int, levels: int):
+    """Resolution-ordered subband geometry: ``res[0] = [("LL", w, h)]``,
+    ``res[r] = [("HL", ...), ("LH", ...), ("HH", ...)]`` — the same
+    ceil/floor splits :func:`dwt53_forward` produces."""
+    dims = [(h, w)]
+    for _ in range(levels):
+        ph, pw = dims[-1]
+        dims.append(((ph + 1) // 2, (pw + 1) // 2))
+    res = [[("LL", dims[levels][1], dims[levels][0])]]
+    for r in range(1, levels + 1):
+        n = levels - r + 1
+        ph, pw = dims[n - 1]
+        res.append(
+            [
+                ("HL", pw // 2, (ph + 1) // 2),
+                ("LH", (pw + 1) // 2, ph // 2),
+                ("HH", pw // 2, ph // 2),
+            ]
+        )
+    return res
+
+
+def _blocks_of(bw: int, bh: int):
+    """Code-block grid (rows, cols) of a bw x bh subband at 64x64."""
+    cb = 1 << _CB_EXP
+    return (max(1, (bh + cb - 1) // cb), max(1, (bw + cb - 1) // cb))
+
+
+def _encode_numpasses(w_: _BitWriter, n: int) -> None:
+    """Coding-pass count codewords (Table B.4)."""
+    if n == 1:
+        w_.put(0)
+    elif n == 2:
+        w_.put(1)
+        w_.put(0)
+    elif 3 <= n <= 5:
+        w_.put_bits(0b11, 2)
+        w_.put_bits(n - 3, 2)
+    elif 6 <= n <= 36:
+        w_.put_bits(0b1111, 4)
+        w_.put_bits(n - 6, 5)
+    elif 37 <= n <= 164:
+        w_.put_bits(0b111111111, 9)
+        w_.put_bits(n - 37, 7)
+    else:
+        raise ValueError("cannot signal %d coding passes" % n)
+
+
+def _decode_numpasses(r_: _BitReader) -> int:
+    if not r_.get():
+        return 1
+    if not r_.get():
+        return 2
+    v = r_.get_bits(2)
+    if v < 3:
+        return 3 + v
+    v = r_.get_bits(5)
+    if v < 31:
+        return 6 + v
+    return 37 + r_.get_bits(7)
+
+
+def _encode_tile(comps, levels: int, eps) -> bytes:
+    """Tier-1 + tier-2 encode all components' subbands into the LRCP
+    packet sequence (single layer, no precincts). ``comps`` is a list
+    of (LL, bands) per component from :func:`dwt53_forward`; ``eps``
+    gives the per-subband quantization exponent (resolution order)."""
+    ncomp = len(comps)
+    h0, w0 = None, None
+    out = bytearray()
+    # materialize per-(comp, res) band coefficient arrays
+    per_res = []
+    for ll, bands in comps:
+        rs = [[("LL", ll)]]
+        for i in range(len(bands) - 1, -1, -1):
+            hl, lh, hh = bands[i]
+            rs.append([("HL", hl), ("LH", lh), ("HH", hh)])
+        per_res.append(rs)
+    cb = 1 << _CB_EXP
+    for r in range(levels + 1):
+        for c in range(ncomp):
+            w_ = _BitWriter()
+            body = bytearray()
+            blocks_meta = []
+            for bi, (bname, arr) in enumerate(per_res[c][r]):
+                bh, bw = arr.shape
+                rows, cols = _blocks_of(bw, bh)
+                blks = []
+                for br in range(rows):
+                    for bc in range(cols):
+                        sub = arr[
+                            br * cb : min((br + 1) * cb, bh),
+                            bc * cb : min((bc + 1) * cb, bw),
+                        ]
+                        if sub.size == 0:
+                            blks.append((b"", 0, 0))
+                        else:
+                            blks.append(t1_encode_block(sub, bname))
+                blocks_meta.append((bname, rows, cols, blks, bi))
+            included_any = any(
+                p > 0 for _, _, _, blks, _ in blocks_meta for _, p, _ in blks
+            )
+            if not included_any:
+                w_.put(0)
+                out += w_.flush()
+                continue
+            w_.put(1)
+            for bname, rows, cols, blks, bi in blocks_meta:
+                mb = _GUARD_BITS + eps[r][bi] - 1
+                incl = TagTree(rows, cols)
+                incl.set_values([0 if p > 0 else 1 for _, p, _ in blks])
+                zbp = TagTree(rows, cols)
+                zbp.set_values(
+                    [mb - nb if p > 0 else mb for _, p, nb in blks]
+                )
+                for idx, (data, npass, nbps) in enumerate(blks):
+                    br, bc = idx // cols, idx % cols
+                    incl.encode(w_, br, bc, 1)
+                    if npass == 0:
+                        continue
+                    if nbps > mb:
+                        raise AssertionError(
+                            "subband exponent too small: %d bitplanes > Mb %d"
+                            % (nbps, mb)
+                        )
+                    zbp.encode(w_, br, bc, mb - nbps + 1)
+                    _encode_numpasses(w_, npass)
+                    lblock = 3
+                    k = lblock + (npass.bit_length() - 1)
+                    need = max(1, len(data).bit_length())
+                    while k < need:
+                        w_.put(1)
+                        k += 1
+                    w_.put(0)
+                    w_.put_bits(len(data), k)
+                    body += data
+            out += w_.flush()
+            out += body
+    return bytes(out)
+
+
+def _decode_tile(
+    data: bytes, w: int, h: int, ncomp: int, levels: int, nlayers: int,
+    eps, sop: bool, eph: bool, guard: int = _GUARD_BITS,
+):
+    """Parse the LRCP packet sequence and tier-1 decode every code
+    block -> per-component subband arrays (resolution order)."""
+    layout = _subband_layout(w, h, levels)
+    cb = 1 << _CB_EXP
+    # per (comp, res, band): block grid + accumulators
+    acc = {}
+    for r, bands in enumerate(layout):
+        for c in range(ncomp):
+            for bi, (bname, bw, bh) in enumerate(bands):
+                rows, cols = _blocks_of(bw, bh)
+                acc[(c, r, bi)] = {
+                    "name": bname, "bw": bw, "bh": bh,
+                    "rows": rows, "cols": cols,
+                    "incl": TagTree(rows, cols),
+                    "zbp": TagTree(rows, cols),
+                    "state": [
+                        {"included": False, "lblock": 3, "passes": 0,
+                         "nbps": 0, "data": bytearray()}
+                        for _ in range(rows * cols)
+                    ],
+                }
+    pos = 0
+    for layer in range(nlayers):
+        for r in range(levels + 1):
+            for c in range(ncomp):
+                if sop:
+                    if data[pos : pos + 2] == b"\xff\x91":
+                        pos += 6  # SOP marker + Lsop(4 body bytes)
+                rd = _BitReader(data, pos)
+                if not rd.get():
+                    pos = rd.align()
+                    if eph:
+                        if data[pos : pos + 2] != b"\xff\x92":
+                            raise ValueError("missing EPH marker")
+                        pos += 2
+                    continue
+                sizes = []
+                for bi in range(len(layout[r])):
+                    st = acc[(c, r, bi)]
+                    mb = guard + eps[r][bi] - 1
+                    for idx in range(st["rows"] * st["cols"]):
+                        br, bc = idx // st["cols"], idx % st["cols"]
+                        blk = st["state"][idx]
+                        if not blk["included"]:
+                            inc = st["incl"].decode(rd, br, bc, layer + 1)
+                        else:
+                            inc = rd.get() == 1
+                        if not inc:
+                            continue
+                        if not blk["included"]:
+                            t = 1
+                            while not st["zbp"].decode(rd, br, bc, t):
+                                t += 1
+                            zb = st["zbp"].get(br, bc)
+                            blk["nbps"] = mb - zb
+                            if blk["nbps"] <= 0:
+                                raise ValueError(
+                                    "JPEG 2000 block with no bit planes"
+                                )
+                            blk["included"] = True
+                        npass = _decode_numpasses(rd)
+                        while rd.get():
+                            blk["lblock"] += 1
+                        nlen = blk["lblock"] + (npass.bit_length() - 1)
+                        seglen = rd.get_bits(nlen)
+                        blk["passes"] += npass
+                        sizes.append((blk, seglen))
+                pos = rd.align()
+                if eph:
+                    if data[pos : pos + 2] != b"\xff\x92":
+                        raise ValueError("missing EPH marker")
+                    pos += 2
+                for blk, seglen in sizes:
+                    if pos + seglen > len(data):
+                        raise ValueError("JPEG 2000 packet body past tile end")
+                    blk["data"] += data[pos : pos + seglen]
+                    pos += seglen
+    # tier-1 decode everything
+    comps = []
+    for c in range(ncomp):
+        res_arrays = []
+        for r, bands in enumerate(layout):
+            arrs = []
+            for bi, (bname, bw, bh) in enumerate(bands):
+                arr = np.zeros((bh, bw), dtype=np.int64)
+                st = acc[(c, r, bi)]
+                for idx in range(st["rows"] * st["cols"]):
+                    blk = st["state"][idx]
+                    if not blk["included"] or blk["passes"] == 0:
+                        continue
+                    br, bc = idx // st["cols"], idx % st["cols"]
+                    y0, x0 = br * cb, bc * cb
+                    bw_i = min(cb, bw - x0)
+                    bh_i = min(cb, bh - y0)
+                    arr[y0 : y0 + bh_i, x0 : x0 + bw_i] = t1_decode_block(
+                        bytes(blk["data"]), bw_i, bh_i, bname,
+                        blk["passes"], blk["nbps"],
+                    )
+                arrs.append(arr)
+            res_arrays.append(arrs)
+        comps.append(res_arrays)
+    return comps
+
+
+# ---------------------------------------------------------------------------
+# Codestream (Annex A) and the JP2 container (Annex I)
+# ---------------------------------------------------------------------------
+
+_SOC = b"\xff\x4f"
+_SIZ = b"\xff\x51"
+_COD = b"\xff\x52"
+_QCD = b"\xff\x5c"
+_SOT = b"\xff\x90"
+_SOD = b"\xff\x93"
+_EOC = b"\xff\xd9"
+
+_JP2_SIGNATURE = b"\x00\x00\x00\x0cjP  \r\n\x87\n"
+
+
+def encode_jpx(img: np.ndarray, levels: int = 3, jp2: bool = True) -> bytes:
+    """Encode an H x W (gray) or H x W x 3 (RGB, via RCT) uint8 image
+    losslessly (5/3 reversible). ``jp2=True`` wraps the codestream in
+    the minimal JP2 box set (signature/ftyp/jp2h/jp2c) — the container
+    Acrobat embeds under /JPXDecode; ``jp2=False`` returns the bare
+    codestream."""
+    if img.dtype != np.uint8 or img.ndim not in (2, 3):
+        raise ValueError("encode_jpx needs a 2-D or 3-D uint8 image")
+    h, w = img.shape[:2]
+    levels = max(0, min(levels, 32))
+    if img.ndim == 3:
+        if img.shape[2] != 3:
+            raise ValueError("3-D images must have exactly 3 channels")
+        y, cbv, crv = rct_forward(img.astype(np.int64) - 128)
+        planes = [y, cbv, crv]
+        mct = 1
+        ri = 9  # RCT chroma expands the nominal range by one bit
+    else:
+        planes = [img.astype(np.int64) - 128]
+        mct = 0
+        ri = 8
+    comps = [dwt53_forward(p, levels) for p in planes]
+    layout = _subband_layout(w, h, levels)
+    eps = [[ri + _GAIN[b[0]] for b in bands] for bands in layout]
+    tile = _encode_tile(comps, levels, eps)
+
+    out = bytearray(_SOC)
+    ncomp = len(planes)
+    siz = bytearray()
+    siz += (0).to_bytes(2, "big")  # Rsiz
+    siz += w.to_bytes(4, "big") + h.to_bytes(4, "big")
+    siz += (0).to_bytes(4, "big") * 2  # XOsiz YOsiz
+    siz += w.to_bytes(4, "big") + h.to_bytes(4, "big")  # tile = image
+    siz += (0).to_bytes(4, "big") * 2  # XTOsiz YTOsiz
+    siz += ncomp.to_bytes(2, "big")
+    for _ in range(ncomp):
+        siz += bytes([7, 1, 1])  # 8-bit unsigned, no subsampling
+    out += _SIZ + (len(siz) + 2).to_bytes(2, "big") + siz
+
+    cod = bytes(
+        [
+            0,  # Scod: no precincts, no SOP, no EPH
+            0,  # progression: LRCP
+            0, 1,  # one layer
+            mct,
+            levels,
+            _CB_EXP - 2, _CB_EXP - 2,  # code-block 64x64
+            0,  # code-block style: default
+            1,  # transform: 5/3 reversible
+        ]
+    )
+    out += _COD + (len(cod) + 2).to_bytes(2, "big") + cod
+
+    spqcd = bytes((e << 3) for bands_eps in eps for e in bands_eps)
+    qcd = bytes([_GUARD_BITS << 5]) + spqcd  # style 0: no quantization
+    out += _QCD + (len(qcd) + 2).to_bytes(2, "big") + qcd
+
+    psot = 12 + 2 + len(tile)
+    out += _SOT + (10).to_bytes(2, "big")
+    out += (0).to_bytes(2, "big")  # Isot
+    out += psot.to_bytes(4, "big")
+    out += bytes([0, 1])  # TPsot, TNsot
+    out += _SOD + tile + _EOC
+    code = bytes(out)
+    if not jp2:
+        return code
+    ftyp = b"ftypjp2 \x00\x00\x00\x00jp2 "
+    ihdr = (
+        b"ihdr"
+        + h.to_bytes(4, "big")
+        + w.to_bytes(4, "big")
+        + ncomp.to_bytes(2, "big")
+        + bytes([7, 7, 0, 0])  # bpc-1, compression 7, unk colorspace, no IP
+    )
+    colr = b"colr" + bytes([1, 0, 0]) + (17 if ncomp == 1 else 16).to_bytes(4, "big")
+    jp2h = b"jp2h" + _box(ihdr) + _box(colr)
+    return (
+        _JP2_SIGNATURE + _box(ftyp) + _box(jp2h) + _box(b"jp2c" + code)
+    )
+
+
+def _box(body: bytes) -> bytes:
+    return (len(body) + 4).to_bytes(4, "big") + body
+
+
+def _find_codestream(data: bytes) -> bytes:
+    """Accept a bare codestream or walk JP2 boxes to the ``jp2c``
+    payload."""
+    if data[:2] == _SOC:
+        return data
+    if not data.startswith(_JP2_SIGNATURE):
+        raise ValueError("not a JPEG 2000 stream (no SOC marker or JP2 signature)")
+    pos = len(_JP2_SIGNATURE)
+    n = len(data)
+    while pos + 8 <= n:
+        lbox = int.from_bytes(data[pos : pos + 4], "big")
+        tbox = data[pos + 4 : pos + 8]
+        if lbox == 1:  # XLBox 64-bit length
+            if pos + 16 > n:
+                raise ValueError("truncated JP2 box")
+            size = int.from_bytes(data[pos + 8 : pos + 16], "big")
+            body = data[pos + 16 : pos + size]
+            pos += size
+        elif lbox == 0:  # to end of file
+            body = data[pos + 8 :]
+            pos = n
+        else:
+            body = data[pos + 8 : pos + lbox]
+            pos += lbox
+        if tbox == b"jp2c":
+            return body
+    raise ValueError("JP2 container has no jp2c codestream box")
+
+
+def decode_jpx(data: bytes) -> np.ndarray:
+    """Decode a lossless-subset JPEG 2000 stream (bare codestream or
+    JP2 container) into an H x W (gray) or H x W x 3 (RGB) uint8
+    image. Outside-subset features raise ``ValueError`` naming them."""
+    code = _find_codestream(data)
+    if code[:2] != _SOC:
+        raise ValueError("JPEG 2000 codestream missing SOC")
+    pos = 2
+    n = len(code)
+    w = h = ncomp = None
+    levels = nlayers = None
+    mct = 0
+    eps = None
+    sop = eph = False
+    transform = None
+    tiles = []
+    while pos + 4 <= n:
+        marker = code[pos : pos + 2]
+        if marker == _EOC:
+            break
+        if marker[0] != 0xFF:
+            raise ValueError("JPEG 2000 marker expected at %d" % pos)
+        lseg = int.from_bytes(code[pos + 2 : pos + 4], "big")
+        body = code[pos + 4 : pos + 2 + lseg]
+        if marker == _SIZ:
+            if lseg < 38:
+                raise ValueError("truncated SIZ")
+            w = int.from_bytes(body[2:6], "big")
+            h = int.from_bytes(body[6:10], "big")
+            xo = int.from_bytes(body[10:14], "big")
+            yo = int.from_bytes(body[14:18], "big")
+            xt = int.from_bytes(body[18:22], "big")
+            yt = int.from_bytes(body[22:26], "big")
+            ncomp = int.from_bytes(body[34:36], "big")
+            if xo or yo or xt < w or yt < h:
+                raise ValueError(
+                    "multi-tile / offset JPEG 2000 images unsupported"
+                )
+            for ci in range(ncomp):
+                ssiz, xr, yr = body[36 + 3 * ci : 39 + 3 * ci]
+                if ssiz & 0x80:
+                    raise ValueError("signed JPEG 2000 components unsupported")
+                if ssiz != 7:
+                    raise ValueError(
+                        "only 8-bit components supported (Ssiz %d)" % ssiz
+                    )
+                if xr != 1 or yr != 1:
+                    raise ValueError("subsampled components unsupported")
+            if ncomp not in (1, 3):
+                raise ValueError("1 or 3 components supported, got %d" % ncomp)
+            pos += 2 + lseg
+        elif marker == _COD:
+            scod = body[0]
+            sop = bool(scod & 2)
+            eph = bool(scod & 4)
+            prog = body[1]
+            if prog != 0:
+                raise ValueError(
+                    "only LRCP progression supported (order %d)" % prog
+                )
+            nlayers = int.from_bytes(body[2:4], "big")
+            mct = body[4]
+            levels = body[5]
+            cbw, cbh = body[6] + 2, body[7] + 2
+            if cbw != _CB_EXP or cbh != _CB_EXP:
+                raise ValueError(
+                    "only 64x64 code blocks supported (2^%d x 2^%d)" % (cbw, cbh)
+                )
+            cbstyle = body[8]
+            if cbstyle != 0:
+                raise ValueError(
+                    "code-block style 0x%02x unsupported (default only)" % cbstyle
+                )
+            transform = body[9]
+            if transform != 1:
+                raise ValueError(
+                    "only the reversible 5/3 transform supported"
+                )
+            if scod & 1:
+                raise ValueError("precinct subdivision unsupported")
+            pos += 2 + lseg
+        elif marker == _QCD:
+            style = body[0] & 0x1F
+            guard = body[0] >> 5
+            if style != 0:
+                raise ValueError(
+                    "only the no-quantization (reversible) style supported"
+                )
+            if guard != _GUARD_BITS:
+                # honour the stream's guard bits rather than ours
+                pass
+            raw_eps = [b >> 3 for b in body[1:]]
+            eps = ("qcd", guard, raw_eps)
+            pos += 2 + lseg
+        elif marker == _SOT:
+            psot = int.from_bytes(body[2:6], "big")
+            # tile body runs from after SOD to Psot's end (or EOC)
+            sod_at = pos + 2 + lseg
+            if code[sod_at : sod_at + 2] != _SOD:
+                raise ValueError("SOT not followed by SOD (tile-part headers unsupported)")
+            start = sod_at + 2
+            end = pos + psot if psot else n - 2
+            if end > n:
+                raise ValueError("Psot past end of codestream")
+            tiles.append(code[start:end])
+            pos = end
+        elif marker in (b"\xff\x64", b"\xff\x55", b"\xff\x58", b"\xff\x5d", b"\xff\x5e", b"\xff\x5f", b"\xff\x63"):
+            # COM, TLM, PLT/PLM, QCC-adjacent informational segments: skip
+            pos += 2 + lseg
+        else:
+            raise ValueError(
+                "unsupported JPEG 2000 marker ff%02x" % marker[1]
+            )
+    if w is None or levels is None or eps is None:
+        raise ValueError("JPEG 2000 codestream missing SIZ/COD/QCD")
+    if not tiles:
+        raise ValueError("JPEG 2000 codestream has no tile data")
+    _, guard, raw_eps = eps
+    layout = _subband_layout(w, h, levels)
+    need = sum(len(b) for b in layout)
+    if len(raw_eps) < need:
+        raise ValueError("QCD declares too few subband exponents")
+    eps_by_res = []
+    k = 0
+    for bands in layout:
+        eps_by_res.append(raw_eps[k : k + len(bands)])
+        k += len(bands)
+    body = b"".join(tiles)
+    comps = _decode_tile(
+        body, w, h, ncomp, levels, nlayers, eps_by_res, sop, eph, guard
+    )
+    planes = []
+    for c in range(ncomp):
+        ll = comps[c][0][0]
+        bands = []
+        for r in range(1, levels + 1):
+            hl, lh, hh = comps[c][r]
+            bands.append((hl, lh, hh))
+        bands.reverse()  # back to finest-first for the inverse DWT
+        planes.append(dwt53_inverse(ll, bands))
+    if ncomp == 3 and mct:
+        rgb = rct_inverse(planes[0], planes[1], planes[2]) + 128
+        return np.clip(rgb, 0, 255).astype(np.uint8)
+    if ncomp == 3:
+        rgb = np.stack(planes, axis=-1) + 128
+        return np.clip(rgb, 0, 255).astype(np.uint8)
+    return np.clip(planes[0] + 128, 0, 255).astype(np.uint8)

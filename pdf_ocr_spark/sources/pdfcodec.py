@@ -164,6 +164,8 @@ def encode_pdf(
     ccitt_k: int = -1,
     jbig2: bool = False,
     jbig2_mode: str = "tpgd",
+    jpx: bool = False,
+    inline: str | None = None,
     ascii85: bool = False,
     sample_bpc: int = 8,
     decode_invert: bool = False,
@@ -205,15 +207,35 @@ def encode_pdf(
     inverted and declares ``/Decode [1 0 ...]`` — the
     negative-samples mapping some fax exporters and PostScript
     converters emit (§8.9.5.2).
+
+    ``inline`` ('flate' | 'raw' | 'rle') stores each page's raster as
+    a §8.9.7 INLINE image — ``BI /W .. /H .. /CS /G|/RGB /BPC 8 [/F
+    /Fl|/RL] ID <data> EI`` inside the content stream, with NO image
+    XObject (the raster object number becomes a free xref entry) —
+    the fax-converter / print-driver shape. 'flate' and 'rle' filter
+    the inline data inside a plain content stream; 'raw' embeds
+    unfiltered samples and Flate-codes the whole content stream.
+    Mutually exclusive with every other raster mode; encryption
+    applies (to the content stream).
     """
     if not pages:
         raise ValueError("a PDF needs at least one page")
-    if (sample_bpc != 8 or decode_invert) and (dct or ccitt or jbig2 or rle):
+    if (sample_bpc != 8 or decode_invert) and (dct or ccitt or jbig2 or rle or jpx):
         raise ValueError(
             "sample_bpc/decode_invert apply to the raw/Flate/LZW raster path only"
         )
     if sample_bpc not in (1, 2, 4, 8, 16):
         raise ValueError("sample_bpc must be 1, 2, 4, 8 or 16")
+    if inline is not None:
+        if inline not in ("flate", "raw", "rle"):
+            raise ValueError("inline must be 'flate', 'raw', or 'rle'")
+        if (
+            dct or ccitt or jbig2 or jpx or rle or lzw
+            or predictor != 1 or ascii85 or sample_bpc != 8 or decode_invert
+        ):
+            raise ValueError(
+                "inline images carry their own filter; other raster modes do not apply"
+            )
     objects: dict[int, bytes] = {}
     kids = []
     # objects that must stay out of the 1.5 ObjStm (appended stream
@@ -229,6 +251,47 @@ def encode_pdf(
         h, w = img.shape[:2]
         page_num, content_num, image_num = 3 + 3 * i, 4 + 3 * i, 5 + 3 * i
         kids.append(f"{page_num} 0 R")
+        if inline is not None:
+            # §8.9.7 inline image: the raster lives INSIDE the content
+            # stream between BI..ID..EI with abbreviated keys — the
+            # fax-converter / print-driver shape. No image XObject is
+            # emitted, so object number 5+3i stays a free xref entry.
+            objects[page_num] = (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {w} {h}] "
+                f"/Contents {content_num} 0 R >>"
+            ).encode()
+            cs_abbrev = "/G" if img.ndim == 2 else "/RGB"
+            samples = np.ascontiguousarray(img).tobytes()
+            if inline == "flate":
+                payload = zlib.compress(samples, 6)
+                fentry = "/F /Fl "
+            elif inline == "rle":
+                from pdf_ocr_spark.sources import pdffilters
+
+                payload = pdffilters.runlength_encode(samples)
+                fentry = "/F /RL "
+            else:  # raw samples; the CONTENT stream is Flate-coded
+                payload = samples
+                fentry = ""
+            draw = (
+                (
+                    f"q {w} 0 0 {h} 0 0 cm BI /W {w} /H {h} /CS {cs_abbrev} "
+                    f"/BPC 8 {fentry}ID\n"
+                ).encode()
+                + payload
+                + b"\nEI Q"
+            )
+            if inline == "raw":
+                zdraw = zlib.compress(draw, 6)
+                objects[content_num] = (
+                    b"<< /Filter /FlateDecode /Length %d >>\nstream\n%s\nendstream"
+                    % (len(zdraw), zdraw)
+                )
+            else:
+                objects[content_num] = (
+                    b"<< /Length %d >>\nstream\n%s\nendstream" % (len(draw), draw)
+                )
+            continue
         objects[page_num] = (
             f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {w} {h}] "
             f"/Resources << /XObject << /Im0 {image_num} 0 R >> >> "
@@ -298,6 +361,15 @@ def encode_pdf(
             else:
                 raw = encode_jpeg(img, dct_quality, progressive=dct_progressive)
             fnames.append("/DCTDecode")
+            fparms.append(None)
+        elif jpx:
+            from pdf_ocr_spark.sources import jpxcodec
+
+            # JP2-wrapped lossless codestream — per ISO 32000-1
+            # §7.4.9 the JPX data is colour-self-describing; the dict's
+            # /ColorSpace and /BitsPerComponent remain advisory
+            raw = jpxcodec.encode_jpx(img)
+            fnames.append("/JPXDecode")
             fparms.append(None)
         elif rle:
             from pdf_ocr_spark.sources import pdffilters
@@ -482,7 +554,10 @@ def _emit_pdf14(objects: dict[int, bytes], trailer_extra: bytes = b"") -> bytes:
     out += b"xref\n0 %d\n" % n
     out += b"0000000000 65535 f \n"
     for num in range(1, n):
-        out += b"%010d 00000 n \n" % offsets.get(num, 0)
+        if num in offsets:
+            out += b"%010d 00000 n \n" % offsets[num]
+        else:  # gap (inline-image pages emit no raster object)
+            out += b"0000000000 65535 f \n"
     out += (
         b"trailer\n<< /Size %d /Root 1 0 R%s >>\nstartxref\n%d\n%%%%EOF\n"
         % (n, trailer_extra, xref_at)
@@ -573,8 +648,10 @@ def _emit_pdf15(
             t, f2, f3 = 2, objstm_num, index_in_stm[num]
         elif num == xref_num:
             t, f2, f3 = 1, xref_at, 0
-        else:
+        elif num in offsets:
             t, f2, f3 = 1, offsets[num], 0
+        else:  # gap (inline-image pages emit no raster object)
+            t, f2, f3 = 0, 0, 65535
         rows += bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
     xref_body = (
         b"<< /Type /XRef /Size %d /W [1 4 2] /Root 1 0 R%s /Length %d >>\n"
@@ -1029,11 +1106,144 @@ def decode_pdf(data: bytes, password: bytes = b"") -> list[np.ndarray]:
     for kid in kid_nums:
         page = _dict_of(body(kid))
         xobj_m = re.search(rb"/XObject\s*<<([^>]*)>>", page)
-        if xobj_m is None:
-            raise ValueError("page %d has no image XObject" % kid)
-        img_num = _ref(xobj_m.group(1), b"Im0")
-        images.append(_decode_image_xobject(body, img_num, decrypt))
+        if xobj_m is not None:
+            img_num = _ref(xobj_m.group(1), b"Im0")
+            images.append(_decode_image_xobject(body, img_num, decrypt))
+            continue
+        # no raster XObject: the fax-converter / print-driver shape
+        # stores the scan as an INLINE image (§8.9.7) in the content
+        # stream itself — fetch, decrypt, unfilter, and scan BI..ID..EI
+        cm = re.search(rb"/Contents\s+(\d+)\s+0\s+R", page)
+        if cm is None:
+            raise ValueError(
+                "page %d has no image XObject and no /Contents" % kid
+            )
+        cnum = int(cm.group(1))
+        cbody = body(cnum)
+        cd = _dict_of(cbody)
+        raw = _stream_of(cbody, _int(cd, b"Length"))
+        if decrypt is not None:
+            raw = decrypt(cnum, raw)
+        inline_imgs = _decode_inline_images(_decode_stream(cd, raw))
+        if len(inline_imgs) != 1:
+            raise ValueError(
+                "page %d has no image XObject and %d inline images "
+                "(scanned-page subset expects exactly 1)"
+                % (kid, len(inline_imgs))
+            )
+        images.append(inline_imgs[0])
     return images
+
+
+_BI_RE = re.compile(rb"(?<![A-Za-z0-9])BI(?=[\s/])")
+_ID_RE = re.compile(rb"(?<![A-Za-z0-9])ID(?=\s)")
+
+#: §8.9.7 Table 91 abbreviated-name equivalents (keys and filters)
+_INLINE_FILTER_NAMES = {
+    b"Fl": b"FlateDecode",
+    b"AHx": b"ASCIIHexDecode",
+    b"A85": b"ASCII85Decode",
+    b"LZW": b"LZWDecode",
+    b"RL": b"RunLengthDecode",
+    b"CCF": b"CCITTFaxDecode",
+    b"DCT": b"DCTDecode",
+}
+
+
+def _decode_inline_images(content: bytes) -> list[np.ndarray]:
+    """Find and decode every §8.9.7 inline image (``BI … ID <data> EI``)
+    in an unfiltered content stream, in stream order. Subset: 8-bit
+    /G(/DeviceGray) or /RGB(/DeviceRGB) samples, unfiltered or
+    /Fl(/FlateDecode) or /RL(/RunLengthDecode) data — the shapes
+    fax-converters and print drivers emit; abbreviated and full key /
+    filter names both accepted. The data length is never guessed from
+    an ``EI`` scan (raw sample bytes may contain ``EI``): raw length
+    is computed from /W /H /CS, Flate self-terminates (zlib EOF), and
+    RunLength has an explicit EOD byte — ``EI`` is then *verified* to
+    follow."""
+    out: list[np.ndarray] = []
+    pos = 0
+    while True:
+        bi = _BI_RE.search(content, pos)
+        if bi is None:
+            return out
+        idm = _ID_RE.search(content, bi.end(), bi.end() + 4096)
+        if idm is None:
+            raise ValueError("inline image: BI without matching ID")
+        params = content[bi.end() : idm.start()]
+        if re.search(rb"/(?:IM|ImageMask)\s+true\b", params):
+            raise ValueError("inline image masks are not in the subset")
+        if re.search(rb"/(?:D|Decode)\s*\[", params):
+            raise ValueError("inline image /Decode arrays are not in the subset")
+        wm = re.search(rb"/(?:W|Width)\s+(\d+)", params)
+        hm = re.search(rb"/(?:H|Height)\s+(\d+)", params)
+        if wm is None or hm is None:
+            raise ValueError("inline image missing /W or /H")
+        w, h = int(wm.group(1)), int(hm.group(1))
+        bm = re.search(rb"/(?:BPC|BitsPerComponent)\s+(\d+)", params)
+        if bm is not None and int(bm.group(1)) != 8:
+            raise ValueError(
+                "inline image /BPC %s is outside the 8-bit subset" % bm.group(1)
+            )
+        csm = re.search(rb"/(?:CS|ColorSpace)\s*/(\w+)", params)
+        cs = csm.group(1) if csm is not None else b"G"
+        if cs in (b"G", b"DeviceGray"):
+            channels = 1
+        elif cs in (b"RGB", b"DeviceRGB"):
+            channels = 3
+        else:
+            raise ValueError(
+                "inline image colorspace /%s is outside the subset"
+                % cs.decode("ascii", "replace")
+            )
+        fm = re.search(rb"/(?:F|Filter)\s*(?:/(\w+)|\[\s*/(\w+)\s*\])", params)
+        filt = None
+        if fm is not None:
+            filt = fm.group(1) or fm.group(2)
+            filt = _INLINE_FILTER_NAMES.get(filt, filt)
+        start = idm.end() + 1  # exactly one whitespace byte after ID
+        if filt is None:
+            end = start + h * w * channels
+            if end > len(content):
+                raise ValueError("inline image data truncated")
+            dec = content[start:end]
+        elif filt == b"FlateDecode":
+            z = zlib.decompressobj()
+            try:
+                dec = z.decompress(content[start:])
+            except zlib.error as e:
+                raise ValueError("inline image Flate data: %s" % e) from None
+            if not z.eof:
+                raise ValueError("inline image Flate data truncated")
+            end = len(content) - len(z.unused_data)
+        elif filt == b"RunLengthDecode":
+            from pdf_ocr_spark.sources import pdffilters
+
+            i = start
+            while i < len(content) and content[i] != 128:
+                i += (content[i] + 2) if content[i] < 128 else 2
+            if i >= len(content):
+                raise ValueError("inline image RunLength data missing EOD")
+            end = i + 1
+            dec = pdffilters.runlength_decode(content[start:end])
+        else:
+            raise ValueError(
+                "inline image filter /%s is outside the subset"
+                % filt.decode("ascii", "replace")
+            )
+        if len(dec) != h * w * channels:
+            raise ValueError(
+                "inline image has %d sample bytes, %dx%dx%d declared"
+                % (len(dec), h, w, channels)
+            )
+        tail = content[end : end + 64]
+        if re.match(rb"\s*EI(?![A-Za-z0-9])", tail) is None:
+            raise ValueError("inline image data not terminated by EI")
+        arr = np.frombuffer(dec, dtype=np.uint8)
+        out.append(
+            arr.reshape(h, w) if channels == 1 else arr.reshape(h, w, 3)
+        )
+        pos = end
 
 
 def _decode_image_xobject(body, img_num: int, decrypt) -> np.ndarray:
@@ -1062,7 +1272,9 @@ def _decode_image_xobject(body, img_num: int, decrypt) -> np.ndarray:
     # a chain ending in a raster filter (e.g. [/ASCII85Decode
     # /DCTDecode]) applies its byte filters before raster decode
     chain = _filters_of(d)
-    if chain and chain[-1] in (b"DCTDecode", b"CCITTFaxDecode", b"JBIG2Decode"):
+    if chain and chain[-1] in (
+        b"DCTDecode", b"CCITTFaxDecode", b"JBIG2Decode", b"JPXDecode",
+    ):
         chain_parms = _parms_list_of(d, len(chain))
         for name, p in zip(chain[:-1], chain_parms[:-1]):
             stream = _apply_byte_filter(name, stream, p)
@@ -1078,6 +1290,20 @@ def _decode_image_xobject(body, img_num: int, decrypt) -> np.ndarray:
             )
         img = _apply_decode_array(d, img, channels)
         return _cmyk_to_rgb(img) if channels == 4 else img
+    if _filter_of(d) == b"JPXDecode":
+        from pdf_ocr_spark.sources import jpxcodec
+
+        img = jpxcodec.decode_jpx(stream)
+        got_channels = 1 if img.ndim == 2 else img.shape[2]
+        if img.shape[:2] != (h, w):
+            raise ValueError(
+                "JPX raster is %s, XObject declares %dx%d" % (img.shape, h, w)
+            )
+        # §7.4.9: the codestream's colour description overrides the
+        # dict; a gray codestream under a /DeviceRGB dict (or vice
+        # versa) is tolerated like real readers do
+        img = _apply_decode_array(d, img, got_channels)
+        return img
     if _filter_of(d) == b"CCITTFaxDecode":
         from pdf_ocr_spark.sources import ccittcodec
 

@@ -80,6 +80,14 @@ JBIG2_RESIDUES = 17
 #: rotating by (id//19)%3 over 16 / 4 / 1 bits, and every other one
 #: ((id//57)%2) additionally stored inverted behind /Decode [1 0].
 DEPTH_RESIDUES = 19
+#: doc id % INLINE_RESIDUES == 9 -> the page raster is a §8.9.7
+#: INLINE image (BI..ID..EI in the content stream, no XObject — the
+#: fax-converter / print-driver shape), data form rotating by
+#: (id//23)%3 over /Fl-coded data in a plain content stream, raw
+#: samples inside a Flate-coded content stream, and /RL-coded data.
+#: Takes precedence over every other non-DCT raster rotation
+#: (encryption still applies — the content stream is encrypted).
+INLINE_RESIDUES = 23
 
 PDF_PAGES_SCHEMA = (
     "doc_id string, offset int, media_ref string, payload binary, parse_error string"
@@ -105,6 +113,7 @@ def write_pdf_corpus(
     compress: bool = True,
     object_streams: bool = True,
     dct: bool = False,
+    jpx: bool = False,
 ) -> DataFrame:
     """Render one scanned-style PDF per (doc_id, text) row into
     ``out_dir`` (executor-side writes, driver never sees a page) and
@@ -159,7 +168,15 @@ def write_pdf_corpus(
     other depth doc (``(id // 57) % 2``) is additionally stored
     inverted behind ``/Decode [1 0]`` (the negative-sample export
     shape); all depth variants are content-transparent because the
-    bitonal renders are exact at every depth."""
+    bitonal renders are exact at every depth.
+    ``id % INLINE_RESIDUES == 9`` non-DCT docs store the raster as a
+    §8.9.7 INLINE image (BI..ID..EI inside the content stream, no
+    raster XObject — the fax-converter / print-driver shape), data
+    form rotating by ``(id // 23) % 3`` over /Fl-coded data in a
+    plain content stream, raw samples inside a Flate-coded content
+    stream, and /RL-coded data; inline wins over every other non-DCT
+    raster rotation, and the encryption rotation still applies (the
+    content stream is what gets encrypted)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np  # noqa: F401  (renderer dependency, worker-side)
@@ -177,6 +194,50 @@ def write_pdf_corpus(
                     d = int(doc_id)
                 except ValueError:
                     d = 0
+                if jpx:
+                    # pure /JPXDecode corpus (no other rotations):
+                    # the JPEG 2000 decode surface gets its own
+                    # focused driver-certified query
+                    path = os.path.join(out_dir, f"doc_{doc_id}.pdf")
+                    tmp = path + ".tmp"
+                    with open(tmp, "wb") as f:
+                        f.write(
+                            encode_pdf(
+                                images,
+                                object_streams=object_streams,
+                                jpx=True,
+                            )
+                        )
+                    os.replace(tmp, path)
+                    paths.append(path)
+                    n_pages.append(len(images))
+                    continue
+                if not dct and d % INLINE_RESIDUES == 9:
+                    # §8.9.7 inline-image page (BI..ID..EI, no raster
+                    # XObject) — wins over every other non-DCT raster
+                    # rotation; encryption rotation still applies
+                    path = os.path.join(out_dir, f"doc_{doc_id}.pdf")
+                    tmp = path + ".tmp"
+                    with open(tmp, "wb") as f:
+                        f.write(
+                            encode_pdf(
+                                images,
+                                object_streams=object_streams,
+                                inline=("flate", "raw", "rle")[
+                                    (d // INLINE_RESIDUES) % 3
+                                ],
+                                encrypt=d % ENCRYPT_RESIDUES == 1,
+                                cipher=(
+                                    "aes256"
+                                    if (d // ENCRYPT_RESIDUES) % 25 == 2
+                                    else "rc4"
+                                ),
+                            )
+                        )
+                    os.replace(tmp, path)
+                    paths.append(path)
+                    n_pages.append(len(images))
+                    continue
                 depth = (
                     not dct
                     and d % DEPTH_RESIDUES == 8

@@ -79,7 +79,10 @@ def test_codec_rgb_round_trip_raw_and_flate():
 
 def test_codec_unsupported_filter_and_chain_are_typed_errors():
     data = encode_pdf([np.zeros((6, 6), dtype=np.uint8)], compress=True)
-    with pytest.raises(ValueError, match="/JPXDecode"):
+    # /JPXDecode now routes to the JPEG 2000 codec — zlib bytes are
+    # not a codestream, so the typed error names the real problem
+    # (round 5: this used to be 'unsupported stream filter')
+    with pytest.raises(ValueError, match="JPEG 2000"):
         decode_pdf(data.replace(b"/FlateDecode", b"/JPXDecode\x20\x20"))
     # /DCTDecode now routes to the JPEG codec — zlib bytes are not a
     # JPEG, so the typed error names the real problem (round 3: this
@@ -102,6 +105,87 @@ def test_codec_unsupported_filter_and_chain_are_typed_errors():
         decode_pdf(chained2)
 
 
+@pytest.mark.parametrize("mode", ["flate", "raw", "rle"])
+@pytest.mark.parametrize("objstm", [False, True])
+def test_inline_image_round_trip(mode, objstm):
+    """§8.9.7 inline images (BI..ID..EI in the content stream, no
+    raster XObject — the fax-converter / print-driver shape) round-trip
+    in all three data forms, both PDF layouts, gray and RGB."""
+    rng = np.random.RandomState(11)
+    gray = rng.randint(0, 256, (19, 23)).astype(np.uint8)
+    rgb = rng.randint(0, 256, (12, 7, 3)).astype(np.uint8)
+    data = encode_pdf([gray, rgb], inline=mode, object_streams=objstm)
+    assert b"/XObject" not in data or objstm  # ObjStm bytes are Flate
+    a, b = decode_pdf(data)
+    assert (a == gray).all() and (b == rgb).all()
+    assert page_count(data) == 2
+    # byte-stable, like every other writer mode
+    assert encode_pdf([gray, rgb], inline=mode, object_streams=objstm) == data
+
+
+@pytest.mark.parametrize("cipher", ["rc4", "aes", "aes256"])
+def test_inline_image_encrypted(cipher):
+    """Inline data lives inside the content stream, so encryption
+    rotates through it like any other stream object."""
+    img = render_text_image("inline encrypted page")
+    data = encode_pdf([img], inline="flate", encrypt=True, cipher=cipher)
+    assert (decode_pdf(data)[0] == img).all()
+
+
+def test_inline_image_ei_bytes_in_raw_data():
+    """Raw sample bytes legitimately containing ``EI`` must not
+    truncate the scan — the decoder computes the data length from
+    /W /H /CS instead of searching for EI."""
+    evil = np.frombuffer(b"xEI Qx" * 20, dtype=np.uint8)[:100].reshape(10, 10).copy()
+    data = encode_pdf([evil], inline="raw")
+    assert (decode_pdf(data)[0] == evil).all()
+
+
+def test_inline_image_subset_typed_errors():
+    from pdf_ocr_spark.sources.pdfcodec import _decode_inline_images
+
+    def content_for(**kw):
+        img = np.zeros((4, 4), dtype=np.uint8)
+        data = encode_pdf([img], inline="flate", **kw)
+        import re as _re
+
+        m = _re.search(rb"stream\r?\n(.*?)\nendstream", data, _re.S)
+        return m.group(1)
+
+    base = content_for()
+    with pytest.raises(ValueError, match="BPC"):
+        _decode_inline_images(base.replace(b"/BPC 8", b"/BPC 1"))
+    with pytest.raises(ValueError, match="colorspace"):
+        _decode_inline_images(base.replace(b"/CS /G", b"/CS /CMYK"))
+    with pytest.raises(ValueError, match="CCITTFax"):  # /CCF normalized
+        _decode_inline_images(base.replace(b"/F /Fl", b"/F /CCF"))
+    with pytest.raises(ValueError, match="mask"):
+        _decode_inline_images(base.replace(b"/BPC 8", b"/BPC 8 /IM true"))
+    with pytest.raises(ValueError, match="truncated|Flate"):
+        _decode_inline_images(base[:-10])
+    # other raster modes cannot be combined with inline
+    with pytest.raises(ValueError, match="inline"):
+        encode_pdf([np.zeros((4, 4), dtype=np.uint8)], inline="flate", ccitt=True)
+    with pytest.raises(ValueError, match="inline"):
+        encode_pdf([np.zeros((4, 4), dtype=np.uint8)], inline="bogus")
+
+
+def test_inline_image_extracts_through_ocr(spark, tmp_path):
+    """End to end: an inline-image scan flows binaryFile -> parse ->
+    OCR exactly like the XObject shape (the corpus rotation plants
+    these as 1-in-23 docs; see pdfsource.INLINE_RESIDUES)."""
+    from pdf_ocr_spark.operators.ocr import ocr_pages
+
+    text = "inline image page words"
+    img = render_text_image(text)
+    with open(f"{tmp_path}/doc_i.pdf", "wb") as f:
+        f.write(encode_pdf([img], inline="rle", object_streams=True))
+    pages = read_pdf_pages(spark, str(tmp_path))
+    rows = ocr_pages(pages.select("doc_id", "offset", "media_ref", "payload")).collect()
+    assert len(rows) == 1
+    assert rows[0].text == text.upper() and rows[0].error is False
+
+
 def test_rgb_pdf_extracts_through_ocr(spark, tmp_path):
     """Color scanned pages (DeviceRGB, Flate) flow through binaryFile ->
     parse -> luma -> OCR and produce the same text as the gray path."""
@@ -120,19 +204,21 @@ def test_rgb_pdf_extracts_through_ocr(spark, tmp_path):
 
 
 def test_unsupported_filter_pdf_becomes_typed_error_row(spark, tmp_path):
-    """A scan with a filter outside the subset (JPXDecode/JPEG 2000)
-    must emit one parse_error row NAMING the filter, not crash. (Round
-    3: /DCTDecode moved from this category to a real decode path — see
-    test_jpeg for its e2e coverage; corrupt DCT data still becomes a
-    typed error row via the JPEG codec's own errors.)"""
+    """A scan with a filter outside the subset (/CryptDecode) must
+    emit one parse_error row NAMING the filter, not crash; mislabeled
+    streams routed to a real codec (DCT since round 3, JPX since
+    round 5) become typed error rows via that codec's own errors."""
     data = encode_pdf([np.zeros((8, 8), dtype=np.uint8)], compress=True)
+    with open(f"{tmp_path}/doc_c.pdf", "wb") as f:
+        f.write(data.replace(b"/FlateDecode", b"/CryptDecode"))
     with open(f"{tmp_path}/doc_j.pdf", "wb") as f:
         f.write(data.replace(b"/FlateDecode", b"/JPXDecode\x20\x20"))
     with open(f"{tmp_path}/doc_k.pdf", "wb") as f:
         f.write(data.replace(b"/FlateDecode", b"/DCTDecode\x20\x20"))
     rows = {r.doc_id: r for r in read_pdf_pages(spark, str(tmp_path)).collect()}
-    assert len(rows) == 2
-    assert rows["j"].payload is None and "/JPXDecode" in rows["j"].parse_error
+    assert len(rows) == 3
+    assert rows["c"].payload is None and "/CryptDecode" in rows["c"].parse_error
+    assert rows["j"].payload is None and "JPEG 2000" in rows["j"].parse_error
     assert rows["k"].payload is None and "not a JPEG" in rows["k"].parse_error
 
 

@@ -105,18 +105,19 @@ def test_pdf_round_trip_with_filters(kwargs):
 
 
 def test_unknown_filter_still_typed_error():
-    # /JPXDecode (JPEG 2000) stays outside the subset; a mislabeled
-    # stream must produce a typed error NAMING the filter. (JBIG2Decode
-    # graduated out of this test when the real codec landed.)
+    # /Crypt stays outside the subset; a mislabeled stream must
+    # produce a typed error NAMING the filter. (JBIG2Decode and
+    # JPXDecode graduated out of this test when their codecs landed.)
     data = pdfcodec.encode_pdf([GRAY], compress=True)
-    broken = data.replace(b"/Filter /FlateDecode", b"/Filter /JPXDecode")
-    with pytest.raises(ValueError, match="JPXDecode"):
+    broken = data.replace(b"/Filter /FlateDecode", b"/Filter /CryptDecode")
+    with pytest.raises(ValueError, match="CryptDecode"):
         pdfcodec.decode_pdf(broken)
-    # zlib bytes parsed as JBIG2 segments: still a typed ValueError,
-    # never an IndexError escape
-    broken2 = data.replace(b"/Filter /FlateDecode", b"/Filter /JBIG2Decode")
-    with pytest.raises(ValueError):
-        pdfcodec.decode_pdf(broken2)
+    # zlib bytes parsed as JBIG2 segments / a JP2 container: still a
+    # typed ValueError, never an IndexError escape
+    for name in (b"/JBIG2Decode", b"/JPXDecode "):
+        broken2 = data.replace(b"/Filter /FlateDecode", b"/Filter " + name.strip())
+        with pytest.raises(ValueError):
+            pdfcodec.decode_pdf(broken2)
 
 
 def test_ascii_filters_round_trip_and_stdlib_cross_check():
