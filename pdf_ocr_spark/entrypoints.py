@@ -1864,7 +1864,9 @@ def _pdf_fixture_dir(
     # (text region) and /JBIG2Globals organizations.
     # r5inline (non-DCT only, so the pricey DCT/JPX caches survive):
     # 1-in-23 docs store the raster as a §8.9.7 INLINE image.
-    gen_tag = "r5inline" if variant == "objstm" else "r5sym"
+    # r5idx: 1-in-29 docs quantize through an /Indexed palette and
+    # 1-in-31 wrap the device space as [/ICCBased N 0 R].
+    gen_tag = "r5idx" if variant == "objstm" else "r5sym"
     fingerprint = f"{agg['n']}:{agg['ck']}:{variant}:{gen_tag}"
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker):

@@ -78,6 +78,58 @@ def _pack_samples(img: np.ndarray, bpc: int, invert: bool = False) -> bytes:
     return np.packbits(padded, axis=1).tobytes()
 
 
+def _pack_indices(idx: np.ndarray, bpc: int) -> bytes:
+    """Serialize palette indices (``h x w`` uint8, values < 2^bpc) at
+    /BitsPerComponent 1/2/4/8 — like :func:`_pack_samples` but WITHOUT
+    the 0..255 rescale: /Indexed samples are raw lookup indices
+    (ISO 32000-1 §8.6.6.3). Rows pad to byte boundaries."""
+    h = idx.shape[0]
+    if bpc == 8:
+        return np.ascontiguousarray(idx).tobytes()
+    bits = (
+        (idx[:, :, None] >> np.arange(bpc - 1, -1, -1, dtype=np.uint8)) & 1
+    ).reshape(h, -1)
+    rb = (idx.shape[1] * bpc + 7) // 8
+    padded = np.zeros((h, rb * 8), dtype=np.uint8)
+    padded[:, : bits.shape[1]] = bits
+    return np.packbits(padded, axis=1).tobytes()
+
+
+def _unpack_indices(raw: bytes, w: int, h: int, bpc: int) -> np.ndarray:
+    """Inverse of :func:`_pack_indices`: decode an /Indexed sample
+    stream into an ``h x w`` uint8 index array (no rescale)."""
+    rb = (w * bpc + 7) // 8
+    if len(raw) != h * rb:
+        raise ValueError(
+            "indexed stream is %d bytes, expected %dx%d rows of %d bytes "
+            "(%d-bit)" % (len(raw), h, rb, rb, bpc)
+        )
+    if bpc == 8:
+        return np.frombuffer(raw, dtype=np.uint8).reshape(h, w)
+    if bpc not in (1, 2, 4):
+        raise ValueError("unsupported /Indexed /BitsPerComponent %d" % bpc)
+    bits = np.unpackbits(np.frombuffer(raw, dtype=np.uint8).reshape(h, rb), axis=1)
+    groups = bits[:, : w * bpc].reshape(h, w, bpc).astype(np.uint16)
+    weights = 1 << np.arange(bpc - 1, -1, -1, dtype=np.uint16)
+    return (groups * weights).sum(axis=2).astype(np.uint8)
+
+
+def _icc_profile(n_comp: int) -> bytes:
+    """A minimal syntactically-plausible ICC profile (128-byte header,
+    zero tag entries) for the ``[/ICCBased N 0 R]`` writer path — the
+    reader side is un-color-managed (like this codec's CMYK handling),
+    so only the stream dict's /N is semantically load-bearing
+    (ISO 32000-1 §8.6.5.5: a reader may use the alternate/device
+    space); the payload just has to be a well-formed stream."""
+    hdr = bytearray(128)
+    hdr[0:4] = (132).to_bytes(4, "big")  # profile size incl. tag count
+    hdr[12:16] = b"mntr"
+    hdr[16:20] = b"GRAY" if n_comp == 1 else (b"RGB " if n_comp == 3 else b"CMYK")
+    hdr[20:24] = b"XYZ "
+    hdr[36:40] = b"acsp"
+    return bytes(hdr) + (0).to_bytes(4, "big")
+
+
 def _unpack_samples(
     raw: bytes, w: int, h: int, channels: int, bpc: int
 ) -> np.ndarray:
@@ -166,6 +218,8 @@ def encode_pdf(
     jbig2_mode: str = "tpgd",
     jpx: bool = False,
     inline: str | None = None,
+    indexed: bool = False,
+    icc: bool = False,
     ascii85: bool = False,
     sample_bpc: int = 8,
     decode_invert: bool = False,
@@ -217,6 +271,18 @@ def encode_pdf(
     unfiltered samples and Flate-codes the whole content stream.
     Mutually exclusive with every other raster mode; encryption
     applies (to the content stream).
+
+    ``indexed=True`` stores each raster through an §8.6.6.3 /Indexed
+    palette — samples become lookup indices at the minimal
+    /BitsPerComponent (1/2/4/8) over a ``[/Indexed /DeviceGray|RGB
+    hival <lookup>]`` hex-string palette of the page's distinct colors
+    (≤256 required) — the "optimized"/quantized shape PDF shrinkers
+    and screenshot producers emit. ``icc=True`` wraps the device
+    space as ``[/ICCBased N 0 R]`` over a minimal ICC profile stream
+    (§8.6.5.5 — the born-digital producer default; the profile is
+    advisory to an un-color-managed reader). Both compose with
+    ``compress`` and encryption; neither combines with the raster
+    codec modes.
     """
     if not pages:
         raise ValueError("a PDF needs at least one page")
@@ -232,16 +298,32 @@ def encode_pdf(
         if (
             dct or ccitt or jbig2 or jpx or rle or lzw
             or predictor != 1 or ascii85 or sample_bpc != 8 or decode_invert
+            or indexed or icc
         ):
             raise ValueError(
                 "inline images carry their own filter; other raster modes do not apply"
             )
+    if (indexed or icc) and (
+        dct or ccitt or jbig2 or jpx or rle or lzw
+        or predictor != 1 or sample_bpc != 8 or decode_invert
+        or (indexed and icc)
+    ):
+        raise ValueError(
+            "indexed/icc colorspaces apply to the plain raw/Flate raster "
+            "path only, and not to each other"
+        )
     objects: dict[int, bytes] = {}
     kids = []
     # objects that must stay out of the 1.5 ObjStm (appended stream
     # objects like /JBIG2Globals whose numbers fall outside the
     # 3-per-page layout, plus the /Encrypt dict added below)
     extra_toplevel: set[int] = set()
+    icc_nums: dict[int, int] = {}
+    if icc:
+        # one shared profile stream per component count, numbered
+        # after the 3-per-page triples (stream objects: top-level)
+        for j, n in enumerate(sorted({1 if p.ndim == 2 else 3 for p in pages})):
+            icc_nums[n] = 3 + 3 * len(pages) + j
     for i, img in enumerate(pages):
         if img.dtype != np.uint8 or img.ndim not in (2, 3):
             raise ValueError("pages must be 2-D (gray) or 3-D (RGB) uint8 arrays")
@@ -377,6 +459,28 @@ def encode_pdf(
             raw = pdffilters.runlength_encode(np.ascontiguousarray(img).tobytes())
             fnames.append("/RunLengthDecode")
             fparms.append(None)
+        elif indexed:
+            # §8.6.6.3: samples are lookup indices at the minimal
+            # depth; the palette is the page's distinct colors as a
+            # hex-string lookup over the device base space
+            flat = img.reshape(-1, 1 if img.ndim == 2 else 3)
+            pal, inv = np.unique(flat, axis=0, return_inverse=True)
+            if len(pal) > 256:
+                raise ValueError(
+                    "indexed pages need <=256 distinct colors, got %d" % len(pal)
+                )
+            hival = len(pal) - 1
+            bpc = next(b for b in (1, 2, 4, 8) if hival < (1 << b))
+            raw = _pack_indices(
+                inv.astype(np.uint8).reshape(img.shape[:2]), bpc
+            )
+            colorspace = "[/Indexed %s %d <%s>]" % (
+                colorspace, hival, pal.tobytes().hex().upper()
+            )
+            if compress:
+                raw = zlib.compress(raw, 6)
+                fnames.append("/FlateDecode")
+                fparms.append(None)
         else:
             raw = _pack_samples(img, sample_bpc, invert=decode_invert)
             bpc = sample_bpc
@@ -428,11 +532,20 @@ def encode_pdf(
         if decode_invert:
             n_comp = 1 if img.ndim == 2 else 3
             decode_entry = "/Decode [" + " ".join(["1 0"] * n_comp) + "] "
+        if icc:
+            colorspace = "[/ICCBased %d 0 R]" % icc_nums[1 if img.ndim == 2 else 3]
         objects[image_num] = (
             f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
             f"/ColorSpace {colorspace} /BitsPerComponent {bpc} "
             f"{decode_entry}{filt}/Length {len(raw)} >>\n"
         ).encode() + b"stream\n" + raw + b"\nendstream"
+    for n_comp, num in icc_nums.items():
+        profile = _icc_profile(n_comp)
+        objects[num] = (
+            b"<< /N %d /Length %d >>\nstream\n%s\nendstream"
+            % (n_comp, len(profile), profile)
+        )
+        extra_toplevel.add(num)
     objects[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
     objects[2] = (
         f"<< /Type /Pages /Kids [{' '.join(kids)}] /Count {len(pages)} >>"
@@ -1246,6 +1359,82 @@ def _decode_inline_images(content: bytes) -> list[np.ndarray]:
         pos = end
 
 
+def _resolve_colorspace(d: bytes, body, decrypt) -> tuple[int, np.ndarray | None]:
+    """Resolve an image dict's /ColorSpace into ``(channels,
+    palette)``. Subset: the Device spaces, ``[/ICCBased N 0 R]``
+    (channels from the profile stream's /N — the profile itself is
+    advisory to an un-color-managed reader, §8.6.5.5), and
+    ``[/Indexed base hival lookup]`` (§8.6.6.3) with a Device or
+    ICCBased base and a hex-string, literal-string, or stream-ref
+    lookup. ``palette`` is the ``(hival+1) x base_channels`` uint8
+    lookup table for Indexed, else None (``channels`` is then the
+    SAMPLE channel count: 1 for Indexed). The array form may itself
+    be an indirect reference (the born-digital producer layout)."""
+    m = re.search(
+        rb"/(?:ColorSpace|CS)\s*(\[[^\]]*\]|/\w+|\d+\s+0\s+R)", d
+    )
+    if m is None:
+        raise ValueError("image has no /ColorSpace (subset needs one)")
+    cs = m.group(1)
+    if cs[:1] not in (b"/", b"["):  # indirect reference to the array
+        cs = body(int(cs.split()[0])).strip()
+
+    def base_channels(txt: bytes) -> int:
+        if re.search(rb"/DeviceGray\b", txt):
+            return 1
+        if re.search(rb"/DeviceRGB\b", txt):
+            return 3
+        if re.search(rb"/DeviceCMYK\b", txt):
+            return 4
+        im = re.search(rb"/ICCBased\s+(\d+)\s+0\s+R", txt)
+        if im is not None:
+            prof = _dict_of(body(int(im.group(1))))
+            n = _int(prof, b"N")
+            if n not in (1, 3, 4):
+                raise ValueError("ICCBased /N %d is outside the subset" % n)
+            return n
+        nm = re.search(rb"/(\w+)", txt)
+        raise ValueError(
+            "unsupported colorspace /%s (subset: Device*, ICCBased, Indexed)"
+            % (nm.group(1).decode("ascii", "replace") if nm else "<missing>")
+        )
+
+    idx = re.search(
+        rb"/(?:Indexed|I)\b\s*(.*?)\s+(\d+)\s+(<[0-9A-Fa-f\s]*>"
+        rb"|\([^)]*\)|\d+\s+0\s+R)\s*$",
+        cs.strip(b"[] \n\r\t"), re.S,
+    ) if cs.startswith(b"[") and re.search(rb"/(?:Indexed|I)\b", cs) else None
+    if idx is None:
+        return base_channels(cs), None
+    n_base = base_channels(idx.group(1))
+    hival = int(idx.group(2))
+    lk = idx.group(3)
+    if lk.startswith(b"<"):
+        lookup = bytes.fromhex(
+            b"".join(lk[1:-1].split()).decode("ascii")
+        )
+    elif lk.startswith(b"("):
+        lookup, _ = _parse_pdf_literal(lk, 0)
+    else:
+        lnum = int(lk.split()[0])
+        lbody = body(lnum)
+        ld = _dict_of(lbody)
+        lraw = _stream_of(lbody, _int(ld, b"Length"))
+        if decrypt is not None:
+            lraw = decrypt(lnum, lraw)
+        lookup = _decode_stream(ld, lraw)
+    need = (hival + 1) * n_base
+    if len(lookup) < need:
+        raise ValueError(
+            "indexed lookup has %d bytes, hival %d needs %d"
+            % (len(lookup), hival, need)
+        )
+    palette = np.frombuffer(lookup[:need], dtype=np.uint8).reshape(
+        hival + 1, n_base
+    )
+    return 1, palette
+
+
 def _decode_image_xobject(body, img_num: int, decrypt) -> np.ndarray:
     """Decode one image XObject (by object number) into an HxW[x3]
     uint8 array — the shared raster path for the scanned-page reader
@@ -1253,18 +1442,7 @@ def _decode_image_xobject(body, img_num: int, decrypt) -> np.ndarray:
     (+predictors), DCT (JPEG), CCITT G4, and ASCII-wrapped chains."""
     img_body = body(img_num)
     d = _dict_of(img_body)
-    if re.search(rb"/DeviceGray\b", d):
-        channels = 1
-    elif re.search(rb"/DeviceRGB\b", d):
-        channels = 3
-    elif re.search(rb"/DeviceCMYK\b", d):
-        channels = 4
-    else:
-        cs = re.search(rb"/ColorSpace\s*/?(\w+)", d)
-        raise ValueError(
-            "unsupported colorspace /%s (subset: DeviceGray, DeviceRGB, DeviceCMYK)"
-            % (cs.group(1).decode() if cs else "<missing>")
-        )
+    channels, palette = _resolve_colorspace(d, body, decrypt)
     w, h = _int(d, b"Width"), _int(d, b"Height")
     stream = _stream_of(img_body, _int(d, b"Length"))
     if decrypt is not None:
@@ -1272,6 +1450,12 @@ def _decode_image_xobject(body, img_num: int, decrypt) -> np.ndarray:
     # a chain ending in a raster filter (e.g. [/ASCII85Decode
     # /DCTDecode]) applies its byte filters before raster decode
     chain = _filters_of(d)
+    if palette is not None and chain and chain[-1] in (
+        b"DCTDecode", b"CCITTFaxDecode", b"JBIG2Decode", b"JPXDecode",
+    ):
+        raise ValueError(
+            "indexed color composes with raw/Flate/LZW streams only"
+        )
     if chain and chain[-1] in (
         b"DCTDecode", b"CCITTFaxDecode", b"JBIG2Decode", b"JPXDecode",
     ):
@@ -1355,6 +1539,19 @@ def _decode_image_xobject(body, img_num: int, decrypt) -> np.ndarray:
         return _apply_decode_array(d, ((1 - bits) * 255).astype(np.uint8), 1)
     raw = _decode_stream(d, stream)
     bpc = _int_default(d, b"BitsPerComponent", 8)
+    if palette is not None:
+        idx = _unpack_indices(raw, w, h, bpc)
+        top = int(idx.max(initial=0))
+        if top >= len(palette):
+            raise ValueError(
+                "indexed sample %d exceeds hival %d" % (top, len(palette) - 1)
+            )
+        out = palette[idx]  # (h, w, n_base) — §8.6.6.3 lookup
+        if palette.shape[1] == 1:
+            return out.reshape(h, w)
+        if palette.shape[1] == 4:
+            return _cmyk_to_rgb(out)
+        return out
     img = _unpack_samples(raw, w, h, channels, bpc)
     img = _apply_decode_array(d, img, channels)
     if channels == 1:

@@ -88,6 +88,17 @@ DEPTH_RESIDUES = 19
 #: Takes precedence over every other non-DCT raster rotation
 #: (encryption still applies — the content stream is encrypted).
 INLINE_RESIDUES = 23
+#: doc id % INDEXED_RESIDUES == 10 -> /Indexed palette raster
+#: (§8.6.6.3 — the "optimized"/quantized shape PDF shrinkers emit):
+#: samples become palette indices at the minimal 1/2/4/8-bit depth
+#: over a hex-string lookup. Raw/Flate path only; yields to the
+#: ccitt/jbig2/rle/inline/depth rotations, wins over predictor/LZW.
+INDEXED_RESIDUES = 29
+#: doc id % ICC_RESIDUES == 12 -> the device colorspace is wrapped as
+#: [/ICCBased N 0 R] over a minimal profile stream (§8.6.5.5 — the
+#: born-digital producer default). Same precedence as /Indexed
+#: (which wins when both residues hit).
+ICC_RESIDUES = 31
 
 PDF_PAGES_SCHEMA = (
     "doc_id string, offset int, media_ref string, payload binary, parse_error string"
@@ -176,7 +187,15 @@ def write_pdf_corpus(
     plain content stream, raw samples inside a Flate-coded content
     stream, and /RL-coded data; inline wins over every other non-DCT
     raster rotation, and the encryption rotation still applies (the
-    content stream is what gets encrypted)."""
+    content stream is what gets encrypted).
+    ``id % INDEXED_RESIDUES == 10`` plain-raster docs quantize
+    through an §8.6.6.3 /Indexed palette (indices at the minimal
+    1/2/4/8-bit depth, hex-string lookup) and ``id % ICC_RESIDUES ==
+    12`` wrap the device space as ``[/ICCBased N 0 R]`` over a
+    minimal profile stream (§8.6.5.5); both apply only where no
+    codec/depth rotation hit, Indexed wins when both residues hit,
+    and both are content-transparent (the palette lookup
+    reconstructs the exact raster)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np  # noqa: F401  (renderer dependency, worker-side)
@@ -245,6 +264,17 @@ def write_pdf_corpus(
                     and d % JBIG2_RESIDUES != 7
                     and d % RLE_RESIDUES != 6
                 )
+                plain_raster = (
+                    not dct
+                    and not depth
+                    and d % CCITT_RESIDUES != 4
+                    and d % JBIG2_RESIDUES != 7
+                    and d % RLE_RESIDUES != 6
+                )
+                indexed = plain_raster and d % INDEXED_RESIDUES == 10
+                icc = (
+                    plain_raster and not indexed and d % ICC_RESIDUES == 12
+                )
                 path = os.path.join(out_dir, f"doc_{doc_id}.pdf")
                 tmp = path + ".tmp"
                 with open(tmp, "wb") as f:
@@ -275,10 +305,16 @@ def write_pdf_corpus(
                             ),
                             predictor=(
                                 12
-                                if not dct and d % PREDICTOR_RESIDUES == 2
+                                if not dct
+                                and d % PREDICTOR_RESIDUES == 2
+                                and not (indexed or icc)
                                 else 1
                             ),
-                            lzw=not dct and d % LZW_RESIDUES == 3,
+                            lzw=not dct
+                            and d % LZW_RESIDUES == 3
+                            and not (indexed or icc),
+                            indexed=indexed,
+                            icc=icc,
                             rle=not dct and d % RLE_RESIDUES == 6,
                             ccitt=not dct and d % CCITT_RESIDUES == 4,
                             # rotate the fax mode: G4, G3 1-D, G3 mixed

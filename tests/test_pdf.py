@@ -170,6 +170,76 @@ def test_inline_image_subset_typed_errors():
         encode_pdf([np.zeros((4, 4), dtype=np.uint8)], inline="bogus")
 
 
+@pytest.mark.parametrize("objstm", [False, True])
+@pytest.mark.parametrize("compress", [False, True])
+def test_indexed_palette_round_trip(objstm, compress):
+    """§8.6.6.3 /Indexed palettes (the optimizer/quantizer shape)
+    round-trip: bitonal -> 1-bit indices, 4-level gray -> 2-bit,
+    RGB palette -> minimal depth; lookup is a hex string."""
+    rng = np.random.RandomState(13)
+    bitonal = (rng.randint(0, 2, (21, 17)) * 255).astype(np.uint8)
+    multi = (rng.randint(0, 4, (9, 11)) * 85).astype(np.uint8)
+    pal = np.array(
+        [[0, 0, 0], [255, 0, 0], [0, 255, 0], [10, 20, 30], [255, 255, 255]],
+        dtype=np.uint8,
+    )
+    rgb = pal[rng.randint(0, 5, (13, 7))]
+    data = encode_pdf(
+        [bitonal, multi, rgb], indexed=True, compress=compress,
+        object_streams=objstm,
+    )
+    a, b, c = decode_pdf(data)
+    assert (a == bitonal).all() and (b == multi).all() and (c == rgb).all()
+    if not objstm:
+        assert b"/Indexed" in data
+
+
+def test_indexed_typed_errors():
+    rng = np.random.RandomState(17)
+    with pytest.raises(ValueError, match="256"):
+        encode_pdf(
+            [rng.randint(0, 256, (64, 64, 3)).astype(np.uint8)], indexed=True
+        )
+    with pytest.raises(ValueError, match="indexed"):
+        encode_pdf([np.zeros((4, 4), np.uint8)], indexed=True, rle=True)
+    # an index past hival is a typed error, not a silent wrap
+    img = (np.arange(16, dtype=np.uint8).reshape(4, 4) * 17)
+    data = encode_pdf([img], indexed=True)
+    import re as _re
+
+    m = _re.search(rb"/Indexed /DeviceGray (\d+)", data)
+    broken = data.replace(
+        b"/Indexed /DeviceGray " + m.group(1),
+        b"/Indexed /DeviceGray " + str(int(m.group(1)) - 1).encode(),
+    )
+    with pytest.raises(ValueError, match="hival|lookup"):
+        decode_pdf(broken)
+
+
+@pytest.mark.parametrize("objstm", [False, True])
+def test_iccbased_round_trip(objstm):
+    """[/ICCBased N 0 R] colorspaces (the born-digital producer
+    default) resolve through the profile stream's /N; the profile
+    itself is advisory to this un-color-managed reader (§8.6.5.5)."""
+    rng = np.random.RandomState(19)
+    gray = rng.randint(0, 256, (14, 9)).astype(np.uint8)
+    rgb = rng.randint(0, 256, (7, 12, 3)).astype(np.uint8)
+    data = encode_pdf([gray, rgb], icc=True, compress=True, object_streams=objstm)
+    a, b = decode_pdf(data)
+    assert (a == gray).all() and (b == rgb).all()
+    if not objstm:
+        assert b"/ICCBased" in data and b"acsp" in data
+
+
+@pytest.mark.parametrize("kw", [dict(indexed=True), dict(icc=True)])
+def test_indexed_icc_encrypted(kw):
+    rng = np.random.RandomState(23)
+    pal = np.array([[0, 0, 0], [200, 100, 50]], dtype=np.uint8)
+    rgb = pal[rng.randint(0, 2, (8, 8))]
+    data = encode_pdf([rgb], compress=True, encrypt=True, **kw)
+    assert (decode_pdf(data)[0] == rgb).all()
+
+
 def test_inline_image_extracts_through_ocr(spark, tmp_path):
     """End to end: an inline-image scan flows binaryFile -> parse ->
     OCR exactly like the XObject shape (the corpus rotation plants
