@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "word_boxes",
     "hocr_pages",
     "pdf_page_count",
+    "pdf_metadata",
     "pdf_extract_text",
     "pdf_extract_text_dct",
     "pdf_text_layer",

@@ -1866,7 +1866,10 @@ def _pdf_fixture_dir(
     # 1-in-23 docs store the raster as a §8.9.7 INLINE image.
     # r5idx: 1-in-29 docs quantize through an /Indexed palette and
     # 1-in-31 wrap the device space as [/ICCBased N 0 R].
-    gen_tag = "r5idx" if variant == "objstm" else "r5sym"
+    # r5meta: every non-DCT doc carries a §14.3.3 /Info dictionary
+    # (RC4-encrypted strings on the RC4 docs) and 1-in-3 an XMP
+    # metadata stream.
+    gen_tag = "r5meta" if variant == "objstm" else "r5sym"
     fingerprint = f"{agg['n']}:{agg['ck']}:{variant}:{gen_tag}"
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker):
@@ -2064,6 +2067,40 @@ def q_pdf_extract_text(spark: SparkSession, sf: str) -> DataFrame:
     d = _pdf_fixture_dir(spark, sf)
     return extract_pdf_documents(spark, d).select(
         F.col("doc_id").cast("long").alias("doc_id"), "txt"
+    )
+
+
+@_register(
+    "pdf_metadata",
+    """
+SELECT doc_id,
+       'Document ' || doc_id::VARCHAR AS title,
+       'Author ' || (doc_id % 7)::VARCHAR AS author,
+       'pdf-ocr-spark 1.0' AS producer,
+       printf('D:2026%02d%02d000000Z',
+              ((doc_id % 12) + 1)::INT, ((doc_id % 28) + 1)::INT) AS created,
+       CASE WHEN doc_id % 3 = 0
+            THEN 'Document ' || doc_id::VARCHAR END AS xmp_title
+FROM documents
+""",
+)
+def q_pdf_metadata(spark: SparkSession, sf: str) -> DataFrame:
+    """Document-metadata scan over the real-PDF corpus: the §14.3.3
+    /Info dictionary (title/author/producer/creation date — with the
+    RC4-handler docs the strings are per-object encrypted, §7.6.5)
+    plus the §14.3.2 XMP dc:title (1-in-3 docs; a stream, so it is
+    encrypted whenever the file is). The corpus derives every field
+    purely from doc_id, so the oracle recomputes them in SQL — a hash
+    match certifies trailer /Info resolution, string (de)cryption,
+    UTF/literal/hex string parsing, and XMP stream decode. The
+    reference surfaces file metadata via its converter stack; this is
+    the curation-pipeline form (cheap pass before extraction)."""
+    from pdf_ocr_spark.sources.pdfsource import read_pdf_info
+
+    d = _pdf_fixture_dir(spark, sf)
+    return read_pdf_info(spark, d).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "title", "author", "producer", "created", "xmp_title",
     )
 
 

@@ -220,6 +220,8 @@ def encode_pdf(
     inline: str | None = None,
     indexed: bool = False,
     icc: bool = False,
+    info: dict[str, str] | None = None,
+    xmp_title: str | None = None,
     ascii85: bool = False,
     sample_bpc: int = 8,
     decode_invert: bool = False,
@@ -283,6 +285,16 @@ def encode_pdf(
     advisory to an un-color-managed reader). Both compose with
     ``compress`` and encryption; neither combines with the raster
     codec modes.
+
+    ``info`` writes a §14.3.3 document information dictionary (ASCII
+    values — /Title /Author /Producer /CreationDate etc.) referenced
+    from the trailer (classic) or xref stream dict (1.5). Under RC4
+    encryption the strings are per-object RC4-encrypted as the V2
+    handler mandates; the AES handlers declare ``/StrF /Identity``
+    (spec-legal, §7.6.5) so strings stay plaintext. ``xmp_title``
+    additionally emits a §14.3.2 XMP metadata stream (dc:title)
+    referenced from the catalog; like any stream it is encrypted
+    when the file is (/EncryptMetadata default true).
     """
     if not pages:
         raise ValueError("a PDF needs at least one page")
@@ -550,6 +562,22 @@ def encode_pdf(
     objects[2] = (
         f"<< /Type /Pages /Kids [{' '.join(kids)}] /Count {len(pages)} >>"
     ).encode()
+    info_num = None
+    if info:
+        info_num = max(objects) + 1
+        objects[info_num] = _serialize_info_dict(info)
+        extra_toplevel.add(info_num)
+    if xmp_title is not None:
+        xmp_num = max(objects) + 1
+        packet = _xmp_packet(xmp_title)
+        objects[xmp_num] = (
+            b"<< /Type /Metadata /Subtype /XML /Length %d >>\nstream\n%s\nendstream"
+            % (len(packet), packet)
+        )
+        extra_toplevel.add(xmp_num)
+        objects[1] = (
+            b"<< /Type /Catalog /Pages 2 0 R /Metadata %d 0 R >>" % xmp_num
+        )
 
     trailer_extra = b""
     enc = None
@@ -591,7 +619,7 @@ def encode_pdf(
             objects[enc_num] = (
                 b"<< /Filter /Standard /V 5 /R 6 /Length 256 "
                 b"/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen /Length 32 >> >> "
-                b"/StmF /StdCF /StrF /StdCF /P %d "
+                b"/StmF /StdCF /StrF /Identity /P %d "
                 b"/O <%s> /U <%s> /OE <%s> /UE <%s> /Perms <%s> >>"
                 % (
                     perms,
@@ -609,12 +637,14 @@ def encode_pdf(
                 idhex,
                 idhex,
             )
+            if info_num is not None:
+                trailer_extra += b" /Info %d 0 R" % info_num
             if object_streams:
                 return _emit_pdf15(objects, extra_toplevel, enc, trailer_extra)
             return _emit_pdf14(objects, trailer_extra)
         rev = 4 if cipher == "aes" else 3
         o = pdfcrypt.owner_entry(16, rev, owner_password=opw, user_password=upw)
-        fkey = pdfcrypt.file_key(o, perms, id1, rev, 16, user_password=upw)
+        fkey = fkey_s = pdfcrypt.file_key(o, perms, id1, rev, 16, user_password=upw)
         u = pdfcrypt.user_entry(fkey, id1, min(rev, 3))
 
         if cipher == "aes":
@@ -630,6 +660,14 @@ def encode_pdf(
             def enc(num: int, raw: bytes) -> bytes:
                 return pdfcrypt.encrypt_object(fkey, num, raw)
 
+        if info_num is not None and cipher == "rc4":
+            # the V2 handler encrypts ALL strings: re-serialize /Info
+            # with per-object RC4 ciphertext as hex strings (the AES
+            # handlers declare /StrF /Identity instead)
+            objects[info_num] = _serialize_info_dict(
+                info,
+                enc_str=lambda b, n=info_num: pdfcrypt.encrypt_object(fkey_s, n, b),
+            )
         for num in list(objects):
             objects[num] = _encrypt_body_stream(objects[num], num, enc)
         enc_num = max(objects) + 1
@@ -637,7 +675,7 @@ def encode_pdf(
             objects[enc_num] = (
                 b"<< /Filter /Standard /V 4 /R 4 /Length 128 "
                 b"/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >> "
-                b"/StmF /StdCF /StrF /StdCF "
+                b"/StmF /StdCF /StrF /Identity "
                 b"/P %d /O <%s> /U <%s> >>"
                 % (perms, o.hex().upper().encode(), u.hex().upper().encode())
             )
@@ -650,6 +688,8 @@ def encode_pdf(
         idhex = id1.hex().upper().encode()
         trailer_extra = b" /Encrypt %d 0 R /ID [<%s> <%s>]" % (enc_num, idhex, idhex)
 
+    if info_num is not None:
+        trailer_extra += b" /Info %d 0 R" % info_num
     if object_streams:
         return _emit_pdf15(objects, extra_toplevel, enc, trailer_extra)
     return _emit_pdf14(objects, trailer_extra)
@@ -676,6 +716,109 @@ def _emit_pdf14(objects: dict[int, bytes], trailer_extra: bytes = b"") -> bytes:
         % (n, trailer_extra, xref_at)
     )
     return bytes(out)
+
+
+def _serialize_info_dict(info: dict[str, str], enc_str=None) -> bytes:
+    """Serialize a §14.3.3 information dictionary. Values are ASCII
+    text strings — literal with ``( ) \\`` escaped, or (with
+    ``enc_str``, the RC4 string-encryption path) hex strings of the
+    per-object ciphertext."""
+    parts = []
+    for k, v in sorted(info.items()):
+        vb = v.encode("ascii")
+        if enc_str is not None:
+            parts.append("/%s <%s>" % (k, enc_str(vb).hex().upper()))
+        else:
+            esc = (
+                vb.replace(b"\\", b"\\\\")
+                .replace(b"(", b"\\(")
+                .replace(b")", b"\\)")
+                .decode("ascii")
+            )
+            parts.append("/%s (%s)" % (k, esc))
+    return ("<< %s >>" % " ".join(parts)).encode()
+
+
+def _xmp_packet(title: str) -> bytes:
+    """A minimal §14.3.2 XMP packet carrying dc:title (the field real
+    producers always set). XML special chars are entity-escaped."""
+    esc = (
+        title.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    )
+    return (
+        '<?xpacket begin="﻿" id="W5M0MpCehiHzreSzNTczkc9d"?>\n'
+        '<x:xmpmeta xmlns:x="adobe:ns:meta/">\n'
+        ' <rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">\n'
+        '  <rdf:Description rdf:about=""'
+        ' xmlns:dc="http://purl.org/dc/elements/1.1/">\n'
+        "   <dc:title><rdf:Alt>"
+        '<rdf:li xml:lang="x-default">%s</rdf:li>'
+        "</rdf:Alt></dc:title>\n"
+        "  </rdf:Description>\n"
+        " </rdf:RDF>\n"
+        "</x:xmpmeta>\n"
+        '<?xpacket end="w"?>' % esc
+    ).encode("utf-8")
+
+
+def pdf_info(data: bytes, password: bytes = b"") -> dict:
+    """Document metadata without raster work: the trailer's §14.3.3
+    /Info dictionary (title/author/producer/created) plus the
+    catalog's §14.3.2 XMP metadata stream (xmp_title from dc:title).
+    Missing pieces come back None — real files carry any subset.
+    String decryption follows the handler: legacy V1/V2 (RC4)
+    encrypts all strings, so they decrypt per-object; V4/V5 files
+    honour ``/StrF`` (``/Identity`` -> plaintext, else the StdCF
+    cipher). UTF-16BE (BOM) text strings decode per §7.9.2.2."""
+    if not data.startswith(b"%PDF-"):
+        raise ValueError("not a PDF (missing %PDF- header)")
+    body, trailer, decrypt = _load(data, password)
+    out = {
+        "title": None, "author": None, "producer": None,
+        "created": None, "xmp_title": None,
+    }
+
+    str_decrypt = None
+    if decrypt is not None:
+        ed = _dict_of(body(_ref(trailer, b"Encrypt")))
+        if not re.search(rb"/StrF\s*/Identity\b", ed):
+            str_decrypt = decrypt
+
+    im = re.search(rb"/Info\s+(\d+)\s+0\s+R", trailer)
+    if im is not None:
+        num = int(im.group(1))
+        d = _dict_of(body(num))
+        for key, col in (
+            (b"Title", "title"), (b"Author", "author"),
+            (b"Producer", "producer"), (b"CreationDate", "created"),
+        ):
+            try:
+                val = _pdf_string(d, key)
+            except ValueError:
+                continue
+            if str_decrypt is not None:
+                val = str_decrypt(num, val)
+            if val[:2] == b"\xfe\xff":
+                out[col] = val[2:].decode("utf-16-be", "replace")
+            else:
+                out[col] = val.decode("latin-1")
+    catalog = _dict_of(body(_ref(trailer, b"Root")))
+    mm = re.search(rb"/Metadata\s+(\d+)\s+0\s+R", catalog)
+    if mm is not None:
+        num = int(mm.group(1))
+        mbody = body(num)
+        md = _dict_of(mbody)
+        raw = _stream_of(mbody, _int(md, b"Length"))
+        if decrypt is not None:  # /EncryptMetadata default true
+            raw = decrypt(num, raw)
+        raw = _decode_stream(md, raw)
+        tm = re.search(rb"<rdf:li[^>]*>(.*?)</rdf:li>", raw, re.S)
+        if tm is not None:
+            t = tm.group(1).decode("utf-8", "replace")
+            out["xmp_title"] = (
+                t.replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")
+            )
+    return out
 
 
 def _encrypt_body_stream(body: bytes, num: int, enc) -> bytes:

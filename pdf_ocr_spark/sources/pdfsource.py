@@ -231,6 +231,20 @@ def write_pdf_corpus(
                     paths.append(path)
                     n_pages.append(len(images))
                     continue
+                meta, xmp_t = None, None
+                if not dct:
+                    # §14.3 document metadata, derived purely from the
+                    # doc id so the pdf_metadata oracle can recompute
+                    # it in SQL (dct corpus skipped: cache stability)
+                    meta = {
+                        "Title": f"Document {doc_id}",
+                        "Author": "Author %d" % (d % 7),
+                        "Producer": "pdf-ocr-spark 1.0",
+                        "CreationDate": "D:2026%02d%02d000000Z"
+                        % (d % 12 + 1, d % 28 + 1),
+                    }
+                    if d % 3 == 0:
+                        xmp_t = f"Document {doc_id}"
                 if not dct and d % INLINE_RESIDUES == 9:
                     # §8.9.7 inline-image page (BI..ID..EI, no raster
                     # XObject) — wins over every other non-DCT raster
@@ -245,6 +259,8 @@ def write_pdf_corpus(
                                 inline=("flate", "raw", "rle")[
                                     (d // INLINE_RESIDUES) % 3
                                 ],
+                                info=meta,
+                                xmp_title=xmp_t,
                                 encrypt=d % ENCRYPT_RESIDUES == 1,
                                 cipher=(
                                     "aes256"
@@ -315,6 +331,8 @@ def write_pdf_corpus(
                             and not (indexed or icc),
                             indexed=indexed,
                             icc=icc,
+                            info=meta,
+                            xmp_title=xmp_t,
                             rle=not dct and d % RLE_RESIDUES == 6,
                             ccitt=not dct and d % CCITT_RESIDUES == 4,
                             # rotate the fax mode: G4, G3 1-D, G3 mixed
@@ -448,6 +466,41 @@ def pdf_page_counts(spark: SparkSession, pdf_dir: str) -> DataFrame:
 
     return bf.select("path", "content").mapInPandas(
         kernel, schema="doc_id string, n_pages int"
+    )
+
+
+def read_pdf_info(spark: SparkSession, pdf_dir: str) -> DataFrame:
+    """Document-metadata scan: the §14.3.3 /Info dictionary plus the
+    §14.3.2 XMP dc:title per file — no raster decode, the cheap
+    metadata pass a curation pipeline runs before committing to
+    extraction. One narrow Arrow stage over the binaryFile scan; a
+    malformed file yields a row of NULLs rather than failing the
+    partition (the error-as-row contract, reference app.py:486-493)."""
+    bf = _binary_scan(spark, os.path.join(pdf_dir, "*.pdf"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_ocr_spark.sources.pdfcodec import pdf_info
+
+        cols = ("title", "author", "producer", "created", "xmp_title")
+        for pdf in batches:
+            rows = {c: [] for c in ("doc_id",) + cols}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                m = _DOC_RE.search(path)
+                rows["doc_id"].append(m.group(1) if m else path)
+                try:
+                    got = pdf_info(bytes(content))
+                except ValueError:
+                    got = {}
+                for c in cols:
+                    rows[c].append(got.get(c))
+            yield pd.DataFrame(rows)
+
+    return bf.select("path", "content").mapInPandas(
+        kernel,
+        schema=(
+            "doc_id string, title string, author string, "
+            "producer string, created string, xmp_title string"
+        ),
     )
 
 

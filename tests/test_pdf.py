@@ -240,6 +240,41 @@ def test_indexed_icc_encrypted(kw):
     assert (decode_pdf(data)[0] == rgb).all()
 
 
+def test_pdf_info_round_trip_all_handlers():
+    """§14.3.3 /Info + §14.3.2 XMP metadata round-trip in both layouts
+    and under every encryption handler: RC4 encrypts the strings
+    per-object (V2 mandates it), AES handlers declare /StrF /Identity
+    so strings stay plaintext, and the XMP stream is encrypted like
+    any other stream."""
+    from pdf_ocr_spark.sources.pdfcodec import pdf_info
+
+    img = np.zeros((8, 8), dtype=np.uint8)
+    meta = {
+        "Title": "Document 7", "Author": "Author 0",
+        "Producer": "pdf-ocr-spark 1.0", "CreationDate": "D:20260801000000Z",
+    }
+    for objstm in (False, True):
+        for enc, ciph in (
+            (False, "rc4"), (True, "rc4"), (True, "aes"), (True, "aes256"),
+        ):
+            data = encode_pdf(
+                [img], compress=True, object_streams=objstm, info=meta,
+                xmp_title="Document 7", encrypt=enc, cipher=ciph,
+            )
+            got = pdf_info(data)
+            assert got == {
+                "title": "Document 7", "author": "Author 0",
+                "producer": "pdf-ocr-spark 1.0",
+                "created": "D:20260801000000Z", "xmp_title": "Document 7",
+            }, (objstm, enc, ciph)
+            if enc and ciph == "rc4" and not objstm:
+                assert b"(Document 7)" not in data  # strings really encrypted
+    # absent metadata -> all None; escaping round-trips
+    assert all(v is None for v in pdf_info(encode_pdf([img])).values())
+    g = pdf_info(encode_pdf([img], info={"Title": r"a(b)\c"}, xmp_title="x & <y>"))
+    assert g["title"] == r"a(b)\c" and g["xmp_title"] == "x & <y>"
+
+
 def test_inline_image_extracts_through_ocr(spark, tmp_path):
     """End to end: an inline-image scan flows binaryFile -> parse ->
     OCR exactly like the XObject shape (the corpus rotation plants
