@@ -1868,8 +1868,9 @@ def _pdf_fixture_dir(
     # 1-in-31 wrap the device space as [/ICCBased N 0 R].
     # r5meta: every non-DCT doc carries a §14.3.3 /Info dictionary
     # (RC4-encrypted strings on the RC4 docs) and 1-in-3 an XMP
-    # metadata stream.
-    gen_tag = "r5meta" if variant == "objstm" else "r5sym"
+    # metadata stream. r5incr: 1-in-37 docs additionally carry an
+    # §7.5.6 incremental update (re-saved raster + bumped /Producer).
+    gen_tag = "r5incr" if variant == "objstm" else "r5sym"
     fingerprint = f"{agg['n']}:{agg['ck']}:{variant}:{gen_tag}"
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker):
@@ -2076,7 +2077,9 @@ def q_pdf_extract_text(spark: SparkSession, sf: str) -> DataFrame:
 SELECT doc_id,
        'Document ' || doc_id::VARCHAR AS title,
        'Author ' || (doc_id % 7)::VARCHAR AS author,
-       'pdf-ocr-spark 1.0' AS producer,
+       CASE WHEN doc_id % 37 = 13 AND doc_id % 5 != 1 AND doc_id % 23 != 9
+            THEN 'pdf-ocr-spark 1.1'   -- incrementally re-saved docs
+            ELSE 'pdf-ocr-spark 1.0' END AS producer,
        printf('D:2026%02d%02d000000Z',
               ((doc_id % 12) + 1)::INT, ((doc_id % 28) + 1)::INT) AS created,
        CASE WHEN doc_id % 3 = 0
@@ -2092,7 +2095,9 @@ def q_pdf_metadata(spark: SparkSession, sf: str) -> DataFrame:
     encrypted whenever the file is). The corpus derives every field
     purely from doc_id, so the oracle recomputes them in SQL — a hash
     match certifies trailer /Info resolution, string (de)cryption,
-    UTF/literal/hex string parsing, and XMP stream decode. The
+    UTF/literal/hex string parsing, XMP stream decode, AND §7.5.6
+    incremental-update semantics (1-in-37 docs are re-saved with a
+    bumped /Producer; the oracle's CASE demands the LATEST /Info). The
     reference surfaces file metadata via its converter stack; this is
     the curation-pipeline form (cheap pass before extraction)."""
     from pdf_ocr_spark.sources.pdfsource import read_pdf_info

@@ -718,6 +718,101 @@ def _emit_pdf14(objects: dict[int, bytes], trailer_extra: bytes = b"") -> bytes:
     return bytes(out)
 
 
+def incremental_update(data: bytes, new_objects: dict[int, bytes]) -> bytes:
+    """Append an §7.5.6 incremental update: the original bytes stay
+    untouched, the replaced/added object bodies follow, then a new
+    cross-reference section chained to the old one via /Prev — the
+    layout every save-in-Acrobat / sign / annotate pass produces.
+    Readers must honour the LATEST definition of each object number
+    (this codec's forward object scan does exactly that).
+
+    The update's xref matches the file's own flavor: classic files get
+    a subsectioned ``xref`` table + ``trailer`` (with /Prev), 1.5
+    files get an appended /Type /XRef stream (with /Prev and /Index).
+    Updating an encrypted file would need the file key for the new
+    bodies — outside the subset, typed error."""
+    if not data.startswith(b"%PDF-"):
+        raise ValueError("not a PDF (missing %PDF- header)")
+    _body, trailer, decrypt = _load(data)
+    if decrypt is not None:
+        raise ValueError(
+            "incremental updates of encrypted files are not in the subset"
+        )
+    sxm = re.findall(rb"startxref\s+(\d+)", data)
+    if not sxm:
+        raise ValueError("missing startxref")
+    prev = int(sxm[-1])
+    root_ref = _ref(trailer, b"Root")
+    info_m = re.search(rb"/Info\s+(\d+)\s+0\s+R", trailer)
+    id_m = re.search(rb"/ID\s*(\[[^\]]*\])", trailer)
+    size = max(
+        _int_default(trailer, b"Size", 0), max(new_objects) + 1
+    )
+
+    out = bytearray(data)
+    if not data.endswith(b"\n"):
+        out += b"\n"
+    offsets: dict[int, int] = {}
+    for num in sorted(new_objects):
+        offsets[num] = len(out)
+        out += _obj(num, new_objects[num])
+
+    # contiguous subsections of the updated numbers
+    nums = sorted(offsets)
+    runs: list[list[int]] = [[nums[0]]]
+    for n in nums[1:]:
+        (runs[-1].append(n) if n == runs[-1][-1] + 1 else runs.append([n]))
+
+    tail = b" /Prev %d" % prev
+    if info_m is not None:
+        tail += b" /Info %s 0 R" % info_m.group(1)
+    if id_m is not None:
+        tail += b" /ID " + id_m.group(1)
+    xref_at = len(out)
+    if data.rfind(b"trailer") != -1:  # classic table + trailer update
+        out += b"xref\n"
+        for run in runs:
+            out += b"%d %d\n" % (run[0], len(run))
+            for n in run:
+                out += b"%010d 00000 n \n" % offsets[n]
+        out += b"trailer\n<< /Size %d /Root %d 0 R%s >>\n" % (
+            size, root_ref, tail,
+        )
+    else:  # 1.5: appended cross-reference STREAM
+        xnum = size
+        size += 1
+        runs[-1].append(xnum) if runs[-1][-1] + 1 == xnum else runs.append([xnum])
+        index = b" ".join(b"%d %d" % (r[0], len(r)) for r in runs)
+        rows = bytearray()
+        for run in runs:
+            for n in run:
+                off = xref_at if n == xnum else offsets[n]
+                rows += b"\x01" + off.to_bytes(4, "big") + b"\x00\x00"
+        out += _obj(
+            xnum,
+            b"<< /Type /XRef /Size %d /W [1 4 2] /Index [%s] "
+            b"/Root %d 0 R%s /Length %d >>\nstream\n%s\nendstream"
+            % (size, index, root_ref, tail, len(rows), bytes(rows)),
+        )
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_at
+    return bytes(out)
+
+
+def flate_image_xobject(img: np.ndarray) -> bytes:
+    """A standalone Flate-coded gray/RGB image XObject body — the
+    replacement-object builder for :func:`incremental_update` (zlib
+    level 9, so a re-save of identical pixels still has different
+    bytes than the original level-6 stream)."""
+    cs = "/DeviceGray" if img.ndim == 2 else "/DeviceRGB"
+    raw = zlib.compress(np.ascontiguousarray(img).tobytes(), 9)
+    h, w = img.shape[:2]
+    return (
+        f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
+        f"/ColorSpace {cs} /BitsPerComponent 8 /Filter /FlateDecode "
+        f"/Length {len(raw)} >>\n"
+    ).encode() + b"stream\n" + raw + b"\nendstream"
+
+
 def _serialize_info_dict(info: dict[str, str], enc_str=None) -> bytes:
     """Serialize a §14.3.3 information dictionary. Values are ASCII
     text strings — literal with ``( ) \\`` escaped, or (with

@@ -99,6 +99,14 @@ INDEXED_RESIDUES = 29
 #: born-digital producer default). Same precedence as /Indexed
 #: (which wins when both residues hit).
 ICC_RESIDUES = 31
+#: doc id % UPDATE_RESIDUES == 13 -> the file carries an §7.5.6
+#: INCREMENTAL UPDATE (the save-in-Acrobat shape): an appended
+#: re-save replaces the page-0 raster with a level-9 Flate re-encode
+#: of the same pixels and bumps /Info /Producer to "pdf-ocr-spark
+#: 1.1" — last definition wins. Skipped for encrypted (id % 5 == 1:
+#: the update bodies would need the file key) and inline (id % 23 ==
+#: 9: no raster XObject to replace) docs.
+UPDATE_RESIDUES = 37
 
 PDF_PAGES_SCHEMA = (
     "doc_id string, offset int, media_ref string, payload binary, parse_error string"
@@ -293,9 +301,7 @@ def write_pdf_corpus(
                 )
                 path = os.path.join(out_dir, f"doc_{doc_id}.pdf")
                 tmp = path + ".tmp"
-                with open(tmp, "wb") as f:
-                    f.write(
-                        encode_pdf(
+                blob = encode_pdf(
                             images,
                             compress=compress,
                             object_streams=object_streams,
@@ -355,8 +361,35 @@ def write_pdf_corpus(
                             ),
                             decode_invert=depth
                             and (d // (DEPTH_RESIDUES * 3)) % 2 == 1,
-                        )
+                )
+                if not dct and d % UPDATE_RESIDUES == 13 and d % ENCRYPT_RESIDUES != 1:
+                    # §7.5.6 incremental update (the save-in-Acrobat
+                    # shape): a re-save replacing the page-0 raster
+                    # with a level-9 Flate re-encode of the SAME
+                    # pixels plus a bumped-/Producer /Info — readers
+                    # must honour the latest definitions (certified
+                    # by pdf_metadata's oracle CASE on this residue)
+                    import re as _re
+
+                    from pdf_ocr_spark.sources.pdfcodec import (
+                        _serialize_info_dict,
+                        flate_image_xobject,
+                        incremental_update,
                     )
+
+                    new_info = dict(meta, Producer="pdf-ocr-spark 1.1")
+                    info_num = int(
+                        _re.findall(rb"/Info\s+(\d+)\s+0\s+R", blob)[-1]
+                    )
+                    blob = incremental_update(
+                        blob,
+                        {
+                            5: flate_image_xobject(images[0]),
+                            info_num: _serialize_info_dict(new_info),
+                        },
+                    )
+                with open(tmp, "wb") as f:
+                    f.write(blob)
                 os.replace(tmp, path)  # atomic: readers never see partials
                 paths.append(path)
                 n_pages.append(len(images))

@@ -275,6 +275,50 @@ def test_pdf_info_round_trip_all_handlers():
     assert g["title"] == r"a(b)\c" and g["xmp_title"] == "x & <y>"
 
 
+@pytest.mark.parametrize("objstm", [False, True])
+def test_incremental_update_latest_definition_wins(objstm):
+    """§7.5.6 incremental updates: the original bytes stay intact, the
+    appended xref (classic table or 1.5 xref stream, matching the
+    file) chains via /Prev, and readers take the LATEST definition of
+    every replaced object — raster AND /Info."""
+    from pdf_ocr_spark.sources.pdfcodec import (
+        _serialize_info_dict,
+        flate_image_xobject,
+        incremental_update,
+        pdf_info,
+    )
+
+    rng = np.random.RandomState(29)
+    img = rng.randint(0, 256, (10, 12)).astype(np.uint8)
+    img2 = rng.randint(0, 256, (10, 12)).astype(np.uint8)
+    base = encode_pdf(
+        [img], compress=True, object_streams=objstm,
+        info={"Title": "Document 3", "Producer": "pdf-ocr-spark 1.0"},
+    )
+    import re as _re
+
+    info_num = int(_re.findall(rb"/Info\s+(\d+)\s+0\s+R", base)[-1])
+    upd = incremental_update(base, {
+        5: flate_image_xobject(img2),
+        info_num: _serialize_info_dict(
+            {"Title": "Document 3", "Producer": "pdf-ocr-spark 1.1"}
+        ),
+    })
+    assert upd.startswith(base)  # append-only
+    assert (decode_pdf(upd)[0] == img2).all()
+    assert page_count(upd) == 1
+    got = pdf_info(upd)
+    assert got["producer"] == "pdf-ocr-spark 1.1" and got["title"] == "Document 3"
+    # a second save chains a second /Prev
+    upd2 = incremental_update(upd, {5: flate_image_xobject(img)})
+    assert (decode_pdf(upd2)[0] == img).all()
+    assert upd2.count(b"/Prev") == 2
+    with pytest.raises(ValueError, match="encrypted"):
+        incremental_update(
+            encode_pdf([img], compress=True, encrypt=True), {5: b"<< >>"}
+        )
+
+
 def test_inline_image_extracts_through_ocr(spark, tmp_path):
     """End to end: an inline-image scan flows binaryFile -> parse ->
     OCR exactly like the XObject shape (the corpus rotation plants
