@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "hocr_pages",
     "pdf_page_count",
     "pdf_metadata",
+    "pdf_links",
     "pdf_extract_text",
     "pdf_extract_text_dct",
     "pdf_text_layer",

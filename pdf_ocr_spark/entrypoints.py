@@ -1870,7 +1870,8 @@ def _pdf_fixture_dir(
     # (RC4-encrypted strings on the RC4 docs) and 1-in-3 an XMP
     # metadata stream. r5incr: 1-in-37 docs additionally carry an
     # §7.5.6 incremental update (re-saved raster + bumped /Producer).
-    gen_tag = "r5incr" if variant == "objstm" else "r5sym"
+    # r5links: page i carries a /Link /URI annotation iff (id+i)%2==0.
+    gen_tag = "r5links" if variant == "objstm" else "r5sym"
     fingerprint = f"{agg['n']}:{agg['ck']}:{variant}:{gen_tag}"
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker):
@@ -2106,6 +2107,42 @@ def q_pdf_metadata(spark: SparkSession, sf: str) -> DataFrame:
     return read_pdf_info(spark, d).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         "title", "author", "producer", "created", "xmp_title",
+    )
+
+
+@_register(
+    "pdf_links",
+    f"""
+WITH pages AS (
+  SELECT doc_id,
+         greatest(1, ceil(len({sql_tokens('text')}) / 20.0))::INT AS n
+  FROM documents
+)
+, exploded AS (SELECT doc_id, unnest(range(n)) AS i FROM pages)
+SELECT doc_id, i::BIGINT AS page,
+       'https://example.org/doc/' || doc_id::VARCHAR || '/p' || i::VARCHAR AS uri
+FROM exploded
+WHERE (doc_id + i) % 2 = 0
+""",
+)
+def q_pdf_links(spark: SparkSession, sf: str) -> DataFrame:
+    """Outbound-link harvest over the real-PDF corpus: §12.5.6.5
+    /Link annotations with /URI actions, one (doc_id, page, uri) row
+    each — the PDF twin of html_links feeding the crawl frontier
+    (recrawl_frontier / crawl_schedule consume exactly this shape).
+    The corpus plants a link on page i iff (doc_id+i) is even with the
+    URI derived from (doc_id, i), so the oracle regenerates the exact
+    row set from the documents table — certifying /Annots array
+    parsing (direct dicts), nested-dict span scanning, and the §7.6.2
+    rule that ObjStm strings decrypt with the stream, not per-string
+    (1-in-5 docs are encrypted)."""
+    from pdf_ocr_spark.sources.pdfsource import read_pdf_links
+
+    d = _pdf_fixture_dir(spark, sf)
+    return read_pdf_links(spark, d).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("page").cast("long").alias("page"),
+        "uri",
     )
 
 

@@ -222,6 +222,7 @@ def encode_pdf(
     icc: bool = False,
     info: dict[str, str] | None = None,
     xmp_title: str | None = None,
+    page_links: list[list[str]] | None = None,
     ascii85: bool = False,
     sample_bpc: int = 8,
     decode_invert: bool = False,
@@ -295,6 +296,15 @@ def encode_pdf(
     additionally emits a §14.3.2 XMP metadata stream (dc:title)
     referenced from the catalog; like any stream it is encrypted
     when the file is (/EncryptMetadata default true).
+
+    ``page_links`` (one URI list per page) writes §12.5.6.5 link
+    annotations — ``/Annots`` arrays of direct /Link dicts with
+    §12.6.4.7 /URI actions — the outbound-link shape a crawl pipeline
+    harvests from PDFs. Direct dicts keep the 3-per-page object
+    layout; under 1.5 the strings live inside the (encrypted) ObjStm,
+    which §7.6.2 exempts from per-string encryption, so RC4 +
+    ``page_links`` requires ``object_streams=True`` (typed error
+    otherwise).
     """
     if not pages:
         raise ValueError("a PDF needs at least one page")
@@ -324,6 +334,15 @@ def encode_pdf(
             "indexed/icc colorspaces apply to the plain raw/Flate raster "
             "path only, and not to each other"
         )
+    if page_links is not None:
+        if len(page_links) != len(pages):
+            raise ValueError("page_links needs one URI list per page")
+        if encrypt and not object_streams:
+            raise ValueError(
+                "page_links under encryption needs object_streams=True "
+                "(ObjStm strings are exempt from per-string encryption, "
+                "ISO 32000-1 §7.6.2; top-level page strings are not)"
+            )
     objects: dict[int, bytes] = {}
     kids = []
     # objects that must stay out of the 1.5 ObjStm (appended stream
@@ -345,6 +364,20 @@ def encode_pdf(
         h, w = img.shape[:2]
         page_num, content_num, image_num = 3 + 3 * i, 4 + 3 * i, 5 + 3 * i
         kids.append(f"{page_num} 0 R")
+        annots_entry = ""
+        if page_links is not None and page_links[i]:
+            # §12.5.6.5 link annotations as DIRECT dicts (spec-legal,
+            # keeps the 3-per-page object layout) with /URI actions
+            link_dicts = " ".join(
+                "<< /Type /Annot /Subtype /Link /Rect [0 %d %d %d] "
+                "/Border [0 0 0] /A << /S /URI /URI (%s) >> >>"
+                % (
+                    max(0, h - 20 * (j + 1)), w, max(0, h - 20 * j),
+                    u.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)"),
+                )
+                for j, u in enumerate(page_links[i])
+            )
+            annots_entry = f"/Annots [ {link_dicts} ] "
         if inline is not None:
             # §8.9.7 inline image: the raster lives INSIDE the content
             # stream between BI..ID..EI with abbreviated keys — the
@@ -352,7 +385,7 @@ def encode_pdf(
             # emitted, so object number 5+3i stays a free xref entry.
             objects[page_num] = (
                 f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {w} {h}] "
-                f"/Contents {content_num} 0 R >>"
+                f"{annots_entry}/Contents {content_num} 0 R >>"
             ).encode()
             cs_abbrev = "/G" if img.ndim == 2 else "/RGB"
             samples = np.ascontiguousarray(img).tobytes()
@@ -388,7 +421,7 @@ def encode_pdf(
             continue
         objects[page_num] = (
             f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {w} {h}] "
-            f"/Resources << /XObject << /Im0 {image_num} 0 R >> >> "
+            f"{annots_entry}/Resources << /XObject << /Im0 {image_num} 0 R >> >> "
             f"/Contents {content_num} 0 R >>"
         ).encode()
         draw = f"q {w} 0 0 {h} 0 0 cm /Im0 Do Q".encode()
@@ -916,6 +949,115 @@ def pdf_info(data: bytes, password: bytes = b"") -> dict:
     return out
 
 
+def _balanced_span(data: bytes, start: int, op: int, cl: int) -> int:
+    """End index (exclusive) of the balanced bracket pair opening at
+    ``start`` — literal strings are skipped (escapes honoured) so a
+    ``]``/``>>`` inside a URI can't truncate the span."""
+    depth = 0
+    i = start
+    n = len(data)
+    while i < n:
+        b = data[i]
+        if b == 0x28:  # '(' — skip the literal string
+            j = i + 1
+            sdepth = 1
+            while j < n and sdepth:
+                if data[j] == 0x5C:
+                    j += 2
+                    continue
+                sdepth += data[j] == 0x28
+                sdepth -= data[j] == 0x29
+                j += 1
+            i = j
+            continue
+        if b == op:
+            depth += 1
+        elif b == cl:
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    raise ValueError("unbalanced bracket in dictionary/array")
+
+
+def _page_numbers(body, node_num: int, depth: int = 0):
+    """Leaf page OBJECT NUMBERS of a (possibly nested) page tree, in
+    document order."""
+    if depth > 64:
+        raise ValueError("page tree deeper than 64 levels")
+    node = _dict_of(body(node_num))
+    if re.search(rb"/Type\s*/Page\b(?!s)", node):
+        yield node_num
+        return
+    kids_m = re.search(rb"/Kids\s*\[([^\]]*)\]", node)
+    if kids_m is None:
+        raise ValueError("page tree node %d has no /Kids" % node_num)
+    for m in re.finditer(rb"(\d+)\s+0\s+R", kids_m.group(1)):
+        yield from _page_numbers(body, int(m.group(1)), depth + 1)
+
+
+def pdf_links(data: bytes, password: bytes = b"") -> list[tuple[int, str]]:
+    """Outbound URIs from §12.5.6.5 link annotations, as ``(page_index,
+    uri)`` in document order — the link harvest a crawl pipeline runs
+    over PDF corpora (the HTML-side twin is operators/webextract.py's
+    ``html_links``). Annotations may be direct dicts in /Annots or
+    indirect refs (both real-producer shapes); non-link annotations
+    and /GoTo-style actions are skipped. String decryption follows
+    §7.6.2: only strings whose winning object lives top-level decrypt
+    (ObjStm members are covered by the stream's own encryption)."""
+    if not data.startswith(b"%PDF-"):
+        raise ValueError("not a PDF (missing %PDF- header)")
+    body, trailer, decrypt = _load(data, password)
+    str_decrypt = None
+    if decrypt is not None:
+        ed = _dict_of(body(_ref(trailer, b"Encrypt")))
+        if not re.search(rb"/StrF\s*/Identity\b", ed):
+            str_decrypt = decrypt
+    packed = getattr(body, "packed_nums", frozenset())
+    catalog = _dict_of(body(_ref(trailer, b"Root")))
+    out: list[tuple[int, str]] = []
+    for idx, pnum in enumerate(_page_numbers(body, _ref(catalog, b"Pages"))):
+        page = _dict_of(body(pnum))
+        am = re.search(rb"/Annots\s*(\[|\d+\s+0\s+R)", page)
+        if am is None:
+            continue
+        if am.group(1) == b"[":
+            arr = page[am.end() - 1 : _balanced_span(page, am.end() - 1, 0x5B, 0x5D)]
+            holder = pnum
+        else:
+            holder = int(am.group(1).split()[0])
+            arr = body(holder)
+        # annotation items: direct dicts (scan << >>) and indirect refs
+        annots: list[tuple[bytes, int]] = []
+        i = 0
+        while i < len(arr):
+            dm = re.compile(rb"<<").search(arr, i)
+            rm = re.compile(rb"(\d+)\s+0\s+R").search(arr, i)
+            if dm is not None and (rm is None or dm.start() < rm.start()):
+                end = _balanced_span(arr, dm.start(), 0x3C, 0x3E)
+                annots.append((arr[dm.start() : end], holder))
+                i = end
+            elif rm is not None:
+                anum = int(rm.group(1))
+                annots.append((_dict_of(body(anum)), anum))
+                i = rm.end()
+            else:
+                break
+        for annot, owner in annots:
+            if not re.search(rb"/Subtype\s*/Link\b", annot):
+                continue
+            if not re.search(rb"/S\s*/URI\b", annot):
+                continue
+            try:
+                val = _pdf_string(annot, b"URI")
+            except ValueError:
+                continue
+            if str_decrypt is not None and owner not in packed:
+                val = str_decrypt(owner, val)
+            out.append((idx, val.decode("latin-1")))
+    return out
+
+
 def _encrypt_body_stream(body: bytes, num: int, enc) -> bytes:
     """Encrypt the stream payload of an already-serialized object body
     (no-op for dict-only objects). RC4 preserves length; AES grows the
@@ -1436,6 +1578,11 @@ def _load(data: bytes, password: bytes = b""):
             return packed[num]
         raise ValueError("dangling reference to object %d" % num)
 
+    # §7.6.2: strings inside object streams are NOT individually
+    # encrypted (the ObjStm payload is) — string readers need to know
+    # where the WINNING definition lives to decide whether to decrypt
+    # its strings (a top-level span shadows an ObjStm member)
+    body.packed_nums = frozenset(packed) - spans.keys()
     return body, trailer, decrypt
 
 

@@ -253,6 +253,19 @@ def write_pdf_corpus(
                     }
                     if d % 3 == 0:
                         xmp_t = f"Document {doc_id}"
+                links = None
+                if not dct:
+                    # §12.5.6.5 link annotations: page i links out iff
+                    # (id + i) is even — URI derived from (id, i) so
+                    # the pdf_links oracle recomputes the exact rows
+                    links = [
+                        (
+                            [f"https://example.org/doc/{doc_id}/p{i}"]
+                            if (d + i) % 2 == 0
+                            else []
+                        )
+                        for i in range(len(images))
+                    ]
                 if not dct and d % INLINE_RESIDUES == 9:
                     # §8.9.7 inline-image page (BI..ID..EI, no raster
                     # XObject) — wins over every other non-DCT raster
@@ -269,6 +282,7 @@ def write_pdf_corpus(
                                 ],
                                 info=meta,
                                 xmp_title=xmp_t,
+                                page_links=links,
                                 encrypt=d % ENCRYPT_RESIDUES == 1,
                                 cipher=(
                                     "aes256"
@@ -339,6 +353,7 @@ def write_pdf_corpus(
                             icc=icc,
                             info=meta,
                             xmp_title=xmp_t,
+                            page_links=links,
                             rle=not dct and d % RLE_RESIDUES == 6,
                             ccitt=not dct and d % CCITT_RESIDUES == 4,
                             # rotate the fax mode: G4, G3 1-D, G3 mixed
@@ -534,6 +549,37 @@ def read_pdf_info(spark: SparkSession, pdf_dir: str) -> DataFrame:
             "doc_id string, title string, author string, "
             "producer string, created string, xmp_title string"
         ),
+    )
+
+
+def read_pdf_links(spark: SparkSession, pdf_dir: str) -> DataFrame:
+    """Outbound-link harvest over PDF corpora: §12.5.6.5 /Link
+    annotations with §12.6.4.7 /URI actions, exploded to one
+    (doc_id, page, uri) row each in document order — the PDF twin of
+    the HTML link extractor feeding the crawl frontier. Narrow Arrow
+    stage, no raster decode; malformed files contribute no rows."""
+    bf = _binary_scan(spark, os.path.join(pdf_dir, "*.pdf"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_ocr_spark.sources.pdfcodec import pdf_links
+
+        for pdf in batches:
+            ids, pg, uris = [], [], []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                m = _DOC_RE.search(path)
+                did = m.group(1) if m else path
+                try:
+                    found = pdf_links(bytes(content))
+                except ValueError:
+                    continue
+                for page, uri in found:
+                    ids.append(did)
+                    pg.append(page)
+                    uris.append(uri)
+            yield pd.DataFrame({"doc_id": ids, "page": pg, "uri": uris})
+
+    return bf.select("path", "content").mapInPandas(
+        kernel, schema="doc_id string, page int, uri string"
     )
 
 

@@ -319,6 +319,38 @@ def test_incremental_update_latest_definition_wins(objstm):
         )
 
 
+def test_pdf_links_round_trip():
+    """§12.5.6.5 /Link annotations with /URI actions round-trip in
+    both layouts, under every handler (ObjStm strings are exempt from
+    per-string encryption, §7.6.2), on inline-image pages, and with
+    parens in the URI."""
+    from pdf_ocr_spark.sources.pdfcodec import pdf_links
+
+    img = np.zeros((60, 40), dtype=np.uint8)
+    links = [["https://a.example/x", "https://b.example/y(z)"], [],
+             ["https://c.example/p2"]]
+    want = [(0, "https://a.example/x"), (0, "https://b.example/y(z)"),
+            (2, "https://c.example/p2")]
+    for objstm in (False, True):
+        data = encode_pdf(
+            [img, img, img], compress=True, object_streams=objstm,
+            page_links=links,
+        )
+        assert pdf_links(data) == want, objstm
+        assert len(decode_pdf(data)) == 3
+    for ciph in ("rc4", "aes", "aes256"):
+        data = encode_pdf(
+            [img], compress=True, object_streams=True, encrypt=True,
+            cipher=ciph, page_links=[["https://e.example/enc"]],
+        )
+        assert pdf_links(data) == [(0, "https://e.example/enc")], ciph
+    with pytest.raises(ValueError, match="ObjStm|object_streams"):
+        encode_pdf([img], encrypt=True, page_links=[["u"]])
+    assert pdf_links(encode_pdf([img])) == []
+    data = encode_pdf([img], inline="flate", page_links=[["https://i.example/in"]])
+    assert pdf_links(data) == [(0, "https://i.example/in")]
+
+
 def test_inline_image_extracts_through_ocr(spark, tmp_path):
     """End to end: an inline-image scan flows binaryFile -> parse ->
     OCR exactly like the XObject shape (the corpus rotation plants
