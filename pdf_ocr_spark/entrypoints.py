@@ -1871,7 +1871,8 @@ def _pdf_fixture_dir(
     # metadata stream. r5incr: 1-in-37 docs additionally carry an
     # §7.5.6 incremental update (re-saved raster + bumped /Producer).
     # r5links: page i carries a /Link /URI annotation iff (id+i)%2==0.
-    gen_tag = "r5links" if variant == "objstm" else "r5sym"
+    # r5lossy (jpx variant): half the JPX docs use the 9/7 lossy path.
+    gen_tag = {"objstm": "r5links", "jpx": "r5lossy", "dct": "r5sym"}[variant]
     fingerprint = f"{agg['n']}:{agg['ck']}:{variant}:{gen_tag}"
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker):
@@ -2170,13 +2171,16 @@ ORACLES["pdf_extract_text_dct"] = ORACLES["pdf_extract_text"]
 def q_pdf_extract_text_jpx(spark: SparkSession, sf: str) -> DataFrame:
     """The same end-to-end pipeline over a **JPEG 2000** corpus: every
     raster is a JP2-wrapped /JPXDecode codestream, decoded by the
-    from-scratch T.800 codec (sources/jpxcodec.py — 5/3 reversible
-    DWT, EBCOT tier-1/tier-2) before OCR. The 5/3 path is lossless,
-    so the extracted text must match the pure-SQL reconstruction
-    byte-for-byte over the same ``doc_id % 4 = 1`` subset the corpus
-    covers (EBCOT in pure python earns a capped corpus, not a capped
-    contract — the codec itself is exhaustively round-trip tested in
-    tests/test_jpx.py)."""
+    from-scratch T.800 codec (sources/jpxcodec.py — EBCOT
+    tier-1/tier-2) before OCR. Half the docs take the lossless 5/3
+    reversible path, half the LOSSY 9/7 irreversible path with
+    deadzone quantization (the wild scanner shape) — extraction must
+    still match the pure-SQL reconstruction byte-for-byte because the
+    near-lossless delta never crosses the OCR binarization threshold
+    (pinned in tests/test_jpx.py), over the same ``doc_id % 4 = 1``
+    subset the corpus covers (EBCOT in pure python earns a capped
+    corpus, not a capped contract — the codec itself is exhaustively
+    round-trip tested)."""
     from pdf_ocr_spark.sources.pdfsource import extract_pdf_documents
 
     d = _pdf_fixture_dir(spark, sf, jpx=True)

@@ -21,6 +21,11 @@ Scope (subset, typed errors outside it):
 * **Reversible 5/3 wavelet** (Annex F) with whole-sample symmetric
   extension, any decomposition depth, odd sizes down to 1; the
   reversible multiple component transform (RCT, G.2) for RGB.
+* **Irreversible 9/7 wavelet** (F.4.8, CDF lifting) with the ICT
+  (G.3) and E.2 deadzone scalar quantization signalled through a
+  scalar-expounded QCD (style 2, exponent/mantissa per subband,
+  stream-honoured guard bits) — the LOSSY path wild scanner output
+  uses; midpoint (r=0.5) dequantization on decode.
 * **EBCOT tier-1** (Annex D): all three coding passes (significance
   propagation, magnitude refinement, cleanup with run-length mode),
   the published ZC/SC/MR context tables, default code-block style 0
@@ -116,6 +121,116 @@ def dwt53_inverse(ll: np.ndarray, bands) -> np.ndarray:
         hi = _idwt53_1d(lh, hh, axis=1, n=w)
         out = _idwt53_1d(lo, hi, axis=0, n=h)
     return out
+
+
+# CDF 9/7 lifting constants (T.800 F.4.8.2) and the K scaling factor.
+_A97 = -1.586134342059924
+_B97 = -0.052980118572961
+_G97 = 0.882911075530934
+_D97 = 0.443506852043971
+_K97 = 1.230174104914001
+
+
+def _dwt97_1d(a: np.ndarray, axis: int):
+    """One 9/7 irreversible analysis step along ``axis`` -> (low,
+    high), float64. Same whole-sample symmetric extension shape as
+    the 5/3 kernel; scaling low/=K, high*=K (the round-trip-paired
+    convention — no third-party JPX files ship in this container, so
+    like the rest of the module, conformance is pinned by exhaustive
+    encoder/decoder round-trips, stated in the module docstring)."""
+    n = a.shape[axis]
+    if n == 1:
+        return a.astype(np.float64).copy(), np.take(a, [], axis=axis).astype(np.float64)
+    x = np.moveaxis(a.astype(np.float64), axis, 0)
+    ne, no = (n + 1) // 2, n // 2
+    even = x[0::2].copy()
+    odd = x[1::2].copy()
+
+    def predict(coef):
+        nxt = np.concatenate([even[1:], even[-1:]], axis=0)[:no]
+        odd[:] += coef * (even[:no] + nxt)
+
+    def update(coef):
+        left = np.concatenate([odd[0:1], odd], axis=0)[:ne]
+        right = odd if ne == no else np.concatenate([odd, odd[-1:]], axis=0)
+        even[:] += coef * (left + right)
+
+    predict(_A97)
+    update(_B97)
+    predict(_G97)
+    update(_D97)
+    low = even / _K97
+    high = odd * _K97
+    return np.moveaxis(low, 0, axis), np.moveaxis(high, 0, axis)
+
+
+def _idwt97_1d(low: np.ndarray, high: np.ndarray, axis: int, n: int) -> np.ndarray:
+    """Inverse of :func:`_dwt97_1d`."""
+    if n == 1:
+        return np.moveaxis(np.moveaxis(low, axis, 0).copy(), 0, axis)
+    even = np.moveaxis(low, axis, 0).astype(np.float64) * _K97
+    odd = np.moveaxis(high, axis, 0).astype(np.float64) / _K97
+    ne, no = even.shape[0], odd.shape[0]
+
+    def unupdate(coef):
+        left = np.concatenate([odd[0:1], odd], axis=0)[:ne]
+        right = odd if ne == no else np.concatenate([odd, odd[-1:]], axis=0)
+        even[:] -= coef * (left + right)
+
+    def unpredict(coef):
+        nxt = np.concatenate([even[1:], even[-1:]], axis=0)[:no]
+        odd[:] -= coef * (even[:no] + nxt)
+
+    unupdate(_D97)
+    unpredict(_G97)
+    unupdate(_B97)
+    unpredict(_A97)
+    out = np.empty((n,) + even.shape[1:], dtype=np.float64)
+    out[0::2] = even
+    out[1::2] = odd
+    return np.moveaxis(out, 0, axis)
+
+
+def dwt97_forward(a: np.ndarray, levels: int):
+    """Multi-level 2D 9/7 analysis, float64 — shape-compatible with
+    :func:`dwt53_forward`."""
+    ll = a.astype(np.float64)
+    bands = []
+    for _ in range(levels):
+        lo, hi = _dwt97_1d(ll, axis=0)
+        llx, hlx = _dwt97_1d(lo, axis=1)
+        lhx, hhx = _dwt97_1d(hi, axis=1)
+        bands.append((hlx, lhx, hhx))
+        ll = llx
+    return ll, bands
+
+
+def dwt97_inverse(ll: np.ndarray, bands) -> np.ndarray:
+    """Inverse of :func:`dwt97_forward`."""
+    out = ll.astype(np.float64)
+    for hl, lh, hh in reversed(bands):
+        h = out.shape[0] + lh.shape[0]
+        w = out.shape[1] + hl.shape[1]
+        lo = _idwt97_1d(out, hl, axis=1, n=w)
+        hi = _idwt97_1d(lh, hh, axis=1, n=w)
+        out = _idwt97_1d(lo, hi, axis=0, n=h)
+    return out
+
+
+def ict_forward(rgb: np.ndarray):
+    """Irreversible color transform (G.3): RGB float -> (Y, Cb, Cr)."""
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.16875 * r - 0.33126 * g + 0.5 * b
+    cr = 0.5 * r - 0.41869 * g - 0.08131 * b
+    return y, cb, cr
+
+
+def ict_inverse(y, cb, cr) -> np.ndarray:
+    r = y + 1.402 * cr
+    g = y - 0.34413 * cb - 0.71414 * cr
+    b = y + 1.772 * cb
+    return np.stack([r, g, b], axis=-1)
 
 
 def rct_forward(rgb: np.ndarray):
@@ -706,7 +821,7 @@ def _decode_numpasses(r_: _BitReader) -> int:
     return 37 + r_.get_bits(7)
 
 
-def _encode_tile(comps, levels: int, eps) -> bytes:
+def _encode_tile(comps, levels: int, eps, guard: int = _GUARD_BITS) -> bytes:
     """Tier-1 + tier-2 encode all components' subbands into the LRCP
     packet sequence (single layer, no precincts). ``comps`` is a list
     of (LL, bands) per component from :func:`dwt53_forward`; ``eps``
@@ -752,7 +867,7 @@ def _encode_tile(comps, levels: int, eps) -> bytes:
                 continue
             w_.put(1)
             for bname, rows, cols, blks, bi in blocks_meta:
-                mb = _GUARD_BITS + eps[r][bi] - 1
+                mb = guard + eps[r][bi] - 1
                 incl = TagTree(rows, cols)
                 incl.set_values([0 if p > 0 else 1 for _, p, _ in blks])
                 zbp = TagTree(rows, cols)
@@ -908,34 +1023,93 @@ _EOC = b"\xff\xd9"
 _JP2_SIGNATURE = b"\x00\x00\x00\x0cjP  \r\n\x87\n"
 
 
-def encode_jpx(img: np.ndarray, levels: int = 3, jp2: bool = True) -> bytes:
-    """Encode an H x W (gray) or H x W x 3 (RGB, via RCT) uint8 image
-    losslessly (5/3 reversible). ``jp2=True`` wraps the codestream in
-    the minimal JP2 box set (signature/ftyp/jp2h/jp2c) — the container
-    Acrobat embeds under /JPXDecode; ``jp2=False`` returns the bare
-    codestream."""
+def _deadzone(c: np.ndarray, delta: float) -> np.ndarray:
+    """E.2 deadzone scalar quantizer: sign(c) * floor(|c| / delta)."""
+    return (np.sign(c) * np.floor(np.abs(c) / delta)).astype(np.int64)
+
+
+def encode_jpx(
+    img: np.ndarray,
+    levels: int = 3,
+    jp2: bool = True,
+    irreversible: bool = False,
+    base_delta: float = 0.125,
+) -> bytes:
+    """Encode an H x W (gray) or H x W x 3 uint8 image. Default is the
+    LOSSLESS path (5/3 reversible DWT, RCT for color, no
+    quantization). ``irreversible=True`` takes the LOSSY path real
+    scanner output overwhelmingly uses: 9/7 irreversible DWT, ICT for
+    color, and E.2 deadzone quantization at a uniform ``base_delta``
+    step signalled through a scalar-expounded QCD (style 2,
+    exponent/mantissa per subband; guard bits raised as needed so
+    every quantized magnitude fits its Mb). ``jp2=True`` wraps the
+    codestream in the minimal JP2 box set (signature/ftyp/jp2h/jp2c)
+    — the container Acrobat embeds under /JPXDecode; ``jp2=False``
+    returns the bare codestream."""
     if img.dtype != np.uint8 or img.ndim not in (2, 3):
         raise ValueError("encode_jpx needs a 2-D or 3-D uint8 image")
+    if img.ndim == 3 and img.shape[2] != 3:
+        raise ValueError("3-D images must have exactly 3 channels")
     h, w = img.shape[:2]
     levels = max(0, min(levels, 32))
-    if img.ndim == 3:
-        if img.shape[2] != 3:
-            raise ValueError("3-D images must have exactly 3 channels")
-        y, cbv, crv = rct_forward(img.astype(np.int64) - 128)
-        planes = [y, cbv, crv]
-        mct = 1
-        ri = 9  # RCT chroma expands the nominal range by one bit
-    else:
-        planes = [img.astype(np.int64) - 128]
-        mct = 0
-        ri = 8
-    comps = [dwt53_forward(p, levels) for p in planes]
     layout = _subband_layout(w, h, levels)
-    eps = [[ri + _GAIN[b[0]] for b in bands] for bands in layout]
-    tile = _encode_tile(comps, levels, eps)
+    guard = _GUARD_BITS
+    mu = 0
+    if irreversible:
+        import math
+
+        if not 0 < base_delta <= 1:
+            raise ValueError("base_delta must be in (0, 1]")
+        if img.ndim == 3:
+            fy, fcb, fcr = ict_forward(img.astype(np.float64) - 128.0)
+            fplanes = [fy, fcb, fcr]
+            mct = 1
+        else:
+            fplanes = [img.astype(np.float64) - 128.0]
+            mct = 0
+        ri = 8
+        e2 = math.floor(math.log2(base_delta))
+        mu = int(round((base_delta / (2.0 ** e2) - 1.0) * 2048)) & 0x7FF
+        eps = [[(ri + _GAIN[b[0]]) - e2 for b in bands] for bands in layout]
+        comps = []
+        for p in fplanes:
+            fll, fbands = dwt97_forward(p, levels)
+            comps.append(
+                (
+                    _deadzone(fll, base_delta),
+                    [
+                        tuple(_deadzone(x, base_delta) for x in tri)
+                        for tri in fbands
+                    ],
+                )
+            )
+        # raise the guard bits until every band's magnitudes fit Mb
+        for qll, qbands in comps:
+            rs = [[qll]] + [list(qbands[i]) for i in range(len(qbands) - 1, -1, -1)]
+            for r, arrs in enumerate(rs):
+                for bi, arr in enumerate(arrs):
+                    need = int(np.abs(arr).max(initial=0)).bit_length()
+                    guard = max(guard, need - eps[r][bi] + 1)
+        if guard > 7:
+            raise ValueError(
+                "base_delta too fine for the 3-bit guard field (guard %d)" % guard
+            )
+    else:
+        if img.ndim == 3:
+            y, cbv, crv = rct_forward(img.astype(np.int64) - 128)
+            planes = [y, cbv, crv]
+            mct = 1
+            ri = 9  # RCT chroma expands the nominal range by one bit
+        else:
+            planes = [img.astype(np.int64) - 128]
+            mct = 0
+            ri = 8
+        comps = [dwt53_forward(p, levels) for p in planes]
+        eps = [[ri + _GAIN[b[0]] for b in bands] for bands in layout]
+    tile = _encode_tile(comps, levels, eps, guard=guard)
 
     out = bytearray(_SOC)
-    ncomp = len(planes)
+    ncomp = len(comps)
     siz = bytearray()
     siz += (0).to_bytes(2, "big")  # Rsiz
     siz += w.to_bytes(4, "big") + h.to_bytes(4, "big")
@@ -956,13 +1130,22 @@ def encode_jpx(img: np.ndarray, levels: int = 3, jp2: bool = True) -> bytes:
             levels,
             _CB_EXP - 2, _CB_EXP - 2,  # code-block 64x64
             0,  # code-block style: default
-            1,  # transform: 5/3 reversible
+            0 if irreversible else 1,  # transform: 9/7 lossy / 5/3
         ]
     )
     out += _COD + (len(cod) + 2).to_bytes(2, "big") + cod
 
-    spqcd = bytes((e << 3) for bands_eps in eps for e in bands_eps)
-    qcd = bytes([_GUARD_BITS << 5]) + spqcd  # style 0: no quantization
+    if irreversible:
+        # style 2 (scalar expounded): 16-bit exponent/mantissa per band
+        spqcd = b"".join(
+            ((e << 11) | mu).to_bytes(2, "big")
+            for bands_eps in eps
+            for e in bands_eps
+        )
+        qcd = bytes([(guard << 5) | 2]) + spqcd
+    else:
+        spqcd = bytes((e << 3) for bands_eps in eps for e in bands_eps)
+        qcd = bytes([guard << 5]) + spqcd  # style 0: no quantization
     out += _QCD + (len(qcd) + 2).to_bytes(2, "big") + qcd
 
     psot = 12 + 2 + len(tile)
@@ -1096,9 +1279,9 @@ def decode_jpx(data: bytes) -> np.ndarray:
                     "code-block style 0x%02x unsupported (default only)" % cbstyle
                 )
             transform = body[9]
-            if transform != 1:
+            if transform not in (0, 1):
                 raise ValueError(
-                    "only the reversible 5/3 transform supported"
+                    "unknown wavelet transform %d (0=9/7, 1=5/3)" % transform
                 )
             if scod & 1:
                 raise ValueError("precinct subdivision unsupported")
@@ -1106,15 +1289,22 @@ def decode_jpx(data: bytes) -> np.ndarray:
         elif marker == _QCD:
             style = body[0] & 0x1F
             guard = body[0] >> 5
-            if style != 0:
+            if style == 0:  # no quantization (reversible path)
+                raw_eps = [b >> 3 for b in body[1:]]
+                raw_mus = None
+            elif style == 2:  # scalar expounded: 16-bit exp/mantissa
+                vals = [
+                    int.from_bytes(body[i : i + 2], "big")
+                    for i in range(1, len(body) - 1, 2)
+                ]
+                raw_eps = [v >> 11 for v in vals]
+                raw_mus = [v & 0x7FF for v in vals]
+            else:
                 raise ValueError(
-                    "only the no-quantization (reversible) style supported"
+                    "QCD style %d unsupported (0=none, 2=scalar expounded)"
+                    % style
                 )
-            if guard != _GUARD_BITS:
-                # honour the stream's guard bits rather than ours
-                pass
-            raw_eps = [b >> 3 for b in body[1:]]
-            eps = ("qcd", guard, raw_eps)
+            eps = ("qcd", guard, raw_eps, raw_mus)
             pos += 2 + lseg
         elif marker == _SOT:
             psot = int.from_bytes(body[2:6], "big")
@@ -1139,29 +1329,69 @@ def decode_jpx(data: bytes) -> np.ndarray:
         raise ValueError("JPEG 2000 codestream missing SIZ/COD/QCD")
     if not tiles:
         raise ValueError("JPEG 2000 codestream has no tile data")
-    _, guard, raw_eps = eps
+    _, guard, raw_eps, raw_mus = eps
+    if transform == 0 and raw_mus is None:
+        raise ValueError("9/7 transform requires a quantized QCD (style 2)")
+    if transform == 1 and raw_mus is not None:
+        raise ValueError("5/3 reversible transform requires QCD style 0")
     layout = _subband_layout(w, h, levels)
     need = sum(len(b) for b in layout)
     if len(raw_eps) < need:
         raise ValueError("QCD declares too few subband exponents")
     eps_by_res = []
+    mus_by_res = []
     k = 0
     for bands in layout:
         eps_by_res.append(raw_eps[k : k + len(bands)])
+        if raw_mus is not None:
+            mus_by_res.append(raw_mus[k : k + len(bands)])
         k += len(bands)
     body = b"".join(tiles)
     comps = _decode_tile(
         body, w, h, ncomp, levels, nlayers, eps_by_res, sop, eph, guard
     )
+
+    def dequant(q, r, bi, bname):
+        # E.1: delta_b = 2^(R_b - eps_b) * (1 + mu_b / 2^11), with the
+        # midpoint reconstruction offset r=0.5 for nonzero magnitudes
+        delta = (2.0 ** ((8 + _GAIN[bname]) - eps_by_res[r][bi])) * (
+            1.0 + mus_by_res[r][bi] / 2048.0
+        )
+        f = q.astype(np.float64)
+        return np.where(f > 0, f + 0.5, np.where(f < 0, f - 0.5, 0.0)) * delta
+
     planes = []
     for c in range(ncomp):
-        ll = comps[c][0][0]
-        bands = []
-        for r in range(1, levels + 1):
-            hl, lh, hh = comps[c][r]
-            bands.append((hl, lh, hh))
-        bands.reverse()  # back to finest-first for the inverse DWT
-        planes.append(dwt53_inverse(ll, bands))
+        if transform == 0:
+            ll = dequant(comps[c][0][0], 0, 0, "LL")
+            bands = []
+            for r in range(1, levels + 1):
+                hl, lh, hh = comps[c][r]
+                bands.append(
+                    (
+                        dequant(hl, r, 0, "HL"),
+                        dequant(lh, r, 1, "LH"),
+                        dequant(hh, r, 2, "HH"),
+                    )
+                )
+            bands.reverse()  # back to finest-first for the inverse DWT
+            planes.append(dwt97_inverse(ll, bands))
+        else:
+            ll = comps[c][0][0]
+            bands = []
+            for r in range(1, levels + 1):
+                hl, lh, hh = comps[c][r]
+                bands.append((hl, lh, hh))
+            bands.reverse()
+            planes.append(dwt53_inverse(ll, bands))
+    if transform == 0:
+        if ncomp == 3 and mct:
+            rgb = ict_inverse(planes[0], planes[1], planes[2]) + 128.0
+        elif ncomp == 3:
+            rgb = np.stack(planes, axis=-1) + 128.0
+        else:
+            return np.clip(np.rint(planes[0] + 128.0), 0, 255).astype(np.uint8)
+        return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
     if ncomp == 3 and mct:
         rgb = rct_inverse(planes[0], planes[1], planes[2]) + 128
         return np.clip(rgb, 0, 255).astype(np.uint8)

@@ -217,6 +217,7 @@ def encode_pdf(
     jbig2: bool = False,
     jbig2_mode: str = "tpgd",
     jpx: bool = False,
+    jpx_lossy: bool = False,
     inline: str | None = None,
     indexed: bool = False,
     icc: bool = False,
@@ -492,10 +493,11 @@ def encode_pdf(
         elif jpx:
             from pdf_ocr_spark.sources import jpxcodec
 
-            # JP2-wrapped lossless codestream — per ISO 32000-1
+            # JP2-wrapped codestream (lossless 5/3, or lossy 9/7 with
+            # jpx_lossy — the wild scanner shape) — per ISO 32000-1
             # §7.4.9 the JPX data is colour-self-describing; the dict's
             # /ColorSpace and /BitsPerComponent remain advisory
-            raw = jpxcodec.encode_jpx(img)
+            raw = jpxcodec.encode_jpx(img, irreversible=jpx_lossy)
             fnames.append("/JPXDecode")
             fparms.append(None)
         elif rle:

@@ -224,7 +224,12 @@ def write_pdf_corpus(
                 if jpx:
                     # pure /JPXDecode corpus (no other rotations):
                     # the JPEG 2000 decode surface gets its own
-                    # focused driver-certified query
+                    # focused driver-certified query. Half the docs
+                    # ((id//4)%2) use the LOSSY 9/7 path — the wild
+                    # scanner shape; like the DCT corpus, exactness
+                    # holds because the near-lossless delta never
+                    # crosses the OCR binarization threshold (pinned
+                    # in tests/test_jpx.py)
                     path = os.path.join(out_dir, f"doc_{doc_id}.pdf")
                     tmp = path + ".tmp"
                     with open(tmp, "wb") as f:
@@ -233,6 +238,7 @@ def write_pdf_corpus(
                                 images,
                                 object_streams=object_streams,
                                 jpx=True,
+                                jpx_lossy=(d // 4) % 2 == 1,
                             )
                         )
                     os.replace(tmp, path)

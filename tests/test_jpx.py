@@ -145,10 +145,11 @@ def test_jpx_typed_errors():
     bad[cod_at + 12] = 1
     with pytest.raises(ValueError, match="style"):
         jpxcodec.decode_jpx(bytes(bad))
-    # irreversible transform
+    # irreversible transform claimed against a reversible (style-0)
+    # QCD: mismatched semantics, typed error
     bad = bytearray(data)
     bad[cod_at + 13] = 0
-    with pytest.raises(ValueError, match="5/3"):
+    with pytest.raises(ValueError, match="style 2|quantized"):
         jpxcodec.decode_jpx(bytes(bad))
     # truncated tile body
     with pytest.raises(ValueError):
@@ -193,3 +194,102 @@ def test_jpx_pdf_geometry_mismatch_is_typed_error():
     )
     with pytest.raises(ValueError, match="declares"):
         pdfcodec.decode_pdf(bad)
+
+
+# ---------------------------------------------------------------------------
+# Lossy 9/7 path (irreversible DWT + ICT + deadzone quantization)
+# ---------------------------------------------------------------------------
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+
+
+@pytest.mark.parametrize(
+    "shape", [(1, 1), (1, 9), (9, 1), (5, 5), (16, 16), (37, 53)]
+)
+@pytest.mark.parametrize("levels", [0, 1, 3])
+def test_dwt97_float_round_trip(shape, levels):
+    a = RNG.randint(0, 256, shape).astype(np.float64)
+    ll, bands = jpxcodec.dwt97_forward(a, levels)
+    assert np.allclose(jpxcodec.dwt97_inverse(ll, bands), a, atol=1e-8)
+
+
+def test_ict_round_trip_within_coefficient_precision():
+    rgb = RNG.randint(0, 256, (8, 9, 3)).astype(np.float64)
+    back = jpxcodec.ict_inverse(*jpxcodec.ict_forward(rgb))
+    # published 5-decimal G.3 coefficients are not exact inverses
+    assert np.abs(back - rgb).max() < 0.02
+
+
+def test_jpx_lossy_round_trips_within_psnr():
+    x = np.linspace(0, 255, 64)
+    smooth = np.clip(
+        np.add.outer(x, x) / 2 + 10 * np.sin(x / 9), 0, 255
+    ).astype(np.uint8)
+    for jp2 in (False, True):
+        back = jpxcodec.decode_jpx(
+            jpxcodec.encode_jpx(smooth, irreversible=True, jp2=jp2)
+        )
+        assert _psnr(smooth, back) > 45
+    rgb = np.stack([smooth, smooth.T, 255 - smooth], axis=-1)
+    back = jpxcodec.decode_jpx(jpxcodec.encode_jpx(rgb, irreversible=True))
+    assert _psnr(rgb, back) > 40
+    noise = RNG.randint(0, 256, (40, 56)).astype(np.uint8)
+    back = jpxcodec.decode_jpx(jpxcodec.encode_jpx(noise, irreversible=True))
+    assert _psnr(noise, back) > 38
+    # coarser quantization still decodes, with bounded error
+    back = jpxcodec.decode_jpx(
+        jpxcodec.encode_jpx(smooth, irreversible=True, base_delta=1.0)
+    )
+    assert np.abs(back.astype(int) - smooth.astype(int)).max() <= 4
+
+
+def test_jpx_lossy_markers_and_mismatch_errors():
+    img = RNG.randint(0, 256, (16, 16)).astype(np.uint8)
+    code = jpxcodec.encode_jpx(img, irreversible=True, jp2=False)
+    pos = 2
+    saw = {}
+    while pos + 4 <= len(code):
+        m, l = code[pos : pos + 2], int.from_bytes(code[pos + 2 : pos + 4], "big")
+        if m == b"\xff\x52":
+            saw["transform"] = code[pos + 4 + 9]
+        if m == b"\xff\x5c":
+            saw["style"] = code[pos + 4] & 0x1F
+        if m == b"\xff\x90":
+            break
+        pos += 2 + l
+    assert saw == {"transform": 0, "style": 2}
+    # flip the COD transform byte of a lossless stream: 9/7 claimed
+    # against a style-0 QCD is a typed mismatch error
+    lossless = jpxcodec.encode_jpx(img, jp2=False)
+    i = lossless.find(b"\xff\x52")
+    broken = bytearray(lossless)
+    broken[i + 4 + 9] = 0
+    with pytest.raises(ValueError, match="style 2|quantized QCD"):
+        jpxcodec.decode_jpx(bytes(broken))
+    # and the reverse: a 5/3 stream carrying a quantized QCD
+    lossy = jpxcodec.encode_jpx(img, irreversible=True, jp2=False)
+    j = lossy.find(b"\xff\x52")
+    broken2 = bytearray(lossy)
+    broken2[j + 4 + 9] = 1
+    with pytest.raises(ValueError, match="style 0"):
+        jpxcodec.decode_jpx(bytes(broken2))
+    with pytest.raises(ValueError, match="base_delta"):
+        jpxcodec.encode_jpx(img, irreversible=True, base_delta=0.0)
+
+
+def test_jpx_lossy_bitonal_binarization_exact_and_pdf_e2e():
+    """The corpus-rotation safety property (mirroring the DCT corpus
+    argument): near-lossless 9/7 of a bitonal glyph render never
+    crosses the OCR binarization threshold, so /JPXDecode lossy pages
+    OCR to byte-identical text."""
+    img = render_text_image("lossy jpx page words here etc")
+    back = jpxcodec.decode_jpx(jpxcodec.encode_jpx(img, irreversible=True))
+    assert ((img < 128) == (back < 128)).all()
+    data = pdfcodec.encode_pdf([img], jpx=True, jpx_lossy=True, object_streams=True)
+    pages = pdfcodec.decode_pdf(data)
+    assert len(pages) == 1
+    text, conf = ocr_decode(pages[0])
+    assert text == "LOSSY JPX PAGE WORDS HERE ETC" and conf == 1.0
