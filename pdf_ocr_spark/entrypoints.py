@@ -1907,7 +1907,8 @@ def _text_pdf_fixture_dir(spark: SparkSession, sf: str) -> str:
         F.count("*").alias("n"),
         F.sum(F.crc32(F.concat_ws("\x00", "doc_id", "text"))).alias("ck"),
     ).first()
-    fingerprint = f"{agg['n']}:{agg['ck']}:textlayer:r5fonts"
+    # r5enc: 1-in-5 docs RC4-encrypted (protected born-digital shape)
+    fingerprint = f"{agg['n']}:{agg['ck']}:textlayer:r5enc"
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker):
         with open(marker) as f:

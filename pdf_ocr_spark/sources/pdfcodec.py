@@ -2047,7 +2047,11 @@ def _tounicode_stream(chars: set[str]) -> bytes:
     ).encode()
 
 
-def encode_text_pdf(pages: list[list[str]], encoding: str = "legacy") -> bytes:
+def encode_text_pdf(
+    pages: list[list[str]],
+    encoding: str = "legacy",
+    encrypt: bool = False,
+) -> bytes:
     """Serialize pages of text lines into a born-digital PDF (Type1
     Helvetica, one `Tj` per line, `T*` line advances). Reuses the
     image writer's object plumbing: object 1 catalog, 2 pages tree,
@@ -2067,7 +2071,13 @@ def encode_text_pdf(pages: list[list[str]], encoding: str = "legacy") -> bytes:
       the table).
     * ``cid`` — ``/Subtype /Type0`` Identity-H composite font, 2-byte
       hex-string codes, /ToUnicode CMap (the modern Word/LibreOffice
-      unicode shape)."""
+      unicode shape).
+
+    ``encrypt=True`` wraps the file in the RC4-128 R3 standard
+    security handler (empty user password — the "protected but freely
+    readable" born-digital shape): content and /ToUnicode streams are
+    per-object encrypted; the extractor reads them back through the
+    same decrypt path the raster corpus exercises."""
     if not pages:
         raise ValueError("a PDF needs at least one page")
     if encoding not in ("legacy", "winansi", "differences", "cid"):
@@ -2126,6 +2136,34 @@ def encode_text_pdf(pages: list[list[str]], encoding: str = "legacy") -> bytes:
     else:
         objects[font_num] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
 
+    trailer_extra = b""
+    if encrypt:
+        import hashlib
+
+        from pdf_ocr_spark.sources import pdfcrypt
+
+        content_seed = b"".join(objects[n] for n in sorted(objects))
+        id1 = hashlib.md5(b"txt" + content_seed).digest()
+        perms = -1
+        o = pdfcrypt.owner_entry(16, 3, owner_password=b"", user_password=b"")
+        fkey = pdfcrypt.file_key(o, perms, id1, 3, 16, user_password=b"")
+        u = pdfcrypt.user_entry(fkey, id1, 3)
+
+        def enc(num: int, raw: bytes) -> bytes:
+            return pdfcrypt.encrypt_object(fkey, num, raw)
+
+        for num in list(objects):
+            objects[num] = _encrypt_body_stream(objects[num], num, enc)
+        enc_num = max(objects) + 1
+        objects[enc_num] = (
+            b"<< /Filter /Standard /V 2 /R 3 /Length 128 /P %d /O <%s> /U <%s> >>"
+            % (perms, o.hex().upper().encode(), u.hex().upper().encode())
+        )
+        idhex = id1.hex().upper().encode()
+        trailer_extra = b" /Encrypt %d 0 R /ID [<%s> <%s>]" % (
+            enc_num, idhex, idhex,
+        )
+
     out = bytearray(_HEADER)
     offsets: dict[int, int] = {}
     for num in sorted(objects):
@@ -2138,8 +2176,8 @@ def encode_text_pdf(pages: list[list[str]], encoding: str = "legacy") -> bytes:
     for num in range(1, n):
         out += b"%010d 00000 n \n" % offsets.get(num, 0)
     out += (
-        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-        % (n, xref_at)
+        b"trailer\n<< /Size %d /Root 1 0 R%s >>\nstartxref\n%d\n%%%%EOF\n"
+        % (n, trailer_extra, xref_at)
     )
     return bytes(out)
 

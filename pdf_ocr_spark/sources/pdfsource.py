@@ -716,7 +716,11 @@ def write_text_pdf_corpus(docs: DataFrame, out_dir: str) -> DataFrame:
     row — executor-side writes, same manifest contract as
     :func:`write_pdf_corpus`. Font encodings rotate per doc id
     (``TEXT_ENCODINGS``) so the extractor's /Encoding, /Differences,
-    and /ToUnicode paths all appear in the fixture corpus."""
+    and /ToUnicode paths all appear in the fixture corpus; every
+    ``id % ENCRYPT_RESIDUES == 1`` doc is additionally RC4-encrypted
+    (the protected born-digital shape — content and /ToUnicode
+    streams decrypt through the same handler path as the raster
+    corpus, certified by pdf_text_layer's exact oracle)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pdf_ocr_spark.sources.pdfcodec import encode_text_pdf
@@ -734,7 +738,11 @@ def write_text_pdf_corpus(docs: DataFrame, out_dir: str) -> DataFrame:
                 tmp = path + ".tmp"
                 with open(tmp, "wb") as f:
                     f.write(
-                        encode_text_pdf(pages, encoding=TEXT_ENCODINGS[d % 4])
+                        encode_text_pdf(
+                            pages,
+                            encoding=TEXT_ENCODINGS[d % 4],
+                            encrypt=d % ENCRYPT_RESIDUES == 1,
+                        )
                     )
                 os.replace(tmp, path)
                 paths.append(path)

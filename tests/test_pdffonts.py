@@ -169,3 +169,18 @@ def test_tj_kern_space_heuristic():
     assert _text_from_content(content) == "hello world"
     content2 = b"BT [(ker) -40 (ned)] TJ ET"
     assert _text_from_content(content2) == "kerned"
+
+
+def test_encrypted_text_layer_extracts():
+    """RC4-encrypted born-digital files (the protected report shape):
+    content and /ToUnicode streams decrypt through the standard
+    handler, so every font-encoding variant extracts identically."""
+    from pdf_ocr_spark.sources.pdfcodec import encode_text_pdf, extract_text_layer
+
+    pages = [["hello encrypted world", "line two"], ["page deux"]]
+    for encoding in ("legacy", "winansi", "differences", "cid"):
+        data = encode_text_pdf(pages, encoding=encoding, encrypt=True)
+        assert b"/Encrypt" in data
+        assert extract_text_layer(data) == [
+            "hello encrypted world\nline two", "page deux",
+        ], encoding
