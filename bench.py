@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "html_links",
     "html_metadata",
     "url_parse",
+    "link_graph_all",
     "domain_inlinks",
     "warc_extract_text",
     "robots_decisions",

@@ -2148,6 +2148,64 @@ def q_pdf_links(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_register(
+    "link_graph_all",
+    f"""
+WITH l AS (SELECT doc_id,
+  list_transform(range(1, 2 + doc_id % 4),
+      j -> 'https://site-' || (doc_id % 7) || '.example.' || (['com','org','net','io','co.uk'][doc_id % 5 + 1]) || '/doc/' || doc_id || '-' || j)
+  || ['https://ads.example.com/click/' || (doc_id % 13)]
+  || list_transform(range(3), i -> 'https://tags.example.com/tag/' || ((doc_id*7 + i) % 100))
+  || ['https://site-' || (doc_id % 7) || '.example.' || (['com','org','net','io','co.uk'][doc_id % 5 + 1]) || '/about',
+      'https://site-' || (doc_id % 7) || '.example.' || (['com','org','net','io','co.uk'][doc_id % 5 + 1]) || '/privacy']
+  AS links FROM documents),
+hrefs AS (SELECT unnest(links) AS uri FROM l),
+pages AS (SELECT doc_id,
+          greatest(1, ceil(len({sql_tokens('text')}) / 20.0))::INT AS n
+          FROM documents),
+pexp AS (SELECT doc_id, unnest(range(n)) AS i FROM pages),
+purls AS (SELECT 'https://example.org/doc/' || doc_id || '/p' || i AS uri
+          FROM pexp WHERE (doc_id + i) % 2 = 0),
+allu AS (
+  SELECT regexp_extract(uri, '^https?://([^/]+)', 1) AS host, 'html' AS src
+  FROM hrefs
+  UNION ALL
+  SELECT regexp_extract(uri, '^https?://([^/]+)', 1) AS host, 'pdf' AS src
+  FROM purls)
+SELECT host, count(*)::BIGINT AS n_links,
+       sum(CASE WHEN src = 'html' THEN 1 ELSE 0 END)::BIGINT AS n_html,
+       sum(CASE WHEN src = 'pdf' THEN 1 ELSE 0 END)::BIGINT AS n_pdf
+FROM allu GROUP BY host
+""",
+)
+def q_link_graph_all(spark: SparkSession, sf: str) -> DataFrame:
+    """The unified outlink graph a crawl pipeline maintains: HTML
+    <a href> harvest and PDF /Link-annotation harvest union into ONE
+    host-keyed rollup (link counts per source). Plan shape: two
+    narrow Arrow extraction stages -> union -> a single host-keyed
+    aggregation with map-side partials — at 100 TB the only shuffle
+    is host-cardinality-bound. Certifies that the two extractors
+    compose on the same key space (host parse via JVM parse_url vs
+    the oracle's independent regex)."""
+    from pdf_ocr_spark.operators.webextract import extract_links
+    from pdf_ocr_spark.sources.pdfsource import read_pdf_links
+
+    html = extract_links(_html_corpus(spark, sf)).select(
+        F.col("href").alias("uri"), F.lit("html").alias("src")
+    )
+    pdf = read_pdf_links(spark, _pdf_fixture_dir(spark, sf)).select(
+        "uri", F.lit("pdf").alias("src")
+    )
+    u = html.unionByName(pdf).withColumn(
+        "host", F.parse_url(F.col("uri"), F.lit("HOST"))
+    )
+    return u.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_links"),
+        F.sum((F.col("src") == "html").cast("long")).alias("n_html"),
+        F.sum((F.col("src") == "pdf").cast("long")).alias("n_pdf"),
+    )
+
+
 @_register("pdf_extract_text_dct")
 def q_pdf_extract_text_dct(spark: SparkSession, sf: str) -> DataFrame:
     """The same end-to-end pipeline over a **JPEG-scan** corpus: every
