@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "knn_cosine_topk",
     "token_stats",
     "quality_score",
+    "pii_scrub",
     "repetition_stats",
     "corpus_filter_verdict",
     "lang_id",

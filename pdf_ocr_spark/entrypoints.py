@@ -1680,6 +1680,71 @@ def q_quality(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _pii_sql() -> str:
+    """pii_scrub oracle, built from the SAME PII_RULES table the Spark
+    kernel uses (plain concatenation — the patterns contain ``%`` and
+    ``{}`` so neither %-format nor f-strings are safe)."""
+    from pdf_ocr_spark.operators.analysis import PII_RULES
+
+    (e_pat, i_pat, s_pat, p_pat) = (r[1] for r in PII_RULES)
+    plant = (
+        "text || ' contact user' || doc_id::VARCHAR || '@mail.example.com"
+        " from 10.' || (doc_id % 256)::VARCHAR || '.0.' ||"
+        " (doc_id % 100)::VARCHAR || ' ssn ' ||"
+        " lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-' ||"
+        " lpad((doc_id % 89)::VARCHAR, 2, '0') || '-' ||"
+        " lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' call +1-555-' ||"
+        " lpad((doc_id % 10000)::VARCHAR, 4, '0')"
+    )
+    return (
+        "WITH e AS (SELECT doc_id, " + plant + " AS t FROM documents),\n"
+        "s1 AS (SELECT doc_id, t, regexp_replace(t, '" + e_pat + "', '<EMAIL>', 'g') AS t1 FROM e),\n"
+        "s2 AS (SELECT *, regexp_replace(t1, '" + i_pat + "', '<IP>', 'g') AS t2 FROM s1),\n"
+        "s3 AS (SELECT *, regexp_replace(t2, '" + s_pat + "', '<ID>', 'g') AS t3 FROM s2),\n"
+        "s4 AS (SELECT *, regexp_replace(t3, '" + p_pat + "', '<PHONE>', 'g') AS t4 FROM s3)\n"
+        "SELECT doc_id, t4 AS scrubbed,\n"
+        "  len(regexp_extract_all(t, '" + e_pat + "'))::BIGINT AS n_email,\n"
+        "  len(regexp_extract_all(t1, '" + i_pat + "'))::BIGINT AS n_ip,\n"
+        "  len(regexp_extract_all(t2, '" + s_pat + "'))::BIGINT AS n_ssn,\n"
+        "  len(regexp_extract_all(t3, '" + p_pat + "'))::BIGINT AS n_phone\n"
+        "FROM s4"
+    )
+
+
+@_register("pii_scrub", None)
+def q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """PII redaction — the standard curation pass before corpus text
+    ships to a tokenizer: emails, IPv4s, SSN-shaped ids, and
+    phone-shaped numbers replaced by typed tags, in rule order, plus
+    per-rule match counts. The fixture text carries no PII, so the
+    query PLANTS doc_id-derived PII spans identically on both sides
+    (discriminating counts per doc, not 0=0). Pure JVM regexp chain —
+    zero shuffles, map-only at any scale; rules live in ONE table
+    (operators/analysis.py PII_RULES) shared by kernel and oracle."""
+    from pdf_ocr_spark.operators.analysis import pii_counts_cols, pii_scrub_col
+
+    d = load_table(spark, sf, "documents")
+    did = F.col("doc_id").cast("long")
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), did.cast("string"),
+        F.lit("@mail.example.com from 10."), (did % 256).cast("string"),
+        F.lit(".0."), (did % 100).cast("string"),
+        F.lit(" ssn "), F.lpad((did % 1000).cast("string"), 3, "0"),
+        F.lit("-"), F.lpad((did % 89).cast("string"), 2, "0"),
+        F.lit("-"), F.lpad((did % 10000).cast("string"), 4, "0"),
+        F.lit(" call +1-555-"), F.lpad((did % 10000).cast("string"), 4, "0"),
+    )
+    return d.select(
+        did.alias("doc_id"),
+        pii_scrub_col(t).alias("scrubbed"),
+        *pii_counts_cols(t),
+    )
+
+
+ORACLES["pii_scrub"] = _pii_sql()
+
+
 @_register(
     "lang_id",
     "WITH scored AS (SELECT doc_id, "

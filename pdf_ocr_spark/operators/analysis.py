@@ -166,3 +166,37 @@ def word_bigrams_strict(toks: Column) -> Column:
         ),
     )
     return F.when(k < 2, F.array().cast("array<string>")).otherwise(grams)
+
+
+#: PII redaction rules, applied IN ORDER (email first so its local
+#: part can't be half-eaten by the number rules; both regex dialects
+#: — Java for Spark, RE2 for the DuckDB oracle — support this subset:
+#: no lookaround, \b and bounded repetition only). The standard
+#: training-corpus scrub pass (emails, IPv4s, SSN-shaped ids, NANP
+#: phone-shaped numbers) before text ships to a tokenizer.
+PII_RULES = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<ID>"),
+    ("phone", r"\+?\d{1,2}-\d{3}-\d{4}\b", "<PHONE>"),
+)
+
+
+def pii_scrub_col(text: Column) -> Column:
+    """Redact PII spans in rule order -> the scrubbed text."""
+    out = text
+    for _, pat, repl in PII_RULES:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts_cols(text: Column) -> list[Column]:
+    """Per-rule match counts (counted on the PRE-scrub text, each rule
+    after the earlier rules' redactions — identical to what the scrub
+    itself replaces)."""
+    cols = []
+    cur = text
+    for name, pat, repl in PII_RULES:
+        cols.append(F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, repl)
+    return cols
