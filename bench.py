@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "pdf_page_count",
     "pdf_metadata",
     "pdf_links",
+    "pdf_attachments",
     "pdf_extract_text",
     "pdf_extract_text_dct",
     "pdf_text_layer",

@@ -1937,7 +1937,11 @@ def _pdf_fixture_dir(
     # §7.5.6 incremental update (re-saved raster + bumped /Producer).
     # r5links: page i carries a /Link /URI annotation iff (id+i)%2==0.
     # r5lossy (jpx variant): half the JPX docs use the 9/7 lossy path.
-    gen_tag = {"objstm": "r5links", "jpx": "r5lossy", "dct": "r5sym"}[variant]
+    # r5attach: 1-in-41 docs carry two §7.7.4 embedded files (names +
+    # contents derived from (doc_id, text) for the SQL oracle).
+    # r5rot: 1-in-43 docs carry §7.7.3.3 /Rotate 90/180/270 pages
+    # (content-transparent — the reader re-orients before OCR).
+    gen_tag = {"objstm": "r5rot", "jpx": "r5lossy", "dct": "r5sym"}[variant]
     fingerprint = f"{agg['n']}:{agg['ck']}:{variant}:{gen_tag}"
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker):
@@ -2210,6 +2214,43 @@ def q_pdf_links(spark: SparkSession, sf: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("page").cast("long").alias("page"),
         "uri",
+    )
+
+
+@_register(
+    "pdf_attachments",
+    f"""
+WITH t AS (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents
+           WHERE doc_id % 41 = 14)
+SELECT doc_id, 'invoice_' || doc_id::VARCHAR || '.xml' AS name,
+       '<invoice doc="' || doc_id::VARCHAR || '"><words>' ||
+       len(toks)::VARCHAR || '</words></invoice>' AS content
+FROM t
+UNION ALL
+SELECT doc_id, 'notes_' || doc_id::VARCHAR || '.txt' AS name,
+       -- slicing an EMPTY list yields NULL in DuckDB; the engine
+       -- writes (and reads back) an empty attachment for a 0-word doc
+       coalesce(array_to_string(toks[1:5], ' '), '') AS content
+FROM t
+""",
+)
+def q_pdf_attachments(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedded-file harvest over the real-PDF corpus: §7.7.4
+    /EmbeddedFiles name trees (the invoice-XML / portfolio shape)
+    exploded to one (doc_id, name, content) row per attachment — the
+    side-data pass an ingestion pipeline runs before extraction. The
+    corpus plants two attachments on every doc_id % 41 == 14 file
+    with names and contents derived purely from (doc_id, text), so
+    the oracle regenerates the exact rows from the documents table —
+    certifying name-tree parsing, /Filespec indirection, and
+    embedded-stream decrypt+inflate (the rotation composes with the
+    encryption residues: RC4 files carry ciphertext /Filespec
+    strings and ObjStm-exempt name strings, §7.6.2)."""
+    from pdf_ocr_spark.sources.pdfsource import read_pdf_attachments
+
+    d = _pdf_fixture_dir(spark, sf)
+    return read_pdf_attachments(spark, d).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "name", "content"
     )
 
 

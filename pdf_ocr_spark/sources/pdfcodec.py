@@ -221,9 +221,11 @@ def encode_pdf(
     inline: str | None = None,
     indexed: bool = False,
     icc: bool = False,
+    rotate: int = 0,
     info: dict[str, str] | None = None,
     xmp_title: str | None = None,
     page_links: list[list[str]] | None = None,
+    attachments: list[tuple[str, bytes]] | None = None,
     ascii85: bool = False,
     sample_bpc: int = 8,
     decode_invert: bool = False,
@@ -306,6 +308,22 @@ def encode_pdf(
     which §7.6.2 exempts from per-string encryption, so RC4 +
     ``page_links`` requires ``object_streams=True`` (typed error
     otherwise).
+
+    ``rotate`` (90/180/270) writes a §7.7.3.3 /Rotate entry on every
+    page — the sideways-fed scanner shape — and stores each raster
+    pre-rotated counter-clockwise by the same angle, so a conforming
+    viewer (which rotates the page ``rotate`` degrees CLOCKWISE for
+    display) shows exactly the input image. :func:`decode_pdf`
+    honours the entry the same way, making the round trip the
+    identity; the rotation composes with every raster codec (the
+    codec just sees the pre-rotated array).
+
+    ``attachments`` embeds (name, bytes) files through the §7.7.4
+    /Names /EmbeddedFiles name tree — /Filespec dicts with /EF
+    pointing at Flate-coded /EmbeddedFile streams (the invoice-XML /
+    portfolio shape). Streams encrypt with the file; name strings
+    follow the same §7.6.2 rule as ``page_links`` (RC4 requires
+    ``object_streams=True``).
     """
     if not pages:
         raise ValueError("a PDF needs at least one page")
@@ -344,6 +362,11 @@ def encode_pdf(
                 "(ObjStm strings are exempt from per-string encryption, "
                 "ISO 32000-1 §7.6.2; top-level page strings are not)"
             )
+    if attachments and encrypt and not object_streams:
+        raise ValueError(
+            "attachments under encryption need object_streams=True "
+            "(the catalog's name strings must live in the ObjStm, §7.6.2)"
+        )
     objects: dict[int, bytes] = {}
     kids = []
     # objects that must stay out of the 1.5 ObjStm (appended stream
@@ -356,9 +379,17 @@ def encode_pdf(
         # after the 3-per-page triples (stream objects: top-level)
         for j, n in enumerate(sorted({1 if p.ndim == 2 else 3 for p in pages})):
             icc_nums[n] = 3 + 3 * len(pages) + j
+    rotate %= 360
+    if rotate % 90:
+        raise ValueError("rotate must be a multiple of 90 degrees")
+    rotate_entry = f"/Rotate {rotate} " if rotate else ""
     for i, img in enumerate(pages):
         if img.dtype != np.uint8 or img.ndim not in (2, 3):
             raise ValueError("pages must be 2-D (gray) or 3-D (RGB) uint8 arrays")
+        if rotate:
+            # store counter-clockwise so the viewer's clockwise
+            # /Rotate recovers the input pixels exactly
+            img = np.ascontiguousarray(np.rot90(img, rotate // 90))
         if img.ndim == 3 and img.shape[2] != 3:
             raise ValueError("3-D pages must have exactly 3 (RGB) channels")
         colorspace = "/DeviceGray" if img.ndim == 2 else "/DeviceRGB"
@@ -386,7 +417,7 @@ def encode_pdf(
             # emitted, so object number 5+3i stays a free xref entry.
             objects[page_num] = (
                 f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {w} {h}] "
-                f"{annots_entry}/Contents {content_num} 0 R >>"
+                f"{rotate_entry}{annots_entry}/Contents {content_num} 0 R >>"
             ).encode()
             cs_abbrev = "/G" if img.ndim == 2 else "/RGB"
             samples = np.ascontiguousarray(img).tobytes()
@@ -422,7 +453,8 @@ def encode_pdf(
             continue
         objects[page_num] = (
             f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {w} {h}] "
-            f"{annots_entry}/Resources << /XObject << /Im0 {image_num} 0 R >> >> "
+            f"{rotate_entry}{annots_entry}"
+            f"/Resources << /XObject << /Im0 {image_num} 0 R >> >> "
             f"/Contents {content_num} 0 R >>"
         ).encode()
         draw = f"q {w} 0 0 {h} 0 0 cm /Im0 Do Q".encode()
@@ -593,10 +625,10 @@ def encode_pdf(
             % (n_comp, len(profile), profile)
         )
         extra_toplevel.add(num)
-    objects[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
     objects[2] = (
         f"<< /Type /Pages /Kids [{' '.join(kids)}] /Count {len(pages)} >>"
     ).encode()
+    catalog_extra = b""
     info_num = None
     if info:
         info_num = max(objects) + 1
@@ -610,9 +642,40 @@ def encode_pdf(
             % (len(packet), packet)
         )
         extra_toplevel.add(xmp_num)
-        objects[1] = (
-            b"<< /Type /Catalog /Pages 2 0 R /Metadata %d 0 R >>" % xmp_num
+        catalog_extra += b" /Metadata %d 0 R" % xmp_num
+    attach_filespecs: list[tuple[int, bytes, int]] = []
+    if attachments:
+        # §7.7.4 embedded files: name tree of /Filespec dicts, each
+        # /EF pointing at a Flate-coded /EmbeddedFile stream
+        entries = []
+        for name, content in attachments:
+            ef_num = max(objects) + 1
+            raw_a = zlib.compress(content, 6)
+            objects[ef_num] = (
+                b"<< /Type /EmbeddedFile /Filter /FlateDecode /Length %d "
+                b"/Params << /Size %d >> >>\nstream\n%s\nendstream"
+                % (len(raw_a), len(content), raw_a)
+            )
+            extra_toplevel.add(ef_num)
+            fs_num = max(objects) + 1
+            esc = (
+                name.encode("ascii")
+                .replace(b"\\", b"\\\\")
+                .replace(b"(", b"\\(")
+                .replace(b")", b"\\)")
+            )
+            objects[fs_num] = (
+                b"<< /Type /Filespec /F (%s) /UF (%s) /EF << /F %d 0 R >> >>"
+                % (esc, esc, ef_num)
+            )
+            extra_toplevel.add(fs_num)
+            attach_filespecs.append((fs_num, name.encode("ascii"), ef_num))
+            entries.append(b"(%s) %d 0 R" % (esc, fs_num))
+        catalog_extra += (
+            b" /Names << /EmbeddedFiles << /Names [ %s ] >> >>"
+            % b" ".join(entries)
         )
+    objects[1] = b"<< /Type /Catalog /Pages 2 0 R%s >>" % catalog_extra
 
     trailer_extra = b""
     enc = None
@@ -703,6 +766,23 @@ def encode_pdf(
                 info,
                 enc_str=lambda b, n=info_num: pdfcrypt.encrypt_object(fkey_s, n, b),
             )
+        if attach_filespecs and cipher == "rc4":
+            # same §7.6.2 obligation for the /Filespec objects: they
+            # sit top-level (next to their /EmbeddedFile streams), so
+            # under V2 their /F and /UF strings re-serialize as
+            # per-object RC4 ciphertext hex strings. The catalog's
+            # name-tree strings are exempt — the write guard above
+            # forces object_streams, so the catalog lives in the
+            # ObjStm whose payload encrypts as one stream.
+            for fs_num, nameb, ef_ref in attach_filespecs:
+                h = (
+                    pdfcrypt.encrypt_object(fkey_s, fs_num, nameb)
+                    .hex().upper().encode()
+                )
+                objects[fs_num] = (
+                    b"<< /Type /Filespec /F <%s> /UF <%s> /EF << /F %d 0 R >> >>"
+                    % (h, h, ef_ref)
+                )
         for num in list(objects):
             objects[num] = _encrypt_body_stream(objects[num], num, enc)
         enc_num = max(objects) + 1
@@ -1057,6 +1137,75 @@ def pdf_links(data: bytes, password: bytes = b"") -> list[tuple[int, str]]:
             if str_decrypt is not None and owner not in packed:
                 val = str_decrypt(owner, val)
             out.append((idx, val.decode("latin-1")))
+    return out
+
+
+def pdf_attachments(data: bytes, password: bytes = b"") -> list[tuple[str, bytes]]:
+    """Embedded files from the catalog's §7.7.4 /Names /EmbeddedFiles
+    name tree, as ``(name, bytes)`` in tree order — the
+    attachment-harvest pass (invoice XML, source data, portfolio
+    members). Subset: a flat /Names array (a /Kids-subdivided tree is
+    a typed error); /Filespec dicts direct or by reference; streams
+    decrypt and unfilter through the standard paths."""
+    if not data.startswith(b"%PDF-"):
+        raise ValueError("not a PDF (missing %PDF- header)")
+    body, trailer, decrypt = _load(data, password)
+    catalog = _dict_of(body(_ref(trailer, b"Root")))
+
+    def sub_dict(container: bytes, key: bytes) -> bytes | None:
+        m = re.search(key + rb"\s*(<<|\d+\s+0\s+R)", container)
+        if m is None:
+            return None
+        if m.group(1) == b"<<":
+            return container[
+                m.end() - 2 : _balanced_span(container, m.end() - 2, 0x3C, 0x3E)
+            ]
+        return body(int(m.group(1).split()[0]))
+
+    names = sub_dict(catalog, rb"/Names")
+    if names is None:
+        return []
+    ef = sub_dict(names, rb"/EmbeddedFiles")
+    if ef is None:
+        return []
+    if re.search(rb"/Kids\b", ef):
+        raise ValueError(
+            "subdivided /EmbeddedFiles name trees (/Kids) are not in the subset"
+        )
+    am = re.search(rb"/Names\s*\[", ef)
+    if am is None:
+        return []
+    arr = ef[am.end() - 1 : _balanced_span(ef, am.end() - 1, 0x5B, 0x5D)]
+    out: list[tuple[str, bytes]] = []
+    i = 1
+    while True:
+        m = re.compile(rb"\(|<(?!<)").search(arr, i)
+        if m is None:
+            break
+        if arr[m.start()] == 0x28:
+            nameb, j = _parse_pdf_literal(arr, m.start())
+        else:
+            e = arr.index(b">", m.start())
+            nameb = bytes.fromhex(arr[m.start() + 1 : e].decode("ascii"))
+            j = e + 1
+        rm = re.compile(rb"\s*(\d+)\s+0\s+R").match(arr, j)
+        if rm is None:
+            raise ValueError("/EmbeddedFiles name without a /Filespec ref")
+        fs = _dict_of(body(int(rm.group(1))))
+        efd = sub_dict(fs, rb"/EF")
+        if efd is None:
+            raise ValueError("/Filespec without /EF")
+        sm = re.search(rb"/F\s+(\d+)\s+0\s+R", efd)
+        if sm is None:
+            raise ValueError("/EF without an /F stream ref")
+        snum = int(sm.group(1))
+        sbody = body(snum)
+        sd = _dict_of(sbody)
+        raw = _stream_of(sbody, _int(sd, b"Length"))
+        if decrypt is not None:
+            raw = decrypt(snum, raw)
+        out.append((nameb.decode("utf-8", "replace"), _decode_stream(sd, raw)))
+        i = rm.end()
     return out
 
 
@@ -1605,10 +1754,27 @@ def decode_pdf(data: bytes, password: bytes = b"") -> list[np.ndarray]:
     images: list[np.ndarray] = []
     for kid in kid_nums:
         page = _dict_of(body(kid))
+        # §7.7.3.3 /Rotate: the viewer shall rotate the page this many
+        # degrees CLOCKWISE for display — honour it on the decoded
+        # raster (np.rot90 is counter-clockwise, hence the negation)
+        rot = 0
+        rot_m = re.search(rb"/Rotate\s+(-?\d+)", page)
+        if rot_m is not None:
+            rot = int(rot_m.group(1)) % 360
+            if rot % 90:
+                raise ValueError(
+                    "page /Rotate %s is not a multiple of 90" % rot_m.group(1).decode()
+                )
+
+        def orient(img: np.ndarray) -> np.ndarray:
+            if rot:
+                return np.ascontiguousarray(np.rot90(img, -(rot // 90)))
+            return img
+
         xobj_m = re.search(rb"/XObject\s*<<([^>]*)>>", page)
         if xobj_m is not None:
             img_num = _ref(xobj_m.group(1), b"Im0")
-            images.append(_decode_image_xobject(body, img_num, decrypt))
+            images.append(orient(_decode_image_xobject(body, img_num, decrypt)))
             continue
         # no raster XObject: the fax-converter / print-driver shape
         # stores the scan as an INLINE image (§8.9.7) in the content
@@ -1631,7 +1797,7 @@ def decode_pdf(data: bytes, password: bytes = b"") -> list[np.ndarray]:
                 "(scanned-page subset expects exactly 1)"
                 % (kid, len(inline_imgs))
             )
-        images.append(inline_imgs[0])
+        images.append(orient(inline_imgs[0]))
     return images
 
 

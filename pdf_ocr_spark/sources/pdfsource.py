@@ -107,6 +107,23 @@ ICC_RESIDUES = 31
 #: the update bodies would need the file key) and inline (id % 23 ==
 #: 9: no raster XObject to replace) docs.
 UPDATE_RESIDUES = 37
+#: doc id % ATTACH_RESIDUES == 14 -> the file carries §7.7.4 EMBEDDED
+#: FILES (the invoice-XML / portfolio shape): an /EmbeddedFiles name
+#: tree in the catalog with two Flate-coded attachments whose names
+#: and contents derive purely from (doc_id, text) so the
+#: pdf_attachments oracle recomputes the exact rows in SQL. Composes
+#: with every raster rotation (it only touches the catalog) and with
+#: encryption (streams encrypt; under RC4 the /Filespec strings are
+#: per-object ciphertext and the name-tree strings live in the ObjStm,
+#: §7.6.2).
+ATTACH_RESIDUES = 41
+#: doc id % ROTATE_RESIDUES == 15 -> every page carries a §7.7.3.3
+#: /Rotate entry (the sideways-fed scanner shape), angle rotating by
+#: (id//43)%3 over 90/180/270. Content-transparent: the writer stores
+#: rasters pre-rotated counter-clockwise and the reader honours
+#: /Rotate clockwise, so extracted text is unchanged. Composes with
+#: every raster codec and with inline-image pages (non-DCT only).
+ROTATE_RESIDUES = 43
 
 PDF_PAGES_SCHEMA = (
     "doc_id string, offset int, media_ref string, payload binary, parse_error string"
@@ -272,6 +289,25 @@ def write_pdf_corpus(
                         )
                         for i in range(len(images))
                     ]
+                rot = 0
+                if not dct and d % ROTATE_RESIDUES == 15:
+                    rot = (90, 180, 270)[(d // ROTATE_RESIDUES) % 3]
+                atts = None
+                if not dct and d % ATTACH_RESIDUES == 14:
+                    # §7.7.4 embedded files, SQL-derivable: an
+                    # invoice-style XML carrying the word count and a
+                    # notes file carrying the first five words
+                    words = (text or "").split()
+                    atts = [
+                        (
+                            f"invoice_{doc_id}.xml",
+                            (
+                                f'<invoice doc="{doc_id}"><words>'
+                                f"{len(words)}</words></invoice>"
+                            ).encode(),
+                        ),
+                        (f"notes_{doc_id}.txt", " ".join(words[:5]).encode()),
+                    ]
                 if not dct and d % INLINE_RESIDUES == 9:
                     # §8.9.7 inline-image page (BI..ID..EI, no raster
                     # XObject) — wins over every other non-DCT raster
@@ -289,6 +325,8 @@ def write_pdf_corpus(
                                 info=meta,
                                 xmp_title=xmp_t,
                                 page_links=links,
+                                attachments=atts,
+                                rotate=rot,
                                 encrypt=d % ENCRYPT_RESIDUES == 1,
                                 cipher=(
                                     "aes256"
@@ -360,6 +398,8 @@ def write_pdf_corpus(
                             info=meta,
                             xmp_title=xmp_t,
                             page_links=links,
+                            attachments=atts,
+                            rotate=rot,
                             rle=not dct and d % RLE_RESIDUES == 6,
                             ccitt=not dct and d % CCITT_RESIDUES == 4,
                             # rotate the fax mode: G4, G3 1-D, G3 mixed
@@ -586,6 +626,41 @@ def read_pdf_links(spark: SparkSession, pdf_dir: str) -> DataFrame:
 
     return bf.select("path", "content").mapInPandas(
         kernel, schema="doc_id string, page int, uri string"
+    )
+
+
+def read_pdf_attachments(
+    spark: SparkSession, pdf_dir: str, password: str = ""
+) -> DataFrame:
+    """Embedded-file harvest over PDF corpora: §7.7.4 /EmbeddedFiles
+    name trees exploded to one (doc_id, name, content) row per
+    attachment in tree order — the side-data pass an ingestion
+    pipeline runs over invoice/portfolio PDFs. Narrow Arrow stage, no
+    raster decode; contents decode as UTF-8 text (replacement chars
+    for binary payloads); malformed files contribute no rows."""
+    bf = _binary_scan(spark, os.path.join(pdf_dir, "*.pdf"))
+    pw = password.encode()
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_ocr_spark.sources.pdfcodec import pdf_attachments
+
+        for pdf in batches:
+            ids, names, contents = [], [], []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                m = _DOC_RE.search(path)
+                did = m.group(1) if m else path
+                try:
+                    found = pdf_attachments(bytes(content), password=pw)
+                except ValueError:
+                    continue
+                for name, blob in found:
+                    ids.append(did)
+                    names.append(name)
+                    contents.append(blob.decode("utf-8", "replace"))
+            yield pd.DataFrame({"doc_id": ids, "name": names, "content": contents})
+
+    return bf.select("path", "content").mapInPandas(
+        kernel, schema="doc_id string, name string, content string"
     )
 
 

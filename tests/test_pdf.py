@@ -351,6 +351,85 @@ def test_pdf_links_round_trip():
     assert pdf_links(data) == [(0, "https://i.example/in")]
 
 
+def test_page_rotate_round_trip():
+    """§7.7.3.3 /Rotate: the writer stores the raster pre-rotated
+    counter-clockwise and the reader rotates it back clockwise, so
+    the round trip is the identity at every angle, in both layouts,
+    composed with raster codecs (CCITT bitonal, RGB Flate) and with
+    inline-image pages; non-multiple-of-90 is a typed error."""
+    rng = np.random.RandomState(43)
+    gray = rng.randint(0, 256, (10, 14)).astype(np.uint8)
+    rgb = rng.randint(0, 256, (9, 13, 3)).astype(np.uint8)
+    bitonal = (rng.randint(0, 2, (16, 24)) * 255).astype(np.uint8)
+    for rot in (0, 90, 180, 270, 360, -90):
+        for objstm in (False, True):
+            data = encode_pdf([gray, rgb], compress=True,
+                              object_streams=objstm, rotate=rot)
+            got = decode_pdf(data)
+            assert (got[0] == gray).all() and (got[1] == rgb).all(), (rot, objstm)
+        if rot % 360:
+            # the stored raster really is rotated (dims swap at 90/270)
+            sw = b"/Rotate %d" % (rot % 360)
+            assert sw in encode_pdf([gray], rotate=rot)
+    got = decode_pdf(encode_pdf([bitonal], ccitt=True, rotate=90))
+    assert (got[0] == bitonal).all()
+    got = decode_pdf(encode_pdf([gray], inline="flate", rotate=270))
+    assert (got[0] == gray).all()
+    got = decode_pdf(encode_pdf([gray], compress=True, object_streams=True,
+                                encrypt=True, rotate=180))
+    assert (got[0] == gray).all()
+    with pytest.raises(ValueError, match="multiple of 90"):
+        encode_pdf([gray], rotate=45)
+    bad = encode_pdf([gray], rotate=90).replace(b"/Rotate 90", b"/Rotate 45")
+    with pytest.raises(ValueError, match="multiple of 90"):
+        decode_pdf(bad)
+
+
+def test_pdf_attachments_round_trip():
+    """§7.7.4 embedded files round-trip in both layouts and under
+    every handler: names come from the catalog's /EmbeddedFiles name
+    tree (ObjStm members are exempt from per-string encryption,
+    §7.6.2 — enforced by the write guard), contents decrypt+inflate
+    through the standard stream paths, and under RC4 the top-level
+    /Filespec strings are really ciphertext."""
+    from pdf_ocr_spark.sources.pdfcodec import pdf_attachments
+
+    img = np.zeros((8, 8), dtype=np.uint8)
+    atts = [
+        ("invoice_7.xml", b'<invoice doc="7"><words>40</words></invoice>'),
+        ("notes (draft).txt", b"alpha beta\x00\xff binary ok"),
+        ("empty.bin", b""),
+    ]
+    for objstm in (False, True):
+        data = encode_pdf([img], compress=True, object_streams=objstm,
+                          attachments=atts)
+        assert pdf_attachments(data) == atts, objstm
+        assert len(decode_pdf(data)) == 1
+    for ciph in ("rc4", "aes", "aes256"):
+        data = encode_pdf([img], compress=True, object_streams=True,
+                          encrypt=True, cipher=ciph, attachments=atts)
+        assert pdf_attachments(data) == atts, ciph
+        if ciph == "rc4":
+            # the top-level /Filespec /F strings are per-object RC4
+            # ciphertext, never plaintext literals
+            assert b"(invoice_7.xml)" not in data
+    # attachments + encryption need the ObjStm layout (catalog strings)
+    with pytest.raises(ValueError, match="object_streams"):
+        encode_pdf([img], encrypt=True, attachments=atts)
+    # no attachments -> empty harvest, never an error
+    assert pdf_attachments(encode_pdf([img])) == []
+    # coexists with the other catalog tenants (XMP metadata + links)
+    data = encode_pdf([img], xmp_title="T", page_links=[["https://l.example/x"]],
+                      attachments=atts[:1])
+    assert pdf_attachments(data) == atts[:1]
+    # a /Kids-subdivided name tree is outside the subset: typed error
+    flat = encode_pdf([img], attachments=atts[:1])
+    kids = flat.replace(b"/EmbeddedFiles << /Names [", b"/EmbeddedFiles << /Kids  [")
+    assert len(kids) == len(flat) and kids != flat
+    with pytest.raises(ValueError, match="Kids"):
+        pdf_attachments(kids)
+
+
 def test_inline_image_extracts_through_ocr(spark, tmp_path):
     """End to end: an inline-image scan flows binaryFile -> parse ->
     OCR exactly like the XObject shape (the corpus rotation plants
