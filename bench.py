@@ -41,6 +41,8 @@ BENCH_QUERIES = [
     "pdf_metadata",
     "pdf_links",
     "pdf_attachments",
+    "pdf_form_fields",
+    "pdf_outline",
     "pdf_extract_text",
     "pdf_extract_text_dct",
     "pdf_text_layer",

@@ -1941,7 +1941,11 @@ def _pdf_fixture_dir(
     # contents derived from (doc_id, text) for the SQL oracle).
     # r5rot: 1-in-43 docs carry §7.7.3.3 /Rotate 90/180/270 pages
     # (content-transparent — the reader re-orients before OCR).
-    gen_tag = {"objstm": "r5rot", "jpx": "r5lossy", "dct": "r5sym"}[variant]
+    # r5form: 1-in-47 docs carry a §12.7.2 /AcroForm with three filled
+    # text fields derived from (doc_id, text) for the SQL oracle.
+    # r5toc: 1-in-53 docs carry a §12.3.3 two-level outline (Chapter/
+    # Section per page) derived from (doc_id, n_pages).
+    gen_tag = {"objstm": "r5toc", "jpx": "r5lossy", "dct": "r5sym"}[variant]
     fingerprint = f"{agg['n']}:{agg['ck']}:{variant}:{gen_tag}"
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker):
@@ -2251,6 +2255,76 @@ def q_pdf_attachments(spark: SparkSession, sf: str) -> DataFrame:
     d = _pdf_fixture_dir(spark, sf)
     return read_pdf_attachments(spark, d).select(
         F.col("doc_id").cast("long").alias("doc_id"), "name", "content"
+    )
+
+
+@_register(
+    "pdf_form_fields",
+    f"""
+WITH t AS (SELECT doc_id,
+           greatest(1, ceil(len({sql_tokens('text')}) / 20.0))::BIGINT AS n
+           FROM documents WHERE doc_id % 47 = 16)
+SELECT doc_id, 'title' AS field, 'Document ' || doc_id::VARCHAR AS value FROM t
+UNION ALL
+SELECT doc_id, 'pages' AS field, n::VARCHAR AS value FROM t
+UNION ALL
+SELECT doc_id, 'lang' AS field, ['en','fr','de'][doc_id % 3 + 1] AS value FROM t
+""",
+)
+def q_pdf_form_fields(spark: SparkSession, sf: str) -> DataFrame:
+    """Filled-form harvest over the real-PDF corpus: §12.7.2 /AcroForm
+    text fields (the application/invoice shape) exploded to one
+    (doc_id, field, value) row each — the structured-data pass an
+    ingestion pipeline runs alongside extraction. The corpus plants
+    three filled fields on every doc_id % 47 == 16 file with values
+    derived purely from (doc_id, text) — the 'pages' field equals the
+    oracle's page-count formula, so a green row certifies /Fields
+    array walking, merged field+widget parsing, and the §7.6.2 string
+    rule (RC4 docs carry per-object-ciphertext /T //V)."""
+    from pdf_ocr_spark.sources.pdfsource import read_pdf_form_fields
+
+    d = _pdf_fixture_dir(spark, sf)
+    return read_pdf_form_fields(spark, d).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "field", "value"
+    )
+
+
+@_register(
+    "pdf_outline",
+    f"""
+WITH pages AS (
+  SELECT doc_id,
+         greatest(1, ceil(len({sql_tokens('text')}) / 20.0))::INT AS n
+  FROM documents WHERE doc_id % 53 = 17
+)
+, exp AS (SELECT doc_id, unnest(range(n)) AS i FROM pages)
+SELECT doc_id,
+       (CASE WHEN i % 2 = 0 THEN 1 ELSE 2 END)::BIGINT AS level,
+       (CASE WHEN i % 2 = 0 THEN 'Chapter ' ELSE 'Section ' END)
+         || i::VARCHAR AS title,
+       i::BIGINT AS page
+FROM exp
+""",
+)
+def q_pdf_outline(spark: SparkSession, sf: str) -> DataFrame:
+    """Bookmark (table-of-contents) harvest over the real-PDF corpus:
+    §12.3.3 /Outlines trees exploded to (doc_id, level, title, page)
+    rows in pre-order — the section-segmentation pass a
+    document-understanding pipeline runs before chunking. The corpus
+    plants a two-level outline on every doc_id % 53 == 17 file
+    (Chapter on even pages, nested Section on odd), so the oracle
+    regenerates the exact rows from the documents table — certifying
+    the /First → /Next graph walk, /Dest page resolution, /Count
+    bookkeeping, and the §7.6.2 string rule (RC4 titles are
+    per-object ciphertext)."""
+    from pdf_ocr_spark.sources.pdfsource import read_pdf_outline
+
+    d = _pdf_fixture_dir(spark, sf)
+    return read_pdf_outline(spark, d).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("level").cast("long").alias("level"),
+        "title",
+        F.col("page").cast("long").alias("page"),
     )
 
 

@@ -226,6 +226,8 @@ def encode_pdf(
     xmp_title: str | None = None,
     page_links: list[list[str]] | None = None,
     attachments: list[tuple[str, bytes]] | None = None,
+    form_fields: list[tuple[str, str]] | None = None,
+    outlines: list[tuple[int, str, int]] | None = None,
     ascii85: bool = False,
     sample_bpc: int = 8,
     decode_invert: bool = False,
@@ -317,6 +319,22 @@ def encode_pdf(
     honours the entry the same way, making the round trip the
     identity; the rotation composes with every raster codec (the
     codec just sees the pre-rotated array).
+
+    ``form_fields`` writes an interactive-form dictionary (§12.7.2
+    /AcroForm) with one text field (/FT /Tx) per (name, value) pair,
+    each a merged field+widget object referenced from BOTH /AcroForm
+    /Fields and page 0's /Annots (the filled-in-form producer shape).
+    Under RC4 the /T and /V strings are per-object ciphertext, like
+    /Info (the field objects sit top-level); the AES handlers declare
+    /StrF /Identity so no re-serialization is needed.
+
+    ``outlines`` writes a §12.3.3 document outline (bookmark tree):
+    a pre-order list of (level, title, page_index) items, level
+    starting at 1 and increasing by at most 1 per step. The writer
+    builds the full /First /Last /Next /Prev /Parent /Count graph
+    with ``[page /Fit]`` destinations; under RC4 the /Title strings
+    are per-object ciphertext (outline items sit top-level), like
+    /Info.
 
     ``attachments`` embeds (name, bytes) files through the §7.7.4
     /Names /EmbeddedFiles name tree — /Filespec dicts with /EF
@@ -675,6 +693,100 @@ def encode_pdf(
             b" /Names << /EmbeddedFiles << /Names [ %s ] >> >>"
             % b" ".join(entries)
         )
+    outline_objs: list[tuple[int, bytes, bytes]] = []
+    if outlines:
+        # §12.3.3 document outline: pre-order (level, title, page)
+        # items -> the /First /Last /Next /Prev /Parent /Count graph.
+        # A stack tracks the open ancestor chain; children[i] lists
+        # each node's direct children (index -1 = the outline root).
+        root_num = max(objects) + 1
+        item_nums = [root_num + 1 + i for i in range(len(outlines))]
+        children: dict[int, list[int]] = {-1: []}
+        parent_of: list[int] = []
+        stack: list[int] = []  # indices of open ancestors
+        for i, (level, _title, page_idx) in enumerate(outlines):
+            if level < 1 or level > len(stack) + 1:
+                raise ValueError(
+                    "outline level %d at item %d skips a level" % (level, i)
+                )
+            if page_idx < 0 or page_idx >= len(pages):
+                raise ValueError("outline item %d targets page %d" % (i, page_idx))
+            stack = stack[: level - 1]
+            parent = stack[-1] if stack else -1
+            parent_of.append(parent)
+            children.setdefault(i, [])
+            children[parent].append(i)
+            stack.append(i)
+
+        def _descendants(idx: int) -> int:
+            return sum(1 + _descendants(c) for c in children.get(idx, []))
+
+        for i, (level, title, page_idx) in enumerate(outlines):
+            parent = parent_of[i]
+            sibs = children[parent]
+            pos = sibs.index(i)
+            entries = [
+                b"/Parent %d 0 R"
+                % (root_num if parent == -1 else item_nums[parent]),
+                b"/Dest [%d 0 R /Fit]" % (3 + 3 * page_idx),
+            ]
+            if pos > 0:
+                entries.append(b"/Prev %d 0 R" % item_nums[sibs[pos - 1]])
+            if pos + 1 < len(sibs):
+                entries.append(b"/Next %d 0 R" % item_nums[sibs[pos + 1]])
+            kids_here = children.get(i, [])
+            if kids_here:
+                entries.append(b"/First %d 0 R" % item_nums[kids_here[0]])
+                entries.append(b"/Last %d 0 R" % item_nums[kids_here[-1]])
+                entries.append(b"/Count %d" % _descendants(i))
+            tb = title.encode("utf-8")
+            esc_t = (
+                tb.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
+            )
+            tail = b" ".join(entries)
+            objects[item_nums[i]] = b"<< /Title (%s) %s >>" % (esc_t, tail)
+            extra_toplevel.add(item_nums[i])
+            outline_objs.append((item_nums[i], tb, tail))
+        top = children[-1]
+        objects[root_num] = (
+            b"<< /Type /Outlines /First %d 0 R /Last %d 0 R /Count %d >>"
+            % (item_nums[top[0]], item_nums[top[-1]], len(outlines))
+        )
+        extra_toplevel.add(root_num)
+        catalog_extra += b" /Outlines %d 0 R" % root_num
+    form_field_objs: list[tuple[int, bytes, bytes]] = []
+    if form_fields:
+        # §12.7.2 interactive form: merged field+widget objects (the
+        # filled-form producer shape), referenced from /AcroForm
+        # /Fields AND page 0's /Annots (§12.5.2 requires every widget
+        # on a page)
+        def _esc(s: bytes) -> bytes:
+            return (
+                s.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
+            )
+
+        field_refs = []
+        for fname, fvalue in form_fields:
+            f_num = max(objects) + 1
+            nb, vb = fname.encode("utf-8"), fvalue.encode("utf-8")
+            objects[f_num] = (
+                b"<< /Type /Annot /Subtype /Widget /FT /Tx /T (%s) /V (%s) "
+                b"/Rect [0 0 0 0] /F 2 /P 3 0 R >>" % (_esc(nb), _esc(vb))
+            )
+            extra_toplevel.add(f_num)
+            form_field_objs.append((f_num, nb, vb))
+            field_refs.append(b"%d 0 R" % f_num)
+        refs = b" ".join(field_refs)
+        catalog_extra += b" /AcroForm << /Fields [ %s ] >>" % refs
+        # widgets join page 0's /Annots — merge with any link annots
+        if b"/Annots [ " in objects[3]:
+            objects[3] = objects[3].replace(
+                b"/Annots [ ", b"/Annots [ %s " % refs, 1
+            )
+        else:
+            objects[3] = objects[3].replace(
+                b"/Contents", b"/Annots [ %s ] /Contents" % refs, 1
+            )
     objects[1] = b"<< /Type /Catalog /Pages 2 0 R%s >>" % catalog_extra
 
     trailer_extra = b""
@@ -782,6 +894,28 @@ def encode_pdf(
                 objects[fs_num] = (
                     b"<< /Type /Filespec /F <%s> /UF <%s> /EF << /F %d 0 R >> >>"
                     % (h, h, ef_ref)
+                )
+        if outline_objs and cipher == "rc4":
+            # outline items sit top-level too: /Title re-serializes as
+            # per-object RC4 ciphertext (the graph entries are refs,
+            # no other strings involved)
+            for o_num, tb, tail in outline_objs:
+                objects[o_num] = b"<< /Title <%s> %s >>" % (
+                    pdfcrypt.encrypt_object(fkey_s, o_num, tb)
+                    .hex().upper().encode(),
+                    tail,
+                )
+        if form_field_objs and cipher == "rc4":
+            # ditto for the top-level merged field+widget objects: /T
+            # and /V re-serialize as per-object RC4 ciphertext
+            for f_num, nb, vb in form_field_objs:
+                objects[f_num] = (
+                    b"<< /Type /Annot /Subtype /Widget /FT /Tx /T <%s> /V <%s> "
+                    b"/Rect [0 0 0 0] /F 2 /P 3 0 R >>"
+                    % (
+                        pdfcrypt.encrypt_object(fkey_s, f_num, nb).hex().upper().encode(),
+                        pdfcrypt.encrypt_object(fkey_s, f_num, vb).hex().upper().encode(),
+                    )
                 )
         for num in list(objects):
             objects[num] = _encrypt_body_stream(objects[num], num, enc)
@@ -1206,6 +1340,129 @@ def pdf_attachments(data: bytes, password: bytes = b"") -> list[tuple[str, bytes
             raw = decrypt(snum, raw)
         out.append((nameb.decode("utf-8", "replace"), _decode_stream(sd, raw)))
         i = rm.end()
+    return out
+
+
+def pdf_form_fields(data: bytes, password: bytes = b"") -> list[tuple[str, str]]:
+    """Text-field harvest from the §12.7.2 interactive-form dictionary,
+    as ``(name, value)`` in /Fields order — the filled-form extraction
+    pass (applications, invoices, questionnaires). Subset: flat
+    terminal /Tx fields — hierarchical fields (/Kids) and non-text
+    field types are typed errors; an un-filled field (no /V) yields an
+    empty value. String decryption follows §7.6.2: only strings whose
+    winning object lives top-level decrypt (the AES handlers declare
+    /StrF /Identity, so only RC4/V2 fields are ciphertext)."""
+    if not data.startswith(b"%PDF-"):
+        raise ValueError("not a PDF (missing %PDF- header)")
+    body, trailer, decrypt = _load(data, password)
+    str_decrypt = None
+    if decrypt is not None:
+        ed = _dict_of(body(_ref(trailer, b"Encrypt")))
+        if not re.search(rb"/StrF\s*/Identity\b", ed):
+            str_decrypt = decrypt
+    packed = getattr(body, "packed_nums", frozenset())
+    catalog = _dict_of(body(_ref(trailer, b"Root")))
+    m = re.search(rb"/AcroForm\s*(<<|\d+\s+0\s+R)", catalog)
+    if m is None:
+        return []
+    if m.group(1) == b"<<":
+        af = catalog[
+            m.end() - 2 : _balanced_span(catalog, m.end() - 2, 0x3C, 0x3E)
+        ]
+    else:
+        af = _dict_of(body(int(m.group(1).split()[0])))
+    fm = re.search(rb"/Fields\s*\[", af)
+    if fm is None:
+        return []
+    arr = af[fm.end() - 1 : _balanced_span(af, fm.end() - 1, 0x5B, 0x5D)]
+    out: list[tuple[str, str]] = []
+    for rm in re.finditer(rb"(\d+)\s+0\s+R", arr):
+        fnum = int(rm.group(1))
+        field = _dict_of(body(fnum))
+        if re.search(rb"/Kids\b", field):
+            raise ValueError(
+                "hierarchical /AcroForm fields (/Kids) are not in the subset"
+            )
+        ft = re.search(rb"/FT\s*/(\w+)", field)
+        if ft is None or ft.group(1) != b"Tx":
+            raise ValueError(
+                "field type /%s is outside the text-field subset"
+                % (ft.group(1).decode() if ft else "?")
+            )
+        name = _pdf_string(field, b"T")
+        try:
+            value = _pdf_string(field, b"V")
+        except ValueError:
+            value = b""  # un-filled field
+        if str_decrypt is not None and fnum not in packed:
+            name = str_decrypt(fnum, name)
+            if value:
+                value = str_decrypt(fnum, value)
+        out.append(
+            (name.decode("utf-8", "replace"), value.decode("utf-8", "replace"))
+        )
+    return out
+
+
+def pdf_outline(data: bytes, password: bytes = b"") -> list[tuple[int, str, int]]:
+    """Document-outline (bookmark) harvest from the §12.3.3 /Outlines
+    tree, as pre-order ``(level, title, page_index)`` rows — the
+    table-of-contents pass a document-understanding pipeline runs for
+    section segmentation. The /First → /Next graph is walked with a
+    visited-set cycle guard; destinations resolve through ``/Dest
+    [page 0 R ...]`` arrays (named destinations are a typed error);
+    strings decrypt per §7.6.2 (top-level objects only)."""
+    if not data.startswith(b"%PDF-"):
+        raise ValueError("not a PDF (missing %PDF- header)")
+    body, trailer, decrypt = _load(data, password)
+    str_decrypt = None
+    if decrypt is not None:
+        ed = _dict_of(body(_ref(trailer, b"Encrypt")))
+        if not re.search(rb"/StrF\s*/Identity\b", ed):
+            str_decrypt = decrypt
+    packed = getattr(body, "packed_nums", frozenset())
+    catalog = _dict_of(body(_ref(trailer, b"Root")))
+    om = re.search(rb"/Outlines\s+(\d+)\s+0\s+R", catalog)
+    if om is None:
+        return []
+    page_index = {
+        pnum: idx
+        for idx, pnum in enumerate(_page_numbers(body, _ref(catalog, b"Pages")))
+    }
+    out: list[tuple[int, str, int]] = []
+    seen: set[int] = set()
+
+    def walk(node_num: int, level: int) -> None:
+        if level > 64:
+            raise ValueError("outline tree deeper than 64 levels")
+        node = _dict_of(body(node_num))
+        fm = re.search(rb"/First\s+(\d+)\s+0\s+R", node)
+        cur = int(fm.group(1)) if fm else None
+        while cur is not None:
+            if cur in seen:
+                raise ValueError("outline graph contains a cycle at %d" % cur)
+            seen.add(cur)
+            item = _dict_of(body(cur))
+            title = _pdf_string(item, b"Title")
+            if str_decrypt is not None and cur not in packed:
+                title = str_decrypt(cur, title)
+            dm = re.search(rb"/Dest\s*\[\s*(\d+)\s+0\s+R", item)
+            if dm is None:
+                raise ValueError(
+                    "outline item %d has no [page ...] /Dest "
+                    "(named destinations are not in the subset)" % cur
+                )
+            pnum = int(dm.group(1))
+            if pnum not in page_index:
+                raise ValueError(
+                    "outline item %d targets non-page object %d" % (cur, pnum)
+                )
+            out.append((level, title.decode("utf-8", "replace"), page_index[pnum]))
+            walk(cur, level + 1)
+            nm = re.search(rb"/Next\s+(\d+)\s+0\s+R", item)
+            cur = int(nm.group(1)) if nm else None
+
+    walk(int(om.group(1)), 1)
     return out
 
 

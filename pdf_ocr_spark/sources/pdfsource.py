@@ -124,6 +124,20 @@ ATTACH_RESIDUES = 41
 #: /Rotate clockwise, so extracted text is unchanged. Composes with
 #: every raster codec and with inline-image pages (non-DCT only).
 ROTATE_RESIDUES = 43
+#: doc id % FORM_RESIDUES == 16 -> the file carries a §12.7.2
+#: /AcroForm with three filled text fields (title / pages / lang)
+#: derived purely from (doc_id, text), so the pdf_form_fields oracle
+#: recomputes the exact rows in SQL. Field widgets join page 0's
+#: /Annots next to any link annotations; under RC4 the field strings
+#: are per-object ciphertext (non-DCT corpus only).
+FORM_RESIDUES = 47
+#: doc id % OUTLINE_RESIDUES == 17 -> the file carries a §12.3.3
+#: document outline (bookmark tree): page i gets a level-1
+#: "Chapter i" on even i and a nested level-2 "Section i" on odd i —
+#: structure and titles derive purely from (doc_id, n_pages) so the
+#: pdf_outline oracle recomputes the exact rows in SQL. Under RC4
+#: the /Title strings are per-object ciphertext (non-DCT only).
+OUTLINE_RESIDUES = 53
 
 PDF_PAGES_SCHEMA = (
     "doc_id string, offset int, media_ref string, payload binary, parse_error string"
@@ -292,6 +306,26 @@ def write_pdf_corpus(
                 rot = 0
                 if not dct and d % ROTATE_RESIDUES == 15:
                     rot = (90, 180, 270)[(d // ROTATE_RESIDUES) % 3]
+                toc = None
+                if not dct and d % OUTLINE_RESIDUES == 17:
+                    # §12.3.3 bookmarks: Chapter on even pages, a
+                    # nested Section on odd pages — SQL-derivable
+                    toc = [
+                        (
+                            1 if i % 2 == 0 else 2,
+                            (f"Chapter {i}" if i % 2 == 0 else f"Section {i}"),
+                            i,
+                        )
+                        for i in range(len(images))
+                    ]
+                fields = None
+                if not dct and d % FORM_RESIDUES == 16:
+                    # §12.7.2 filled text fields, SQL-derivable
+                    fields = [
+                        ("title", f"Document {doc_id}"),
+                        ("pages", str(len(images))),
+                        ("lang", ("en", "fr", "de")[d % 3]),
+                    ]
                 atts = None
                 if not dct and d % ATTACH_RESIDUES == 14:
                     # §7.7.4 embedded files, SQL-derivable: an
@@ -326,6 +360,8 @@ def write_pdf_corpus(
                                 xmp_title=xmp_t,
                                 page_links=links,
                                 attachments=atts,
+                                form_fields=fields,
+                                outlines=toc,
                                 rotate=rot,
                                 encrypt=d % ENCRYPT_RESIDUES == 1,
                                 cipher=(
@@ -399,6 +435,8 @@ def write_pdf_corpus(
                             xmp_title=xmp_t,
                             page_links=links,
                             attachments=atts,
+                            form_fields=fields,
+                            outlines=toc,
                             rotate=rot,
                             rle=not dct and d % RLE_RESIDUES == 6,
                             ccitt=not dct and d % CCITT_RESIDUES == 4,
@@ -661,6 +699,75 @@ def read_pdf_attachments(
 
     return bf.select("path", "content").mapInPandas(
         kernel, schema="doc_id string, name string, content string"
+    )
+
+
+def read_pdf_form_fields(
+    spark: SparkSession, pdf_dir: str, password: str = ""
+) -> DataFrame:
+    """Filled-form harvest over PDF corpora: §12.7.2 /AcroForm text
+    fields exploded to one (doc_id, field, value) row per field in
+    /Fields order — the structured-data pass an ingestion pipeline
+    runs over application/invoice PDFs. Narrow Arrow stage, no raster
+    decode; malformed files contribute no rows."""
+    bf = _binary_scan(spark, os.path.join(pdf_dir, "*.pdf"))
+    pw = password.encode()
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_ocr_spark.sources.pdfcodec import pdf_form_fields
+
+        for pdf in batches:
+            ids, fnames, values = [], [], []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                m = _DOC_RE.search(path)
+                did = m.group(1) if m else path
+                try:
+                    found = pdf_form_fields(bytes(content), password=pw)
+                except ValueError:
+                    continue
+                for fname, value in found:
+                    ids.append(did)
+                    fnames.append(fname)
+                    values.append(value)
+            yield pd.DataFrame({"doc_id": ids, "field": fnames, "value": values})
+
+    return bf.select("path", "content").mapInPandas(
+        kernel, schema="doc_id string, field string, value string"
+    )
+
+
+def read_pdf_outline(
+    spark: SparkSession, pdf_dir: str, password: str = ""
+) -> DataFrame:
+    """Bookmark harvest over PDF corpora: §12.3.3 /Outlines trees
+    exploded to one (doc_id, level, title, page) row per item in
+    pre-order — the table-of-contents pass a document-understanding
+    pipeline runs for section segmentation. Narrow Arrow stage, no
+    raster decode; malformed files contribute no rows."""
+    bf = _binary_scan(spark, os.path.join(pdf_dir, "*.pdf"))
+    pw = password.encode()
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_ocr_spark.sources.pdfcodec import pdf_outline
+
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "level", "title", "page")}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                m = _DOC_RE.search(path)
+                did = m.group(1) if m else path
+                try:
+                    found = pdf_outline(bytes(content), password=pw)
+                except ValueError:
+                    continue
+                for level, title, page in found:
+                    rows["doc_id"].append(did)
+                    rows["level"].append(level)
+                    rows["title"].append(title)
+                    rows["page"].append(page)
+            yield pd.DataFrame(rows)
+
+    return bf.select("path", "content").mapInPandas(
+        kernel, schema="doc_id string, level int, title string, page int"
     )
 
 

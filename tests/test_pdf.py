@@ -430,6 +430,97 @@ def test_pdf_attachments_round_trip():
         pdf_attachments(kids)
 
 
+def test_pdf_form_fields_round_trip():
+    """§12.7.2 AcroForm text fields round-trip in both layouts and
+    under every handler (RC4 field strings are per-object ciphertext;
+    AES declares /StrF /Identity), coexist with link annotations on
+    the same page's /Annots, and the subset edges are typed errors."""
+    from pdf_ocr_spark.sources.pdfcodec import pdf_form_fields, pdf_links
+
+    img = np.zeros((30, 20), dtype=np.uint8)
+    fields = [("applicant", "Ada (Lovelace)"), ("lang", "en"),
+              ("notes", ""), ("total", "42")]
+    for objstm in (False, True):
+        data = encode_pdf([img], compress=True, object_streams=objstm,
+                          form_fields=fields)
+        assert pdf_form_fields(data) == fields, objstm
+        assert len(decode_pdf(data)) == 1
+    for ciph in ("rc4", "aes", "aes256"):
+        data = encode_pdf([img], compress=True, object_streams=True,
+                          encrypt=True, cipher=ciph, form_fields=fields)
+        assert pdf_form_fields(data) == fields, ciph
+        if ciph == "rc4":
+            assert b"(applicant)" not in data  # really ciphertext
+    # RC4 without the ObjStm layout also works: field strings encrypt
+    # per object, no catalog strings involved
+    data = encode_pdf([img], compress=True, encrypt=True, cipher="rc4",
+                      form_fields=fields)
+    assert pdf_form_fields(data) == fields
+    # widgets share page 0's /Annots with link annotations; the link
+    # harvest must not see widgets nor vice versa
+    data = encode_pdf([img], form_fields=fields,
+                      page_links=[["https://l.example/x"]])
+    assert pdf_form_fields(data) == fields
+    assert pdf_links(data) == [(0, "https://l.example/x")]
+    assert pdf_form_fields(encode_pdf([img])) == []
+    # subset edges: hierarchical fields and non-text types
+    flat = encode_pdf([img], form_fields=fields[:1])
+    with pytest.raises(ValueError, match="Kids"):
+        pdf_form_fields(flat.replace(b"/FT /Tx /T", b"/Kids[] /T"))
+    with pytest.raises(ValueError, match="subset"):
+        pdf_form_fields(flat.replace(b"/FT /Tx", b"/FT /Btn"))
+
+
+def test_pdf_outline_round_trip():
+    """§12.3.3 outlines: the full /First /Last /Next /Prev /Parent
+    /Count graph round-trips in pre-order at three nesting levels, in
+    both layouts, under every handler (RC4 titles are per-object
+    ciphertext), and the subset edges (cycles, named destinations,
+    level skips) are typed errors."""
+    from pdf_ocr_spark.sources.pdfcodec import pdf_outline
+
+    img = np.zeros((20, 16), dtype=np.uint8)
+    toc = [
+        (1, "Chapter 0", 0),
+        (2, "Section 0.1 (intro)", 0),
+        (3, "Sub 0.1.1", 1),
+        (2, "Section 0.2", 1),
+        (1, "Chapter 1", 2),
+        (2, "Section 1.1", 2),
+    ]
+    for objstm in (False, True):
+        data = encode_pdf([img, img, img], compress=True,
+                          object_streams=objstm, outlines=toc)
+        assert pdf_outline(data) == toc, objstm
+        assert len(decode_pdf(data)) == 3
+        # the graph is well-formed: counts match the item total
+        assert b"/Type /Outlines" in data or objstm
+    for ciph in ("rc4", "aes", "aes256"):
+        data = encode_pdf([img, img, img], compress=True, object_streams=True,
+                          encrypt=True, cipher=ciph, outlines=toc)
+        assert pdf_outline(data) == toc, ciph
+        if ciph == "rc4":
+            assert b"(Chapter 0)" not in data  # titles really encrypted
+    assert pdf_outline(encode_pdf([img])) == []
+    with pytest.raises(ValueError, match="skips a level"):
+        encode_pdf([img], outlines=[(2, "orphan", 0)])
+    with pytest.raises(ValueError, match="targets page"):
+        encode_pdf([img], outlines=[(1, "oob", 5)])
+    flat = encode_pdf([img], outlines=[(1, "A", 0), (1, "B", 0)])
+    # a cycle (B's /Next pointing back at A) is a typed error, and a
+    # named destination is outside the subset
+    import re as _re
+
+    nums = _re.findall(rb"(\d+) 0 obj\n<< /Title", flat)
+    a = nums[0]
+    cyc = flat.replace(b"/Prev %s 0 R" % a, b"/Next %s 0 R" % a, 1)
+    with pytest.raises(ValueError, match="cycle"):
+        pdf_outline(cyc)
+    named = flat.replace(b"/Dest [3 0 R /Fit]", b"/Dest /NamedDest42 ", 1)
+    with pytest.raises(ValueError, match="subset|/Dest"):
+        pdf_outline(named)
+
+
 def test_inline_image_extracts_through_ocr(spark, tmp_path):
     """End to end: an inline-image scan flows binaryFile -> parse ->
     OCR exactly like the XObject shape (the corpus rotation plants
