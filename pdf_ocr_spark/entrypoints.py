@@ -1943,9 +1943,11 @@ def _pdf_fixture_dir(
     # (content-transparent — the reader re-orients before OCR).
     # r5form: 1-in-47 docs carry a §12.7.2 /AcroForm with three filled
     # text fields derived from (doc_id, text) for the SQL oracle.
-    # r5toc: 1-in-53 docs carry a §12.3.3 two-level outline (Chapter/
-    # Section per page) derived from (doc_id, n_pages).
-    gen_tag = {"objstm": "r5toc", "jpx": "r5lossy", "dct": "r5sym"}[variant]
+    # r5toc2: 1-in-53 docs carry a §12.3.3 two-level outline (Chapter/
+    # Section per page) derived from (doc_id, n_pages); every other
+    # un-encrypted one uses the pdfTeX NAMED shape (indirect titles,
+    # /A GoTo actions, /Kids-subdivided /Names /Dests tree).
+    gen_tag = {"objstm": "r5toc2", "jpx": "r5lossy", "dct": "r5sym"}[variant]
     fingerprint = f"{agg['n']}:{agg['ck']}:{variant}:{gen_tag}"
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker):

@@ -228,6 +228,7 @@ def encode_pdf(
     attachments: list[tuple[str, bytes]] | None = None,
     form_fields: list[tuple[str, str]] | None = None,
     outlines: list[tuple[int, str, int]] | None = None,
+    outline_shape: str = "direct",
     ascii85: bool = False,
     sample_bpc: int = 8,
     decode_invert: bool = False,
@@ -331,10 +332,16 @@ def encode_pdf(
     ``outlines`` writes a §12.3.3 document outline (bookmark tree):
     a pre-order list of (level, title, page_index) items, level
     starting at 1 and increasing by at most 1 per step. The writer
-    builds the full /First /Last /Next /Prev /Parent /Count graph
-    with ``[page /Fit]`` destinations; under RC4 the /Title strings
-    are per-object ciphertext (outline items sit top-level), like
-    /Info.
+    builds the full /First /Last /Next /Prev /Parent /Count graph.
+    ``outline_shape='direct'`` puts ``[page /Fit]`` destinations and
+    literal titles on the items (under RC4 the /Title strings are
+    per-object ciphertext, like /Info); ``'named'`` reproduces the
+    pdfTeX shape — indirect title string objects, ``/A << /S /GoTo /D
+    (sec.i) >>`` actions, and a /Kids-subdivided /Names /Dests name
+    tree mapping each name to a ``<< /D [page /Fit] >>`` value object
+    (refused under RC4: the leaf keys would need per-string
+    encryption; the AES handlers declare /StrF /Identity so the
+    named shape passes through unchanged).
 
     ``attachments`` embeds (name, bytes) files through the §7.7.4
     /Names /EmbeddedFiles name tree — /Filespec dicts with /EF
@@ -661,6 +668,7 @@ def encode_pdf(
         )
         extra_toplevel.add(xmp_num)
         catalog_extra += b" /Metadata %d 0 R" % xmp_num
+    names_dict_entries: list[bytes] = []  # catalog /Names << ... >> tenants
     attach_filespecs: list[tuple[int, bytes, int]] = []
     if attachments:
         # §7.7.4 embedded files: name tree of /Filespec dicts, each
@@ -689,9 +697,8 @@ def encode_pdf(
             extra_toplevel.add(fs_num)
             attach_filespecs.append((fs_num, name.encode("ascii"), ef_num))
             entries.append(b"(%s) %d 0 R" % (esc, fs_num))
-        catalog_extra += (
-            b" /Names << /EmbeddedFiles << /Names [ %s ] >> >>"
-            % b" ".join(entries)
+        names_dict_entries.append(
+            b"/EmbeddedFiles << /Names [ %s ] >>" % b" ".join(entries)
         )
     outline_objs: list[tuple[int, bytes, bytes]] = []
     if outlines:
@@ -721,6 +728,57 @@ def encode_pdf(
         def _descendants(idx: int) -> int:
             return sum(1 + _descendants(c) for c in children.get(idx, []))
 
+        named_mode = outline_shape == "named"
+        if named_mode and encrypt and cipher == "rc4":
+            raise ValueError(
+                "named outlines under RC4 are not in the writer subset "
+                "(name-tree leaf keys would need per-string encryption)"
+            )
+        title_nums = dest_nums = None
+        if named_mode:
+            # the pdfTeX shape: indirect title strings, /A GoTo
+            # actions naming destinations, and a /Kids-subdivided
+            # /Names /Dests tree mapping each name to a << /D [page
+            # /Fit] >> value object
+            base = item_nums[-1] + 1
+            title_nums = [base + 2 * i for i in range(len(outlines))]
+            dest_nums = [base + 2 * i + 1 for i in range(len(outlines))]
+            for i, (_level, title, page_idx) in enumerate(outlines):
+                tb = title.encode("utf-8")
+                esc_t = (
+                    tb.replace(b"\\", b"\\\\")
+                    .replace(b"(", b"\\(")
+                    .replace(b")", b"\\)")
+                )
+                objects[title_nums[i]] = b"(%s)" % esc_t
+                objects[dest_nums[i]] = (
+                    b"<< /D [%d 0 R /Fit] >>" % (3 + 3 * page_idx)
+                )
+                extra_toplevel.add(title_nums[i])
+                extra_toplevel.add(dest_nums[i])
+            # name-tree leaves hold lexically-sorted (name, ref) pairs
+            pairs = sorted(
+                (b"sec.%d" % i, dest_nums[i]) for i in range(len(outlines))
+            )
+            half = (len(pairs) + 1) // 2
+            leaf_nums = []
+            for chunk in (pairs[:half], pairs[half:]):
+                if not chunk:
+                    continue
+                leaf = max(objects) + 1
+                objects[leaf] = b"<< /Names [ %s ] /Limits [(%s) (%s)] >>" % (
+                    b" ".join(b"(%s) %d 0 R" % p for p in chunk),
+                    chunk[0][0],
+                    chunk[-1][0],
+                )
+                extra_toplevel.add(leaf)
+                leaf_nums.append(leaf)
+            tree_root = max(objects) + 1
+            objects[tree_root] = b"<< /Kids [%s] >>" % b" ".join(
+                b"%d 0 R" % n for n in leaf_nums
+            )
+            extra_toplevel.add(tree_root)
+            names_dict_entries.append(b"/Dests %d 0 R" % tree_root)
         for i, (level, title, page_idx) in enumerate(outlines):
             parent = parent_of[i]
             sibs = children[parent]
@@ -728,8 +786,14 @@ def encode_pdf(
             entries = [
                 b"/Parent %d 0 R"
                 % (root_num if parent == -1 else item_nums[parent]),
-                b"/Dest [%d 0 R /Fit]" % (3 + 3 * page_idx),
             ]
+            if named_mode:
+                entries = [
+                    b"/Title %d 0 R" % title_nums[i],
+                    b"/A << /S /GoTo /D (sec.%d) >>" % i,
+                ] + entries
+            else:
+                entries.append(b"/Dest [%d 0 R /Fit]" % (3 + 3 * page_idx))
             if pos > 0:
                 entries.append(b"/Prev %d 0 R" % item_nums[sibs[pos - 1]])
             if pos + 1 < len(sibs):
@@ -739,14 +803,19 @@ def encode_pdf(
                 entries.append(b"/First %d 0 R" % item_nums[kids_here[0]])
                 entries.append(b"/Last %d 0 R" % item_nums[kids_here[-1]])
                 entries.append(b"/Count %d" % _descendants(i))
-            tb = title.encode("utf-8")
-            esc_t = (
-                tb.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
-            )
             tail = b" ".join(entries)
-            objects[item_nums[i]] = b"<< /Title (%s) %s >>" % (esc_t, tail)
+            if named_mode:
+                objects[item_nums[i]] = b"<< %s >>" % tail
+            else:
+                tb = title.encode("utf-8")
+                esc_t = (
+                    tb.replace(b"\\", b"\\\\")
+                    .replace(b"(", b"\\(")
+                    .replace(b")", b"\\)")
+                )
+                objects[item_nums[i]] = b"<< /Title (%s) %s >>" % (esc_t, tail)
+                outline_objs.append((item_nums[i], tb, tail))
             extra_toplevel.add(item_nums[i])
-            outline_objs.append((item_nums[i], tb, tail))
         top = children[-1]
         objects[root_num] = (
             b"<< /Type /Outlines /First %d 0 R /Last %d 0 R /Count %d >>"
@@ -754,6 +823,8 @@ def encode_pdf(
         )
         extra_toplevel.add(root_num)
         catalog_extra += b" /Outlines %d 0 R" % root_num
+    if names_dict_entries:
+        catalog_extra += b" /Names << %s >>" % b" ".join(names_dict_entries)
     form_field_objs: list[tuple[int, bytes, bytes]] = []
     if form_fields:
         # §12.7.2 interactive form: merged field+widget objects (the
@@ -1404,14 +1475,88 @@ def pdf_form_fields(data: bytes, password: bytes = b"") -> list[tuple[str, str]]
     return out
 
 
+def _name_tree_refs(
+    body, node_num: int, out: dict[bytes, int], depth: int = 0
+) -> None:
+    """Collect (name -> value object number) pairs from a §7.9.6 name
+    tree — a flat ``/Names`` leaf or a ``/Kids``-subdivided tree (the
+    pdfTeX / dvips shape) — in tree order. Subset: values must be
+    indirect refs (direct values are a typed error)."""
+    if depth > 64:
+        raise ValueError("name tree deeper than 64 levels")
+    node = _dict_of(body(node_num))
+    km = re.search(rb"/Kids\s*\[([^\]]*)\]", node)
+    if km is not None:
+        for m in re.finditer(rb"(\d+)\s+0\s+R", km.group(1)):
+            _name_tree_refs(body, int(m.group(1)), out, depth + 1)
+        return
+    nm = re.search(rb"/Names\s*\[", node)
+    if nm is None:
+        return
+    arr = node[nm.end() - 1 : _balanced_span(node, nm.end() - 1, 0x5B, 0x5D)]
+    i = 1
+    while True:
+        m = re.compile(rb"\(|<(?!<)").search(arr, i)
+        if m is None:
+            return
+        if arr[m.start()] == 0x28:
+            nameb, j = _parse_pdf_literal(arr, m.start())
+        else:
+            e = arr.index(b">", m.start())
+            nameb = bytes.fromhex(arr[m.start() + 1 : e].decode("ascii"))
+            j = e + 1
+        vm = re.compile(rb"\s*(\d+)\s+0\s+R").match(arr, j)
+        if vm is None:
+            raise ValueError(
+                "name tree values must be indirect refs in the subset"
+            )
+        out[nameb] = int(vm.group(1))
+        i = vm.end()
+
+
+#: /Dest (or action /D) value shapes: an inline ``[page 0 R ...]``
+#: array, a literal-string name, a name object, or an indirect ref.
+_DEST_RE = re.compile(
+    rb"/(Dest|D)\s*(\[\s*(\d+)\s+0\s+R|\(|<(?!<)|/([^\s/\[\]<>()]+)|(\d+)\s+0\s+R)"
+)
+
+
+def _dest_spec(container: bytes, key_first: bytes):
+    """The destination named by ``/Dest`` (outline item) or ``/D``
+    (GoTo action) in ``container``: ('page', obj_num) for array
+    destinations, ('name', bytes) for named ones, ('ref', obj_num)
+    for an indirect destination object, or None."""
+    for m in _DEST_RE.finditer(container):
+        if m.group(1) != key_first:
+            continue
+        tok = m.group(2)
+        if tok.startswith(b"["):
+            return ("page", int(m.group(3)))
+        if tok == b"(":
+            s, _ = _parse_pdf_literal(container, m.start(2))
+            return ("name", s)
+        if tok.startswith(b"<"):
+            e = container.index(b">", m.start(2))
+            return ("name", bytes.fromhex(container[m.start(2) + 1 : e].decode()))
+        if m.group(4) is not None:
+            return ("nameobj", m.group(4))  # /name form: never encrypted
+        return ("ref", int(m.group(5)))
+    return None
+
+
 def pdf_outline(data: bytes, password: bytes = b"") -> list[tuple[int, str, int]]:
     """Document-outline (bookmark) harvest from the §12.3.3 /Outlines
     tree, as pre-order ``(level, title, page_index)`` rows — the
     table-of-contents pass a document-understanding pipeline runs for
     section segmentation. The /First → /Next graph is walked with a
-    visited-set cycle guard; destinations resolve through ``/Dest
-    [page 0 R ...]`` arrays (named destinations are a typed error);
-    strings decrypt per §7.6.2 (top-level objects only)."""
+    visited-set cycle guard. Real-producer shapes are covered
+    (interop-pinned on third-party pdfTeX files): titles direct or as
+    indirect string objects, destinations as direct ``/Dest`` arrays,
+    indirect dest objects (bare array or ``<< /D [...] >>``), or
+    NAMED destinations reached through ``/A << /S /GoTo /D (name)
+    >>`` actions and resolved via the catalog's /Names /Dests name
+    tree (flat or /Kids-subdivided). Strings decrypt per §7.6.2 with
+    their winning object's number (top-level objects only)."""
     if not data.startswith(b"%PDF-"):
         raise ValueError("not a PDF (missing %PDF- header)")
     body, trailer, decrypt = _load(data, password)
@@ -1421,6 +1566,12 @@ def pdf_outline(data: bytes, password: bytes = b"") -> list[tuple[int, str, int]
         if not re.search(rb"/StrF\s*/Identity\b", ed):
             str_decrypt = decrypt
     packed = getattr(body, "packed_nums", frozenset())
+
+    def dec_str(s: bytes, owner: int) -> bytes:
+        if str_decrypt is not None and owner not in packed:
+            return str_decrypt(owner, s)
+        return s
+
     catalog = _dict_of(body(_ref(trailer, b"Root")))
     om = re.search(rb"/Outlines\s+(\d+)\s+0\s+R", catalog)
     if om is None:
@@ -1429,6 +1580,93 @@ def pdf_outline(data: bytes, password: bytes = b"") -> list[tuple[int, str, int]
         pnum: idx
         for idx, pnum in enumerate(_page_numbers(body, _ref(catalog, b"Pages")))
     }
+
+    named: dict[bytes, int] | None = None  # name -> dest value obj, lazy
+
+    def named_table() -> dict[bytes, int]:
+        nonlocal named
+        if named is None:
+            named = {}
+            nm = re.search(rb"/Names\s*(<<|\d+\s+0\s+R)", catalog)
+            if nm is not None:
+                if nm.group(1) == b"<<":
+                    names_d = catalog[
+                        nm.end() - 2 : _balanced_span(
+                            catalog, nm.end() - 2, 0x3C, 0x3E
+                        )
+                    ]
+                else:
+                    names_d = _dict_of(body(int(nm.group(1).split()[0])))
+                dm = re.search(rb"/Dests\s+(\d+)\s+0\s+R", names_d)
+                if dm is not None:
+                    raw: dict[bytes, int] = {}
+                    _name_tree_refs(body, int(dm.group(1)), raw)
+                    named = raw
+        return named
+
+    def resolve_page(item: bytes, owner: int, item_num: int) -> int:
+        spec = _dest_spec(item, b"Dest")
+        if spec is None:
+            # follow the /A GoTo action (direct dict or indirect)
+            am = re.search(rb"/A\s+(\d+)\s+0\s+R", item)
+            if am is not None:
+                anum = int(am.group(1))
+                action = _dict_of(body(anum))
+            else:
+                adm = re.search(rb"/A\s*<<", item)
+                if adm is None:
+                    raise ValueError(
+                        "outline item %d has neither /Dest nor a /GoTo action"
+                        % item_num
+                    )
+                anum = owner
+                action = item[
+                    adm.end() - 2 : _balanced_span(item, adm.end() - 2, 0x3C, 0x3E)
+                ]
+            if not re.search(rb"/S\s*/GoTo\b", action):
+                raise ValueError(
+                    "outline item %d has a non-GoTo action" % item_num
+                )
+            spec = _dest_spec(action, b"D")
+            owner = anum
+        for _hop in range(4):
+            if spec is None:
+                raise ValueError("outline item %d has no destination" % item_num)
+            kind, val = spec
+            if kind == "page":
+                if val not in page_index:
+                    raise ValueError(
+                        "outline item %d targets non-page object %d"
+                        % (item_num, val)
+                    )
+                return page_index[val]
+            if kind in ("name", "nameobj"):
+                # string-form names decrypt with their winning object;
+                # name-OBJECT forms (/name) are never encrypted.
+                # Name-tree leaf keys are compared as stored — the
+                # writer keeps them plaintext under every handler
+                # (leaf nodes pack into the ObjStm, §7.6.2-exempt)
+                name = dec_str(val, owner) if kind == "name" else val
+                dest_num = named_table().get(name)
+                if dest_num is None:
+                    raise ValueError(
+                        "outline item %d names an unknown destination %r"
+                        % (item_num, name[:60])
+                    )
+                spec = ("ref", dest_num)
+                continue
+            # indirect destination object: bare array or << /D [...] >>
+            db = body(val)
+            bm = re.match(rb"\s*\[\s*(\d+)\s+0\s+R", db)
+            if bm is not None:
+                spec = ("page", int(bm.group(1)))
+                continue
+            spec = _dest_spec(_dict_of(db), b"D")
+            owner = val
+        raise ValueError(
+            "outline item %d destination chain exceeds 4 hops" % item_num
+        )
+
     out: list[tuple[int, str, int]] = []
     seen: set[int] = set()
 
@@ -1443,27 +1681,53 @@ def pdf_outline(data: bytes, password: bytes = b"") -> list[tuple[int, str, int]
                 raise ValueError("outline graph contains a cycle at %d" % cur)
             seen.add(cur)
             item = _dict_of(body(cur))
-            title = _pdf_string(item, b"Title")
-            if str_decrypt is not None and cur not in packed:
-                title = str_decrypt(cur, title)
-            dm = re.search(rb"/Dest\s*\[\s*(\d+)\s+0\s+R", item)
-            if dm is None:
-                raise ValueError(
-                    "outline item %d has no [page ...] /Dest "
-                    "(named destinations are not in the subset)" % cur
+            tm = re.search(rb"/Title\s+(\d+)\s+0\s+R", item)
+            if tm is not None:
+                # pdfTeX stores titles as indirect string objects;
+                # the string's winning object is the string object
+                tnum = int(tm.group(1))
+                tb = body(tnum)
+                sm = re.match(rb"\s*\(", tb)
+                if sm is not None:
+                    title, _ = _parse_pdf_literal(tb, sm.end() - 1)
+                else:
+                    hm = re.match(rb"\s*<([0-9A-Fa-f\s]*)>", tb)
+                    if hm is None:
+                        raise ValueError(
+                            "outline item %d /Title ref is not a string" % cur
+                        )
+                    title = bytes.fromhex(
+                        hm.group(1).decode().replace(" ", "").replace("\n", "")
+                    )
+                title = dec_str(title, tnum)
+            else:
+                title = dec_str(_pdf_string(item, b"Title"), cur)
+            out.append(
+                (
+                    level,
+                    _pdf_text_decode(title),
+                    resolve_page(item, cur, cur),
                 )
-            pnum = int(dm.group(1))
-            if pnum not in page_index:
-                raise ValueError(
-                    "outline item %d targets non-page object %d" % (cur, pnum)
-                )
-            out.append((level, title.decode("utf-8", "replace"), page_index[pnum]))
+            )
             walk(cur, level + 1)
             nm = re.search(rb"/Next\s+(\d+)\s+0\s+R", item)
             cur = int(nm.group(1)) if nm else None
 
     walk(int(om.group(1)), 1)
     return out
+
+
+def _pdf_text_decode(s: bytes) -> str:
+    """§7.9.2.2 text-string decoding: UTF-16BE with BOM, else
+    PDFDocEncoding (approximated as latin-1 for the printable range,
+    which matches real-producer titles), with UTF-8 attempted first
+    (what this writer and many modern producers emit)."""
+    if s.startswith(b"\xfe\xff"):
+        return s[2:].decode("utf-16-be", "replace")
+    try:
+        return s.decode("utf-8")
+    except UnicodeDecodeError:
+        return s.decode("latin-1")
 
 
 def _encrypt_body_stream(body: bytes, num: int, enc) -> bytes:
@@ -1576,7 +1840,13 @@ def _objects(data: bytes) -> dict[int, tuple[int, int]]:
     contain ``N 0 obj`` / ``endobj`` sequences, so the scan must never
     look inside a stream: after each object's dictionary, if a stream
     follows, its /Length bytes are skipped before searching for
-    ``endobj``."""
+    ``endobj``.
+
+    DICT-LESS objects (bare strings/arrays/integers as indirect
+    objects — pdfTeX stores outline titles this way) end at the first
+    ``endobj``: when that keyword appears before any ``<<``, the
+    object has no dictionary and the dict/stream probe must not run
+    (it would read the NEXT object's dict and overshoot this span)."""
     spans: dict[int, tuple[int, int]] = {}
     pos = 0
     while True:
@@ -1584,6 +1854,14 @@ def _objects(data: bytes) -> dict[int, tuple[int, int]]:
         if m is None:
             break
         num, start = int(m.group(1)), m.end()
+        eo = data.find(b"endobj", start)
+        lt = data.find(b"<<", start)
+        if lt == -1 or (eo != -1 and eo < lt):
+            if eo == -1:
+                raise ValueError("unterminated object %d" % num)
+            spans[num] = (start, eo)
+            pos = eo + 6
+            continue
         body_probe = data[start : start + _MAX_DICT]
         d = _dict_of(body_probe)
         dict_end = start + body_probe.find(b"<<") + len(d)

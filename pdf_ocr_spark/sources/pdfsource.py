@@ -137,6 +137,10 @@ FORM_RESIDUES = 47
 #: structure and titles derive purely from (doc_id, n_pages) so the
 #: pdf_outline oracle recomputes the exact rows in SQL. Under RC4
 #: the /Title strings are per-object ciphertext (non-DCT only).
+#: Every other un-encrypted outline doc ((id//53)%2==1) uses the
+#: pdfTeX NAMED shape instead — indirect title strings, /A GoTo
+#: actions, and a /Kids-subdivided /Names /Dests tree — so the
+#: driver-green row certifies both resolution paths.
 OUTLINE_RESIDUES = 53
 
 PDF_PAGES_SCHEMA = (
@@ -306,8 +310,10 @@ def write_pdf_corpus(
                 rot = 0
                 if not dct and d % ROTATE_RESIDUES == 15:
                     rot = (90, 180, 270)[(d // ROTATE_RESIDUES) % 3]
-                toc = None
+                toc, toc_shape = None, "direct"
                 if not dct and d % OUTLINE_RESIDUES == 17:
+                    if (d // OUTLINE_RESIDUES) % 2 == 1 and d % ENCRYPT_RESIDUES != 1:
+                        toc_shape = "named"  # the pdfTeX shape
                     # §12.3.3 bookmarks: Chapter on even pages, a
                     # nested Section on odd pages — SQL-derivable
                     toc = [
@@ -362,6 +368,7 @@ def write_pdf_corpus(
                                 attachments=atts,
                                 form_fields=fields,
                                 outlines=toc,
+                                outline_shape=toc_shape,
                                 rotate=rot,
                                 encrypt=d % ENCRYPT_RESIDUES == 1,
                                 cipher=(
@@ -437,6 +444,7 @@ def write_pdf_corpus(
                             attachments=atts,
                             form_fields=fields,
                             outlines=toc,
+                            outline_shape=toc_shape,
                             rotate=rot,
                             rle=not dct and d % RLE_RESIDUES == 6,
                             ccitt=not dct and d % CCITT_RESIDUES == 4,

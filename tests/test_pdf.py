@@ -517,8 +517,80 @@ def test_pdf_outline_round_trip():
     with pytest.raises(ValueError, match="cycle"):
         pdf_outline(cyc)
     named = flat.replace(b"/Dest [3 0 R /Fit]", b"/Dest /NamedDest42 ", 1)
-    with pytest.raises(ValueError, match="subset|/Dest"):
+    with pytest.raises(ValueError, match="unknown destination"):
         pdf_outline(named)
+
+
+def test_pdf_outline_named_shape_round_trip():
+    """The pdfTeX outline shape — indirect /Title string objects,
+    /A GoTo actions, a /Kids-subdivided /Names /Dests tree — yields
+    the same rows as the direct shape, in both layouts and under the
+    AES handlers (RC4 + named is refused: leaf keys would need
+    per-string encryption)."""
+    from pdf_ocr_spark.sources.pdfcodec import pdf_outline
+
+    img = np.zeros((20, 16), dtype=np.uint8)
+    toc = [
+        (1, "Chapter 0 (overview)", 0),
+        (2, "Section 0.1", 1),
+        (1, "Chapter 1", 2),
+        (2, "Section 1.1", 2),
+        (2, "Section 1.2", 0),
+    ]
+    for objstm in (False, True):
+        data = encode_pdf([img, img, img], compress=True,
+                          object_streams=objstm, outlines=toc,
+                          outline_shape="named")
+        assert pdf_outline(data) == toc, objstm
+        assert b"/GoTo" in data or objstm
+        assert len(decode_pdf(data)) == 3
+    for ciph in ("aes", "aes256"):
+        data = encode_pdf([img, img, img], compress=True, object_streams=True,
+                          encrypt=True, cipher=ciph, outlines=toc,
+                          outline_shape="named")
+        assert pdf_outline(data) == toc, ciph
+    with pytest.raises(ValueError, match="RC4|rc4"):
+        encode_pdf([img], encrypt=True, cipher="rc4",
+                   outlines=[(1, "A", 0)], outline_shape="named")
+    # named outlines coexist with attachments in one catalog /Names
+    data = encode_pdf([img], outlines=[(1, "A", 0)], outline_shape="named",
+                      attachments=[("x.txt", b"payload")])
+    from pdf_ocr_spark.sources.pdfcodec import pdf_attachments
+
+    assert pdf_outline(data) == [(1, "A", 0)]
+    assert pdf_attachments(data) == [("x.txt", b"payload")]
+
+
+def test_interop_outline_on_real_world_pdfs():
+    """The bookmark harvest works on REAL third-party pdfTeX files
+    (indirect titles with octal escapes, /A GoTo actions, named
+    destinations through /Kids-subdivided /Names /Dests trees,
+    negative /Count closed sections) — pinned counts and first rows,
+    and every destination resolves to an in-range page."""
+    import os
+
+    from pdf_ocr_spark.sources.pdfcodec import pdf_outline
+
+    cases = {
+        "/usr/share/doc/libtasn1-doc/libtasn1.pdf": (
+            21, (1, "1 Introduction", 3)),
+        "/usr/share/doc/shared-mime-info/shared-mime-info-spec.pdf": (
+            24, (1, "1. Introduction", 0)),
+    }
+    found = {p: c for p, c in cases.items() if os.path.exists(p)}
+    if not found:
+        pytest.skip("no real-world pdfTeX PDFs on this system")
+    for p, (n, first) in found.items():
+        data = open(p, "rb").read()
+        toc = pdf_outline(data)
+        assert len(toc) == n, p
+        assert toc[0] == first, p
+        n_pages = page_count(data)
+        assert all(1 <= lvl <= 3 and 0 <= pg < n_pages for lvl, _t, pg in toc), p
+        # pre-order: the first item is level 1 and levels never skip
+        lvls = [lvl for lvl, _t, _p in toc]
+        assert lvls[0] == 1
+        assert all(b - a <= 1 for a, b in zip(lvls, lvls[1:]))
 
 
 def test_inline_image_extracts_through_ocr(spark, tmp_path):
