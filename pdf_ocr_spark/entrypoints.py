@@ -1947,7 +1947,9 @@ def _pdf_fixture_dir(
     # Section per page) derived from (doc_id, n_pages); every other
     # un-encrypted one uses the pdfTeX NAMED shape (indirect titles,
     # /A GoTo actions, /Kids-subdivided /Names /Dests tree).
-    gen_tag = {"objstm": "r5toc2", "jpx": "r5lossy", "dct": "r5sym"}[variant]
+    # r5rotinh: every other rotated doc places /Rotate on the
+    # pages-tree node (§7.7.3.4 inheritance) instead of per page.
+    gen_tag = {"objstm": "r5rotinh", "jpx": "r5lossy", "dct": "r5sym"}[variant]
     fingerprint = f"{agg['n']}:{agg['ck']}:{variant}:{gen_tag}"
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker):

@@ -222,6 +222,7 @@ def encode_pdf(
     indexed: bool = False,
     icc: bool = False,
     rotate: int = 0,
+    rotate_inherit: bool = False,
     info: dict[str, str] | None = None,
     xmp_title: str | None = None,
     page_links: list[list[str]] | None = None,
@@ -319,7 +320,11 @@ def encode_pdf(
     display) shows exactly the input image. :func:`decode_pdf`
     honours the entry the same way, making the round trip the
     identity; the rotation composes with every raster codec (the
-    codec just sees the pre-rotated array).
+    codec just sees the pre-rotated array). ``rotate_inherit=True``
+    places the single /Rotate on the PAGES-TREE node instead of each
+    page — /Rotate is a §7.7.3.4 inheritable attribute, and this is
+    the placement many producers use for uniformly sideways-scanned
+    files.
 
     ``form_fields`` writes an interactive-form dictionary (§12.7.2
     /AcroForm) with one text field (/FT /Tx) per (name, value) pair,
@@ -407,7 +412,7 @@ def encode_pdf(
     rotate %= 360
     if rotate % 90:
         raise ValueError("rotate must be a multiple of 90 degrees")
-    rotate_entry = f"/Rotate {rotate} " if rotate else ""
+    rotate_entry = f"/Rotate {rotate} " if rotate and not rotate_inherit else ""
     for i, img in enumerate(pages):
         if img.dtype != np.uint8 or img.ndim not in (2, 3):
             raise ValueError("pages must be 2-D (gray) or 3-D (RGB) uint8 arrays")
@@ -650,8 +655,10 @@ def encode_pdf(
             % (n_comp, len(profile), profile)
         )
         extra_toplevel.add(num)
+    pages_rotate = f" /Rotate {rotate}" if rotate and rotate_inherit else ""
     objects[2] = (
-        f"<< /Type /Pages /Kids [{' '.join(kids)}] /Count {len(pages)} >>"
+        f"<< /Type /Pages /Kids [{' '.join(kids)}] "
+        f"/Count {len(pages)}{pages_rotate} >>"
     ).encode()
     catalog_extra = b""
     info_num = None
@@ -2286,6 +2293,11 @@ def decode_pdf(data: bytes, password: bytes = b"") -> list[np.ndarray]:
     if not kid_nums:
         raise ValueError("empty /Kids")
 
+    # §7.7.3.3 /Rotate is INHERITABLE: a value on the pages-tree node
+    # applies to every page that doesn't override it (the placement
+    # many producers use for a uniformly sideways-scanned file)
+    inherited_m = re.search(rb"/Rotate\s+(-?\d+)", pages_dict)
+
     images: list[np.ndarray] = []
     for kid in kid_nums:
         page = _dict_of(body(kid))
@@ -2293,7 +2305,7 @@ def decode_pdf(data: bytes, password: bytes = b"") -> list[np.ndarray]:
         # degrees CLOCKWISE for display — honour it on the decoded
         # raster (np.rot90 is counter-clockwise, hence the negation)
         rot = 0
-        rot_m = re.search(rb"/Rotate\s+(-?\d+)", page)
+        rot_m = re.search(rb"/Rotate\s+(-?\d+)", page) or inherited_m
         if rot_m is not None:
             rot = int(rot_m.group(1)) % 360
             if rot % 90:

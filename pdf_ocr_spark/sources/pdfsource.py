@@ -123,6 +123,8 @@ ATTACH_RESIDUES = 41
 #: rasters pre-rotated counter-clockwise and the reader honours
 #: /Rotate clockwise, so extracted text is unchanged. Composes with
 #: every raster codec and with inline-image pages (non-DCT only).
+#: Every other rotated doc ((id//129)%2==1) places the single /Rotate
+#: on the PAGES-TREE node instead (§7.7.3.4 inheritance).
 ROTATE_RESIDUES = 43
 #: doc id % FORM_RESIDUES == 16 -> the file carries a §12.7.2
 #: /AcroForm with three filled text fields (title / pages / lang)
@@ -307,9 +309,10 @@ def write_pdf_corpus(
                         )
                         for i in range(len(images))
                     ]
-                rot = 0
+                rot, rot_inherit = 0, False
                 if not dct and d % ROTATE_RESIDUES == 15:
                     rot = (90, 180, 270)[(d // ROTATE_RESIDUES) % 3]
+                    rot_inherit = (d // (ROTATE_RESIDUES * 3)) % 2 == 1
                 toc, toc_shape = None, "direct"
                 if not dct and d % OUTLINE_RESIDUES == 17:
                     if (d // OUTLINE_RESIDUES) % 2 == 1 and d % ENCRYPT_RESIDUES != 1:
@@ -370,6 +373,7 @@ def write_pdf_corpus(
                                 outlines=toc,
                                 outline_shape=toc_shape,
                                 rotate=rot,
+                                rotate_inherit=rot_inherit,
                                 encrypt=d % ENCRYPT_RESIDUES == 1,
                                 cipher=(
                                     "aes256"
@@ -446,6 +450,7 @@ def write_pdf_corpus(
                             outlines=toc,
                             outline_shape=toc_shape,
                             rotate=rot,
+                            rotate_inherit=rot_inherit,
                             rle=not dct and d % RLE_RESIDUES == 6,
                             ccitt=not dct and d % CCITT_RESIDUES == 4,
                             # rotate the fax mode: G4, G3 1-D, G3 mixed

@@ -383,6 +383,15 @@ def test_page_rotate_round_trip():
     bad = encode_pdf([gray], rotate=90).replace(b"/Rotate 90", b"/Rotate 45")
     with pytest.raises(ValueError, match="multiple of 90"):
         decode_pdf(bad)
+    # /Rotate is inheritable (§7.7.3.4): a single entry on the
+    # pages-tree node applies to every page
+    for objstm in (False, True):
+        data = encode_pdf([gray, rgb], compress=True, object_streams=objstm,
+                          rotate=90, rotate_inherit=True)
+        got = decode_pdf(data)
+        assert (got[0] == gray).all() and (got[1] == rgb).all(), objstm
+        if not objstm:  # (the 1.5 layout Flate-packs the pages tree)
+            assert data.count(b"/Rotate 90") == 1  # on the tree only
 
 
 def test_pdf_attachments_round_trip():
