@@ -2285,11 +2285,13 @@ def decode_pdf(data: bytes, password: bytes = b"") -> list[np.ndarray]:
         raise ValueError("not a PDF (missing %PDF- header)")
     body, trailer, decrypt = _load(data, password)
     catalog = _dict_of(body(_ref(trailer, b"Root")))
-    pages_dict = _dict_of(body(_ref(catalog, b"Pages")))
-    kids_m = re.search(rb"/Kids\s*\[([^\]]*)\]", pages_dict)
-    if kids_m is None:
-        raise ValueError("missing /Kids")
-    kid_nums = [int(n) for n in re.findall(rb"(\d+)\s+0\s+R", kids_m.group(1))]
+    pages_ref = _ref(catalog, b"Pages")
+    pages_dict = _dict_of(body(pages_ref))
+    # leaf pages in document order — real producers balance large
+    # documents into NESTED page trees (intermediate /Pages nodes),
+    # which _page_numbers walks; the flat single-level tree this
+    # writer emits is just the depth-1 case
+    kid_nums = list(_page_numbers(body, pages_ref))
     if not kid_nums:
         raise ValueError("empty /Kids")
 

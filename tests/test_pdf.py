@@ -394,6 +394,47 @@ def test_page_rotate_round_trip():
             assert data.count(b"/Rotate 90") == 1  # on the tree only
 
 
+def test_nested_page_tree_decodes():
+    """Real producers balance big documents into NESTED page trees
+    (intermediate /Pages nodes); decode_pdf walks them in document
+    order. Constructed by re-pointing the root /Kids at an appended
+    intermediate node — legal because the parser scans object
+    markers, never trusting xref offsets."""
+    rng = np.random.RandomState(7)
+    imgs = [rng.randint(0, 256, (6, 8)).astype(np.uint8) for _ in range(3)]
+    flat = encode_pdf(imgs, compress=True)
+    assert b"/Kids [3 0 R 6 0 R 9 0 R]" in flat
+    # root keeps page 3 and delegates pages 6, 9 to a nested node 90
+    nested = flat.replace(
+        b"/Kids [3 0 R 6 0 R 9 0 R]", b"/Kids [3 0 R 90 0 R]", 1
+    )
+    at = nested.rindex(b"xref")
+    nested = (
+        nested[:at]
+        + b"90 0 obj\n<< /Type /Pages /Parent 2 0 R "
+        b"/Kids [6 0 R 9 0 R] /Count 2 >>\nendobj\n"
+        + nested[at:]
+    )
+    got = decode_pdf(nested)
+    assert len(got) == 3
+    assert all((g == i).all() for g, i in zip(got, imgs))
+    assert page_count(nested) == 3
+    # inherited /Rotate from the ROOT still applies to nested leaves
+    rot = encode_pdf(imgs, compress=True, rotate=180, rotate_inherit=True)
+    rot_nested = rot.replace(
+        b"/Kids [3 0 R 6 0 R 9 0 R]", b"/Kids [3 0 R 90 0 R]", 1
+    )
+    at = rot_nested.rindex(b"xref")
+    rot_nested = (
+        rot_nested[:at]
+        + b"90 0 obj\n<< /Type /Pages /Parent 2 0 R "
+        b"/Kids [6 0 R 9 0 R] /Count 2 >>\nendobj\n"
+        + rot_nested[at:]
+    )
+    got = decode_pdf(rot_nested)
+    assert all((g == i).all() for g, i in zip(got, imgs))
+
+
 def test_pdf_attachments_round_trip():
     """§7.7.4 embedded files round-trip in both layouts and under
     every handler: names come from the catalog's /EmbeddedFiles name
