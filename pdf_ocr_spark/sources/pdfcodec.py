@@ -1356,9 +1356,10 @@ def pdf_attachments(data: bytes, password: bytes = b"") -> list[tuple[str, bytes
     """Embedded files from the catalog's §7.7.4 /Names /EmbeddedFiles
     name tree, as ``(name, bytes)`` in tree order — the
     attachment-harvest pass (invoice XML, source data, portfolio
-    members). Subset: a flat /Names array (a /Kids-subdivided tree is
-    a typed error); /Filespec dicts direct or by reference; streams
-    decrypt and unfilter through the standard paths."""
+    members). The tree may be a flat /Names leaf or /Kids-subdivided
+    (the portfolio-producer shape); /Filespec dicts direct in the
+    tree root or by reference; streams decrypt and unfilter through
+    the standard paths."""
     if not data.startswith(b"%PDF-"):
         raise ValueError("not a PDF (missing %PDF- header)")
     body, trailer, decrypt = _load(data, password)
@@ -1372,7 +1373,7 @@ def pdf_attachments(data: bytes, password: bytes = b"") -> list[tuple[str, bytes
             return container[
                 m.end() - 2 : _balanced_span(container, m.end() - 2, 0x3C, 0x3E)
             ]
-        return body(int(m.group(1).split()[0]))
+        return _dict_of(body(int(m.group(1).split()[0])))
 
     names = sub_dict(catalog, rb"/Names")
     if names is None:
@@ -1380,30 +1381,11 @@ def pdf_attachments(data: bytes, password: bytes = b"") -> list[tuple[str, bytes
     ef = sub_dict(names, rb"/EmbeddedFiles")
     if ef is None:
         return []
-    if re.search(rb"/Kids\b", ef):
-        raise ValueError(
-            "subdivided /EmbeddedFiles name trees (/Kids) are not in the subset"
-        )
-    am = re.search(rb"/Names\s*\[", ef)
-    if am is None:
-        return []
-    arr = ef[am.end() - 1 : _balanced_span(ef, am.end() - 1, 0x5B, 0x5D)]
+    refs: dict[bytes, int] = {}
+    _name_tree_node(body, ef, refs)
     out: list[tuple[str, bytes]] = []
-    i = 1
-    while True:
-        m = re.compile(rb"\(|<(?!<)").search(arr, i)
-        if m is None:
-            break
-        if arr[m.start()] == 0x28:
-            nameb, j = _parse_pdf_literal(arr, m.start())
-        else:
-            e = arr.index(b">", m.start())
-            nameb = bytes.fromhex(arr[m.start() + 1 : e].decode("ascii"))
-            j = e + 1
-        rm = re.compile(rb"\s*(\d+)\s+0\s+R").match(arr, j)
-        if rm is None:
-            raise ValueError("/EmbeddedFiles name without a /Filespec ref")
-        fs = _dict_of(body(int(rm.group(1))))
+    for nameb, fs_ref in refs.items():
+        fs = _dict_of(body(fs_ref))
         efd = sub_dict(fs, rb"/EF")
         if efd is None:
             raise ValueError("/Filespec without /EF")
@@ -1417,7 +1399,6 @@ def pdf_attachments(data: bytes, password: bytes = b"") -> list[tuple[str, bytes
         if decrypt is not None:
             raw = decrypt(snum, raw)
         out.append((nameb.decode("utf-8", "replace"), _decode_stream(sd, raw)))
-        i = rm.end()
     return out
 
 
@@ -1487,11 +1468,19 @@ def _name_tree_refs(
 ) -> None:
     """Collect (name -> value object number) pairs from a §7.9.6 name
     tree — a flat ``/Names`` leaf or a ``/Kids``-subdivided tree (the
-    pdfTeX / dvips shape) — in tree order. Subset: values must be
-    indirect refs (direct values are a typed error)."""
+    pdfTeX / dvips shape) — in tree order (python dicts preserve
+    insertion order). Subset: values must be indirect refs (direct
+    values are a typed error)."""
+    _name_tree_node(body, _dict_of(body(node_num)), out, depth)
+
+
+def _name_tree_node(
+    body, node: bytes, out: dict[bytes, int], depth: int = 0
+) -> None:
+    """:func:`_name_tree_refs` over an already-materialized node dict
+    (the root may be a DIRECT dict inside the catalog's /Names)."""
     if depth > 64:
         raise ValueError("name tree deeper than 64 levels")
-    node = _dict_of(body(node_num))
     km = re.search(rb"/Kids\s*\[([^\]]*)\]", node)
     if km is not None:
         for m in re.finditer(rb"(\d+)\s+0\s+R", km.group(1)):
@@ -1499,7 +1488,7 @@ def _name_tree_refs(
         return
     nm = re.search(rb"/Names\s*\[", node)
     if nm is None:
-        return
+        return  # an empty intermediate node contributes nothing
     arr = node[nm.end() - 1 : _balanced_span(node, nm.end() - 1, 0x5B, 0x5D)]
     i = 1
     while True:

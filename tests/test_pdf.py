@@ -472,12 +472,26 @@ def test_pdf_attachments_round_trip():
     data = encode_pdf([img], xmp_title="T", page_links=[["https://l.example/x"]],
                       attachments=atts[:1])
     assert pdf_attachments(data) == atts[:1]
-    # a /Kids-subdivided name tree is outside the subset: typed error
-    flat = encode_pdf([img], attachments=atts[:1])
-    kids = flat.replace(b"/EmbeddedFiles << /Names [", b"/EmbeddedFiles << /Kids  [")
-    assert len(kids) == len(flat) and kids != flat
-    with pytest.raises(ValueError, match="Kids"):
-        pdf_attachments(kids)
+    # a /Kids-subdivided name tree (the portfolio-producer shape)
+    # resolves too: re-point /EmbeddedFiles at appended leaf nodes —
+    # legal surgery because the parser scans object markers
+    flat = encode_pdf([img], attachments=atts)
+    import re as _re
+
+    inner = _re.search(rb"/EmbeddedFiles << /Names \[ (.*?) \] >>", flat)
+    pairs = _re.findall(rb"\((?:[^()\\]|\\.)*\)\s+\d+ 0 R", inner.group(1))
+    assert len(pairs) == 3
+    subdiv = flat.replace(
+        inner.group(0), b"/EmbeddedFiles << /Kids [91 0 R 92 0 R] >>", 1
+    )
+    at = subdiv.rindex(b"xref")
+    subdiv = (
+        subdiv[:at]
+        + b"91 0 obj\n<< /Names [ %s %s ] >>\nendobj\n" % (pairs[0], pairs[1])
+        + b"92 0 obj\n<< /Names [ %s ] >>\nendobj\n" % pairs[2]
+        + subdiv[at:]
+    )
+    assert pdf_attachments(subdiv) == atts
 
 
 def test_pdf_form_fields_round_trip():
@@ -641,6 +655,20 @@ def test_interop_outline_on_real_world_pdfs():
         lvls = [lvl for lvl, _t, _p in toc]
         assert lvls[0] == 1
         assert all(b - a <= 1 for a, b in zip(lvls, lvls[1:]))
+    # the sibling metadata/link/form harvests also parse these files
+    from pdf_ocr_spark.sources.pdfcodec import (
+        pdf_form_fields,
+        pdf_info,
+        pdf_links,
+    )
+
+    for p in found:
+        data = open(p, "rb").read()
+        info = pdf_info(data)
+        assert info["producer"].startswith("pdfTeX-1.40"), info
+        assert info["created"].startswith("D:20"), info
+        assert pdf_form_fields(data) == []  # no AcroForm in either
+        pdf_links(data)  # parses without error (0 or more rows)
 
 
 def test_inline_image_extracts_through_ocr(spark, tmp_path):
