@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "pdf_attachments",
     "pdf_form_fields",
     "pdf_outline",
+    "pdf_document_profile",
     "pdf_extract_text",
     "pdf_extract_text_dct",
     "pdf_text_layer",

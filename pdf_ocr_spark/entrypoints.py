@@ -2333,6 +2333,50 @@ def q_pdf_outline(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "pdf_document_profile",
+    f"""
+WITH t AS (SELECT doc_id,
+           greatest(1, ceil(len({sql_tokens('text')}) / 20.0))::BIGINT AS n
+           FROM documents)
+SELECT doc_id,
+       n AS n_pages,
+       'Document ' || doc_id::VARCHAR AS title,
+       ((n + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) // 2)::BIGINT
+         AS n_links,
+       (CASE WHEN doc_id % 41 = 14 THEN 2 ELSE 0 END)::BIGINT
+         AS n_attachments,
+       (CASE WHEN doc_id % 47 = 16 THEN 3 ELSE 0 END)::BIGINT
+         AS n_form_fields,
+       (CASE WHEN doc_id % 53 = 17 THEN n ELSE 0 END)::BIGINT AS n_outline
+FROM t
+""",
+)
+def q_pdf_document_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """The FUSED curation-tier metadata pass: every structure signal
+    (page count, /Info title, link / attachment / form-field /
+    outline counts) for every document from ONE binaryFile scan and
+    ONE narrow Arrow stage — zero joins, no raster decode. The oracle
+    recomputes all six signals from the documents table via the
+    corpus-rotation formulas, so a single green row cross-checks five
+    harvest subsystems against each other AND certifies the fused
+    plan shape (at 100 TB this replaces five separate scans; the
+    single-signal queries remain for single-purpose jobs)."""
+    from pdf_ocr_spark.sources.pdfsource import read_pdf_profiles
+
+    d = _pdf_fixture_dir(spark, sf)
+    p = read_pdf_profiles(spark, d)
+    return p.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_pages").cast("long").alias("n_pages"),
+        "title",
+        F.col("n_links").cast("long").alias("n_links"),
+        F.col("n_attachments").cast("long").alias("n_attachments"),
+        F.col("n_form_fields").cast("long").alias("n_form_fields"),
+        F.col("n_outline").cast("long").alias("n_outline"),
+    )
+
+
+@_register(
     "link_graph_all",
     f"""
 WITH l AS (SELECT doc_id,

@@ -784,6 +784,72 @@ def read_pdf_outline(
     )
 
 
+def read_pdf_profiles(
+    spark: SparkSession, pdf_dir: str, password: str = ""
+) -> DataFrame:
+    """The fused document-PROFILE pass: one row per file carrying
+    every structure signal the curation tier wants — page count,
+    /Info title, link/attachment/form-field/outline counts — from a
+    SINGLE binaryFile scan and a SINGLE narrow Arrow stage, no joins.
+    This is the 100 TB shape for running the whole metadata tier at
+    once: the per-file cost is a handful of object-graph regex passes
+    (no raster decode), and the scan is paid once instead of once per
+    signal. A file any harvest rejects yields NULLs for that signal
+    rather than dropping the row; a file the loader rejects yields a
+    row of NULLs with doc_id set (error-as-row)."""
+    bf = _binary_scan(spark, os.path.join(pdf_dir, "*.pdf"))
+    pw = password.encode()
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_ocr_spark.sources.pdfcodec import (
+            page_count,
+            pdf_attachments,
+            pdf_form_fields,
+            pdf_info,
+            pdf_links,
+            pdf_outline,
+        )
+
+        cols = (
+            "doc_id", "n_pages", "title",
+            "n_links", "n_attachments", "n_form_fields", "n_outline",
+        )
+
+        def counted(fn, data):
+            try:
+                return len(fn(data, password=pw))
+            except ValueError:
+                return None
+
+        for pdf in batches:
+            rows = {c: [] for c in cols}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                m = _DOC_RE.search(path)
+                rows["doc_id"].append(m.group(1) if m else path)
+                data = bytes(content)
+                try:
+                    rows["n_pages"].append(page_count(data, password=pw))
+                except ValueError:
+                    rows["n_pages"].append(None)
+                try:
+                    rows["title"].append(pdf_info(data, password=pw).get("title"))
+                except ValueError:
+                    rows["title"].append(None)
+                rows["n_links"].append(counted(pdf_links, data))
+                rows["n_attachments"].append(counted(pdf_attachments, data))
+                rows["n_form_fields"].append(counted(pdf_form_fields, data))
+                rows["n_outline"].append(counted(pdf_outline, data))
+            yield pd.DataFrame(rows)
+
+    return bf.select("path", "content").mapInPandas(
+        kernel,
+        schema=(
+            "doc_id string, n_pages int, title string, n_links int, "
+            "n_attachments int, n_form_fields int, n_outline int"
+        ),
+    )
+
+
 def extract_pdf_documents(spark: SparkSession, pdf_dir: str, config=None) -> DataFrame:
     """End-to-end real-PDF extraction: binaryFile -> parse -> OCR ->
     ordered per-document reassembly. Output: (doc_id, txt, n_pages,
