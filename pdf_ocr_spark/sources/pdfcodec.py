@@ -1398,7 +1398,7 @@ def pdf_attachments(data: bytes, password: bytes = b"") -> list[tuple[str, bytes
         raw = _stream_of(sbody, _int(sd, b"Length"))
         if decrypt is not None:
             raw = decrypt(snum, raw)
-        out.append((nameb.decode("utf-8", "replace"), _decode_stream(sd, raw)))
+        out.append((_pdf_text_decode(nameb), _decode_stream(sd, raw)))
     return out
 
 
@@ -1457,9 +1457,7 @@ def pdf_form_fields(data: bytes, password: bytes = b"") -> list[tuple[str, str]]
             name = str_decrypt(fnum, name)
             if value:
                 value = str_decrypt(fnum, value)
-        out.append(
-            (name.decode("utf-8", "replace"), value.decode("utf-8", "replace"))
-        )
+        out.append((_pdf_text_decode(name), _pdf_text_decode(value)))
     return out
 
 

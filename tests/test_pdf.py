@@ -533,6 +533,14 @@ def test_pdf_form_fields_round_trip():
         pdf_form_fields(flat.replace(b"/FT /Tx /T", b"/Kids[] /T"))
     with pytest.raises(ValueError, match="subset"):
         pdf_form_fields(flat.replace(b"/FT /Tx", b"/FT /Btn"))
+    # §7.9.2.2 text strings: a UTF-16BE (BOM) /V decodes (the Word /
+    # Acrobat shape for non-ASCII fills)
+    u16 = "Zoë".encode("utf-16-be")
+    utf = flat.replace(
+        b"/V (Ada \\(Lovelace\\))", b"/V <FEFF" + u16.hex().upper().encode() + b">"
+    )
+    assert utf != flat
+    assert pdf_form_fields(utf)[0] == ("applicant", "Zoë")
 
 
 def test_pdf_outline_round_trip():
