@@ -2046,9 +2046,12 @@ pages AS (
     FROM t, generate_series(0, 400) AS g(i)
     WHERE i < greatest(1, ceil(len(toks)/20.0))
 )
-SELECT doc_id, i*2 AS offset, 'text' AS kind, text_part AS text FROM pages
+SELECT doc_id, i*2 AS offset, 'text' AS kind, text_part AS text,
+       NULL AS media_ref FROM pages
 UNION ALL
-SELECT doc_id, i*2+1, 'image', upper(img_part) FROM pages WHERE img_part != ''
+SELECT doc_id, i*2+1, 'image', upper(img_part),
+       'doc_' || doc_id::VARCHAR || '.pdf#seg=' || (i*2+1)::VARCHAR
+FROM pages WHERE img_part != ''
 """,
 )
 def q_pdf_interleaved_spans(spark: SparkSession, sf: str) -> DataFrame:
@@ -2060,7 +2063,10 @@ def q_pdf_interleaved_spans(spark: SparkSession, sf: str) -> DataFrame:
     operators (the glyph kernel upper-cases). The fixture gives every
     20-word page a 10-word text segment + a 10-word rendered-image
     segment, so the expected interleaving is pure arithmetic for the
-    oracle. One binaryFile scan -> one Arrow stage, no shuffle."""
+    oracle — including the stable ``<file>#seg=<offset>`` media_ref
+    on every image span, completing the north star's (kind, text,
+    media_ref, order) invariant at this source. One binaryFile scan
+    -> one Arrow stage, no shuffle."""
     from pdf_ocr_spark.sources.pdfsource import read_pdf_spans
 
     d = _mixed_pdf_fixture_dir(spark, sf)
@@ -2069,6 +2075,7 @@ def q_pdf_interleaved_spans(spark: SparkSession, sf: str) -> DataFrame:
         "offset",
         "kind",
         "text",
+        "media_ref",
     )
 
 

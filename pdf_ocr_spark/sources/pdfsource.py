@@ -1114,9 +1114,11 @@ def read_pdf_spans(
     spark: SparkSession, pdf_dir: str, password: str = ""
 ) -> DataFrame:
     """binaryFile scan -> ordered interleaved span rows per document:
-    (doc_id, offset, kind, text). Text spans come from the content
-    stream's BT..ET blocks (font-decoded); image spans are
-    OCR-decoded rasters from the XObject ``Do`` operators, in
+    (doc_id, offset, kind, text, media_ref) — the north star's full
+    span tuple. Text spans come from the content stream's BT..ET
+    blocks (font-decoded, NULL media_ref); image spans are
+    OCR-decoded rasters from the XObject ``Do`` operators, each
+    carrying a stable ``<file>#seg=<offset>`` media reference, in
     content-stream order — the PDF source emitting the engine's
     native span model directly. Unparseable files become one
     parse_error row."""
@@ -1128,22 +1130,29 @@ def read_pdf_spans(
         from pdf_ocr_spark.sources.pdfcodec import extract_page_segments
 
         for pdf in batches:
-            rows = {k: [] for k in ("doc_id", "offset", "kind", "text", "parse_error")}
+            rows = {
+                k: []
+                for k in (
+                    "doc_id", "offset", "kind", "text", "media_ref", "parse_error"
+                )
+            }
 
-            def emit(doc_id, offset, kind, text, err=None):
+            def emit(doc_id, offset, kind, text, media_ref=None, err=None):
                 rows["doc_id"].append(doc_id)
                 rows["offset"].append(offset)
                 rows["kind"].append(kind)
                 rows["text"].append(text)
+                rows["media_ref"].append(media_ref)
                 rows["parse_error"].append(err)
 
             for path, content in zip(pdf["path"], pdf["content"]):
                 m = _DOC_RE.search(path)
                 doc_id = m.group(1) if m else path
+                base = os.path.basename(path)
                 try:
                     pages = extract_page_segments(bytes(content), password=pw)
                 except ValueError as e:
-                    emit(doc_id, 0, "error", None, str(e))
+                    emit(doc_id, 0, "error", None, err=str(e))
                     continue
                 off = 0
                 for segs in pages:
@@ -1152,11 +1161,14 @@ def read_pdf_spans(
                             emit(doc_id, off, "text", payload)
                         else:
                             text, _conf = ocr_decode(payload)
-                            emit(doc_id, off, "image", text)
+                            emit(doc_id, off, "image", text, f"{base}#seg={off}")
                         off += 1
             yield pd.DataFrame(rows)
 
     return bf.select("path", "content").mapInPandas(
         kernel,
-        schema="doc_id string, offset int, kind string, text string, parse_error string",
+        schema=(
+            "doc_id string, offset int, kind string, text string, "
+            "media_ref string, parse_error string"
+        ),
     )

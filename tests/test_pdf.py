@@ -1032,19 +1032,25 @@ def test_read_pdf_spans_order_and_error_rows(spark, tmp_path):
     by_doc = defaultdict(list)
     for r in rows:
         if not r["parse_error"]:
-            by_doc[r["doc_id"]].append((r["offset"], r["kind"], r["text"]))
+            by_doc[r["doc_id"]].append(
+                (r["offset"], r["kind"], r["text"], r["media_ref"])
+            )
     for i in range(6):
         spans = sorted(by_doc[str(i)])
         words = [f"w{i}x{j}" for j in range(i * 13 % 45)]
-        # expected structure: per 20-word page, a text span (first 10)
-        # then an image span (last 10, skipped when empty)
+        # expected structure: per 20-word page, a text span (first 10,
+        # NULL media_ref) then an image span (last 10, skipped when
+        # empty, carrying the stable <file>#seg=<offset> media_ref)
         exp = []
         off = 0
         chunks = [words[k : k + 20] for k in range(0, max(len(words), 1), 20)]
         for chunk in chunks:
-            exp.append((off, "text", " ".join(chunk[:10])))
+            exp.append((off, "text", " ".join(chunk[:10]), None))
             off += 1
             if chunk[10:]:
-                exp.append((off, "image", " ".join(chunk[10:]).upper()))
+                exp.append(
+                    (off, "image", " ".join(chunk[10:]).upper(),
+                     f"doc_{i}.pdf#seg={off}")
+                )
                 off += 1
         assert spans == exp, (i, spans, exp)
