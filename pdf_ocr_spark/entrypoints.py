@@ -1789,11 +1789,37 @@ def q_knn_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 @_register("approx_distinct_users")
 def q_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
-    """HLL approx_count_distinct (estimator differs per engine — rows-only)."""
+    """HLL approx_count_distinct (estimator differs per engine — rows-only).
+
+    The exact twin ``distinct_users_exact`` below runs the same grouping
+    with exact COUNT(DISTINCT) under the full oracle check, so the
+    aggregation plumbing is hash-certified; only the HLL estimate itself
+    is engine-specific. test_approx_error pins the estimator's relative
+    error against the exact counts at the default rsd (0.05)."""
     e = load_table(spark, sf, "events")
     return e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.expr("percentile_approx(value, 0.5)").alias("p50_value"),
+    )
+
+
+@_register(
+    "distinct_users_exact",
+    "SELECT event_type, COUNT(DISTINCT user_id) AS n_users, "
+    "quantile_cont(value, 0.5) AS p50_value "
+    "FROM events GROUP BY event_type",
+)
+def q_distinct_users_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact twin of approx_distinct_users: identical grouping, exact
+    COUNT(DISTINCT) + interpolated median instead of the HLL/KLL
+    estimates. At 100 TB the approximate form is the production path
+    (single-pass, fixed-size sketch state, no per-key distinct shuffle);
+    this exact form is the certification path — same plan shape, exact
+    aggregates."""
+    e = load_table(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.expr("percentile(value, 0.5)").alias("p50_value"),
     )
 
 
@@ -3425,9 +3451,7 @@ def q_video_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     return frame_features(frames)
 
 
-@_register(
-    "dedup_substring",
-    f"""
+_DEDUP_SUBSTRING_SQL = f"""
 WITH corpus AS (
     SELECT doc_id AS id, {sql_tokens('text')} AS toks FROM documents
     UNION ALL
@@ -3446,8 +3470,29 @@ w AS (
 )
 SELECT window_text, count(DISTINCT id) AS n_docs, count(*) AS n_occurrences
 FROM w GROUP BY window_text HAVING count(DISTINCT id) >= 2
-""",
-)
+"""
+
+
+def _dedup_substring_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """Shared fixture corpus for the dedup_substring pair: documents
+    plus planted full copies of every 10th document, guarded against
+    outgrowing the oracle's 4000-start cap (assert_true returns NULL on
+    success, so the filter keeps every row while forcing evaluation —
+    a dropped column would be pruned)."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    dup = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(dup)
+    return corpus.where(
+        F.assert_true(
+            F.size(F.split(F.col("text"), r"\s+")) <= F.lit(4015),
+            F.lit("document exceeds dedup_substring oracle's 4000-start cap"),
+        ).isNull()
+    )
+
+
+@_register("dedup_substring", _DEDUP_SUBSTRING_SQL)
 def q_dedup_substring(spark: SparkSession, sf: str) -> DataFrame:
     """Exact-substring dedup (Lee et al.'s training-corpus form):
     identical 15-token runs recurring across documents, over the
@@ -3459,23 +3504,26 @@ def q_dedup_substring(spark: SparkSession, sf: str) -> DataFrame:
     hashing note."""
     from pdf_ocr_spark.operators.dedup import substring_dup_windows
 
-    docs = load_table(spark, sf, "documents").select("doc_id", "text")
-    dup = docs.where(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    out = substring_dup_windows(_dedup_substring_corpus(spark, sf), window=15)
+    return out.select(
+        "window_text",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_occurrences").cast("long").alias("n_occurrences"),
     )
-    corpus = docs.unionByName(dup)
-    # the DuckDB oracle caps window starts at 4000 (generate_series
-    # needs a constant bound); fail loudly if a fixture document ever
-    # grows past that instead of silently diverging engine vs oracle.
-    # assert_true returns NULL on success, so the filter keeps every
-    # row while forcing evaluation (a dropped column would be pruned).
-    corpus = corpus.where(
-        F.assert_true(
-            F.size(F.split(F.col("text"), r"\s+")) <= F.lit(4015),
-            F.lit("document exceeds dedup_substring oracle's 4000-start cap"),
-        ).isNull()
-    )
-    out = substring_dup_windows(corpus, window=15)
+
+
+@_register("dedup_substring_hashed", _DEDUP_SUBSTRING_SQL)
+def q_dedup_substring_hashed(spark: SparkSession, sf: str) -> DataFrame:
+    """The scale form of dedup_substring: xxhash64 the 15-token windows
+    at the map side so the heavy exchange carries 8-byte keys, then
+    rehydrate text for duplicated-hash groups only and recount exactly
+    (collision-proof — see substring_dup_windows_hashed). Shares the
+    exact oracle with dedup_substring: same corpus, byte-identical
+    output. scripts/shuffle_bytes_bench.py measures the shuffle-byte
+    reduction recorded in BENCH.md."""
+    from pdf_ocr_spark.operators.dedup import substring_dup_windows_hashed
+
+    out = substring_dup_windows_hashed(_dedup_substring_corpus(spark, sf), window=15)
     return out.select(
         "window_text",
         F.col("n_docs").cast("long").alias("n_docs"),

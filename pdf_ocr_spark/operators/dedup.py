@@ -655,3 +655,72 @@ def substring_dup_windows(
         )
         .where(F.col("n_docs") >= 2)
     )
+
+
+def substring_dup_windows_hashed(
+    df: DataFrame,
+    window: int = 15,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The 100 TB shape of :func:`substring_dup_windows`: xxhash64 each
+    ``window``-token window at the map side so the big exchange carries
+    8-byte keys instead of ~100-byte window strings, then rehydrate
+    text for candidate (duplicated-hash) groups only.
+
+    Three-stage plan:
+
+    1. tokenize + slide + ``xxhash64(window_text)`` — the corpus-wide
+       aggregation shuffles (hash, id) pairs only; window text never
+       crosses the wire in the heavy stage.
+    2. hash-keyed countDistinct — the duplicated-hash set is tiny
+       (duplicate windows are rare by construction at corpus scale),
+       so it broadcasts.
+    3. a second tokenize pass semi-joined (broadcast) against the dup
+       hashes rehydrates candidate window text, and a final regroup BY
+       TEXT recomputes exact counts. The regroup makes the output
+       collision-proof: a 64-bit collision only drags an extra window
+       into the candidate set, where its true (by-text) n_docs < 2
+       filters it back out — output is byte-identical to the exact
+       form, which is why both registrations share one oracle SQL.
+
+    Trade: one extra scan+tokenize of the corpus (cheap, narrow,
+    whole-stage-codegen) buys ~10x fewer shuffle bytes in the stage
+    that dominates at scale — see scripts/shuffle_bytes_bench.py and
+    the BENCH.md round-6 row for the measured reduction."""
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("toks")
+    )
+    starts = F.when(
+        F.size("toks") >= window,
+        F.sequence(F.lit(0), F.size("toks") - F.lit(window)),
+    ).otherwise(F.array().cast("array<int>"))
+    wins_text = toks.select(
+        "id",
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.array_join(F.slice("toks", i + 1, window), " "),
+            )
+        ).alias("window_text"),
+    )
+    wins_hashed = wins_text.select("id", F.xxhash64("window_text").alias("h"))
+    dup_hashes = (
+        wins_hashed.groupBy("h")
+        .agg(F.countDistinct("id").alias("n_docs_h"))
+        .where(F.col("n_docs_h") >= 2)
+        .select("h")
+    )
+    candidates = wins_text.join(
+        F.broadcast(dup_hashes),
+        F.xxhash64(wins_text["window_text"]) == dup_hashes["h"],
+        "leftsemi",
+    )
+    return (
+        candidates.groupBy("window_text")
+        .agg(
+            F.countDistinct("id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )

@@ -74,6 +74,27 @@ def test_query_matches_oracle(spark, duck, name):
     assert not mismatches, f"{name}: {len(mismatches)} value mismatches, first: {mismatches[0]}"
 
 
+def test_approx_error(spark):
+    """Pin the HLL estimator's relative error against the exact twin.
+
+    approx_count_distinct's default rsd is 0.05; HLL's error is
+    probabilistic, so pin a generous-but-meaningful envelope (4×rsd =
+    20%) per group — a regression to a broken sketch (off by 2×, or
+    constant) fails loudly, while normal estimator noise passes."""
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in entry_mod.queries()["approx_distinct_users"](spark, SF_DIR).collect()
+    }
+    exact = {
+        r["event_type"]: r["n_users"]
+        for r in entry_mod.queries()["distinct_users_exact"](spark, SF_DIR).collect()
+    }
+    assert set(approx) == set(exact)
+    for etype, n in exact.items():
+        rel_err = abs(approx[etype] - n) / max(n, 1)
+        assert rel_err <= 0.20, f"{etype}: approx={approx[etype]} exact={n} rel_err={rel_err:.3f}"
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()
