@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "pdf_document_profile",
     "pdf_extract_text",
     "pdf_extract_text_dct",
+    "pdf_extract_text_jpx",
     "pdf_text_layer",
     "pdf_interleaved_spans",
     "html_main_spans",
@@ -114,7 +115,41 @@ BENCH_QUERIES = [
     "knn_ivf_exact",
     "stream_reassemble_txt",
     "profit_by_nation",
+    # round 6
+    "distinct_users_exact",
+    "dedup_substring_hashed",
 ]
+
+# RUN order (above) keeps python-kernel queries first for timing
+# fidelity; EMIT order puts them last. The round driver records
+# BENCH_r{N}.json from the tail of this process's output, and the
+# round-5 artifact was truncated from the head — losing exactly the
+# PDF-query entries that ran (and were emitted) first. Reordering only
+# the output dict keeps both properties: faithful timings, and the
+# rarely-elsewhere-recorded PDF numbers in the survivable tail.
+_EMIT_LAST = [
+    "word_boxes",
+    "hocr_pages",
+    "pdf_page_count",
+    "pdf_metadata",
+    "pdf_links",
+    "pdf_attachments",
+    "pdf_form_fields",
+    "pdf_outline",
+    "pdf_document_profile",
+    "pdf_extract_text",
+    "pdf_extract_text_dct",
+    "pdf_extract_text_jpx",
+    "pdf_text_layer",
+    "pdf_interleaved_spans",
+    "flagship_extraction",
+]
+
+
+def _emit_order(timings: dict[str, float]) -> dict[str, float]:
+    head = {k: v for k, v in timings.items() if k not in _EMIT_LAST}
+    tail = {k: timings[k] for k in _EMIT_LAST if k in timings}
+    return {**head, **tail}
 
 
 def build_spark(cpus: int, app: str = "pdf-ocr-spark-bench") -> SparkSession:
@@ -197,6 +232,10 @@ def main() -> None:
     # content-fingerprinted /tmp cache; timed reps then measure the
     # scan+DCT-decode+OCR path, not fixture generation
     ep._pdf_fixture_dir(spark, sf_dir, dct=True)
+    # likewise the JPEG 2000 corpus (EBCOT tier-1 encode is the priciest
+    # render; cached the same way) — warming it moves pdf_extract_text_jpx
+    # from correctness-only to a timed row (round-6 task)
+    ep._pdf_fixture_dir(spark, sf_dir, jpx=True)
     ep._text_pdf_fixture_dir(spark, sf_dir)
     ep._warc_fixture_dir(spark, sf_dir)
     ep._media_manifest(spark)
@@ -249,7 +288,7 @@ def main() -> None:
                 # compare r1/r2 artifacts against wall_seconds, not value
                 "value_definition": "sum of per-query min-of-2 times",
                 "unit": "sec",
-                "queries": timings,
+                "queries": _emit_order(timings),
                 "wall_seconds": total,
                 "sf": sf,
                 "cpus": cpus,

@@ -1975,7 +1975,11 @@ def _pdf_fixture_dir(
     # /A GoTo actions, /Kids-subdivided /Names /Dests tree).
     # r5rotinh: every other rotated doc places /Rotate on the
     # pages-tree node (§7.7.3.4 inheritance) instead of per page.
-    gen_tag = {"objstm": "r5rotinh", "jpx": "r5lossy", "dct": "r5sym"}[variant]
+    # r6links: link annotations extend beyond /URI — (id+i)%3==0 pages
+    # carry an intra-doc GoTo edge (alternating /A-action and /Dest-key
+    # shapes), (id+i)%6==5 pages a /GoToR remote edge, and named-outline
+    # docs a page-0 GoTo through the /Names /Dests tree.
+    gen_tag = {"objstm": "r6links", "jpx": "r5lossy", "dct": "r5sym"}[variant]
     fingerprint = f"{agg['n']}:{agg['ck']}:{variant}:{gen_tag}"
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker):
@@ -2230,23 +2234,39 @@ WITH pages AS (
          greatest(1, ceil(len({sql_tokens('text')}) / 20.0))::INT AS n
   FROM documents
 )
-, exploded AS (SELECT doc_id, unnest(range(n)) AS i FROM pages)
-SELECT doc_id, i::BIGINT AS page,
-       'https://example.org/doc/' || doc_id::VARCHAR || '/p' || i::VARCHAR AS uri
-FROM exploded
-WHERE (doc_id + i) % 2 = 0
+, exploded AS (SELECT doc_id, n, unnest(range(n)) AS i FROM pages)
+SELECT doc_id, i::BIGINT AS page, 'uri' AS kind,
+       'https://example.org/doc/' || doc_id::VARCHAR || '/p' || i::VARCHAR AS uri,
+       NULL::BIGINT AS to_page
+FROM exploded WHERE (doc_id + i) % 2 = 0
+UNION ALL
+SELECT doc_id, i::BIGINT, 'goto', NULL::VARCHAR, ((i + 1) % n)::BIGINT
+FROM exploded WHERE (doc_id + i) % 3 = 0
+UNION ALL
+SELECT doc_id, i::BIGINT, 'gotor',
+       'doc_' || ((doc_id * 3 + i) % 1000)::VARCHAR || '.pdf',
+       ((doc_id + i) % 4)::BIGINT
+FROM exploded WHERE (doc_id + i) % 6 = 5
+UNION ALL
+SELECT doc_id, 0::BIGINT, 'goto', NULL::VARCHAR, (n - 1)::BIGINT
+FROM pages
+WHERE doc_id % 53 = 17 AND (doc_id // 53) % 2 = 1 AND doc_id % 5 != 1
 """,
 )
 def q_pdf_links(spark: SparkSession, sf: str) -> DataFrame:
-    """Outbound-link harvest over the real-PDF corpus: §12.5.6.5
-    /Link annotations with /URI actions, one (doc_id, page, uri) row
-    each — the PDF twin of html_links feeding the crawl frontier
-    (recrawl_frontier / crawl_schedule consume exactly this shape).
-    The corpus plants a link on page i iff (doc_id+i) is even with the
-    URI derived from (doc_id, i), so the oracle regenerates the exact
-    row set from the documents table — certifying /Annots array
-    parsing (direct dicts), nested-dict span scanning, and the §7.6.2
-    rule that ObjStm strings decrypt with the stream, not per-string
+    """Link-edge harvest over the real-PDF corpus: §12.5.6.5 /Link
+    annotations as typed (doc_id, page, kind, uri, to_page) edges —
+    'uri' outbound actions (the PDF twin of html_links feeding the
+    crawl frontier; recrawl_frontier / crawl_schedule consume that
+    shape), 'goto' intra-document edges with the destination resolved
+    to a target page (direct /A arrays, the /Dest-key annotation
+    shape, and NAMED destinations through the /Names /Dests tree on
+    named-outline docs), and 'gotor' cross-document edges (remote
+    file + remote page number). Every planting rule is residue-derived
+    from (doc_id, page), so the oracle regenerates the exact edge set
+    from the documents table — certifying /Annots parsing, all three
+    action kinds, both GoTo destination shapes, name-tree resolution,
+    and the §7.6.2 rule that ObjStm strings decrypt with the stream
     (1-in-5 docs are encrypted)."""
     from pdf_ocr_spark.sources.pdfsource import read_pdf_links
 
@@ -2254,7 +2274,9 @@ def q_pdf_links(spark: SparkSession, sf: str) -> DataFrame:
     return read_pdf_links(spark, d).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("page").cast("long").alias("page"),
+        "kind",
         "uri",
+        F.col("to_page").cast("long").alias("to_page"),
     )
 
 
@@ -2454,8 +2476,12 @@ def q_link_graph_all(spark: SparkSession, sf: str) -> DataFrame:
     html = extract_links(_html_corpus(spark, sf)).select(
         F.col("href").alias("uri"), F.lit("html").alias("src")
     )
-    pdf = read_pdf_links(spark, _pdf_fixture_dir(spark, sf)).select(
-        "uri", F.lit("pdf").alias("src")
+    pdf = (
+        read_pdf_links(spark, _pdf_fixture_dir(spark, sf))
+        # the host rollup consumes outbound URIs; goto/gotor edges
+        # have no host (intra-document / relative-file targets)
+        .where(F.col("kind") == "uri")
+        .select("uri", F.lit("pdf").alias("src"))
     )
     u = html.unionByName(pdf).withColumn(
         "host", F.parse_url(F.col("uri"), F.lit("HOST"))
@@ -3670,6 +3696,10 @@ _FORCE_WINDOW_UNTIL = {
     # Differences / Type0+ToUnicode) — a green row certifies the whole
     # font-decode surface
     "pdf_text_layer": 5,
+    # r6: pdf_links extends to typed (kind, uri, to_page) edges — GoTo
+    # (both destination shapes + named-dest resolution) and GoToR rows
+    # join the /URI harvest; prior green rows certify the old schema
+    "pdf_links": 6,
 }
 
 

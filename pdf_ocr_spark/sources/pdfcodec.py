@@ -304,14 +304,25 @@ def encode_pdf(
     referenced from the catalog; like any stream it is encrypted
     when the file is (/EncryptMetadata default true).
 
-    ``page_links`` (one URI list per page) writes §12.5.6.5 link
-    annotations — ``/Annots`` arrays of direct /Link dicts with
-    §12.6.4.7 /URI actions — the outbound-link shape a crawl pipeline
-    harvests from PDFs. Direct dicts keep the 3-per-page object
-    layout; under 1.5 the strings live inside the (encrypted) ObjStm,
-    which §7.6.2 exempts from per-string encryption, so RC4 +
-    ``page_links`` requires ``object_streams=True`` (typed error
-    otherwise).
+    ``page_links`` (one item list per page) writes §12.5.6.5 link
+    annotations — ``/Annots`` arrays of direct /Link dicts. Each item
+    is a plain ``str`` (a §12.6.4.7 /URI action — the outbound-link
+    shape a crawl pipeline harvests), or a typed tuple for the
+    intra-document / cross-document shapes real producers emit:
+    ``("goto", page_idx)`` a §12.6.4.2 /GoTo action with a direct
+    ``[page /Fit]`` destination, ``("dest", page_idx)`` the same
+    target through the annotation's own /Dest key (§12.5.6.5 allows
+    either), ``("goto_named", name)`` a /GoTo action naming a
+    destination resolved through the catalog's /Names /Dests tree
+    (the caller must ensure the name exists — e.g. the ``sec.<i>``
+    names a named-shape outline registers), and ``("gotor", file,
+    page_idx)`` a §12.6.4.3 /GoToR remote action whose destination
+    array carries a PAGE NUMBER (remote dests index pages, they
+    cannot hold refs into another file). Direct dicts keep the
+    3-per-page object layout; under 1.5 the strings live inside the
+    (encrypted) ObjStm, which §7.6.2 exempts from per-string
+    encryption, so RC4 + ``page_links`` requires
+    ``object_streams=True`` (typed error otherwise).
 
     ``rotate`` (90/180/270) writes a §7.7.3.3 /Rotate entry on every
     page — the sideways-fed scanner shape — and stores each raster
@@ -429,15 +440,49 @@ def encode_pdf(
         annots_entry = ""
         if page_links is not None and page_links[i]:
             # §12.5.6.5 link annotations as DIRECT dicts (spec-legal,
-            # keeps the 3-per-page object layout) with /URI actions
-            link_dicts = " ".join(
-                "<< /Type /Annot /Subtype /Link /Rect [0 %d %d %d] "
-                "/Border [0 0 0] /A << /S /URI /URI (%s) >> >>"
-                % (
+            # keeps the 3-per-page object layout): /URI actions plus
+            # the typed intra-/cross-document shapes (see docstring)
+            def _esc(s: str) -> str:
+                return s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+
+            def _link_dict(j: int, item) -> str:
+                rect = "/Rect [0 %d %d %d] /Border [0 0 0]" % (
                     max(0, h - 20 * (j + 1)), w, max(0, h - 20 * j),
-                    u.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)"),
                 )
-                for j, u in enumerate(page_links[i])
+                if isinstance(item, str):
+                    return (
+                        f"<< /Type /Annot /Subtype /Link {rect} "
+                        f"/A << /S /URI /URI ({_esc(item)}) >> >>"
+                    )
+                kind = item[0]
+                if kind in ("goto", "dest"):
+                    t = int(item[1])
+                    if not 0 <= t < len(pages):
+                        raise ValueError(
+                            "page %d link targets page %d of %d" % (i, t, len(pages))
+                        )
+                    dest = f"[{3 + 3 * t} 0 R /Fit]"
+                    body = (
+                        f"/A << /S /GoTo /D {dest} >>"
+                        if kind == "goto"
+                        else f"/Dest {dest}"
+                    )
+                    return f"<< /Type /Annot /Subtype /Link {rect} {body} >>"
+                if kind == "goto_named":
+                    return (
+                        f"<< /Type /Annot /Subtype /Link {rect} "
+                        f"/A << /S /GoTo /D ({_esc(item[1])}) >> >>"
+                    )
+                if kind == "gotor":
+                    return (
+                        f"<< /Type /Annot /Subtype /Link {rect} "
+                        f"/A << /S /GoToR /F ({_esc(item[1])}) "
+                        f"/D [{int(item[2])} /Fit] >> >>"
+                    )
+                raise ValueError(f"unknown page_links item kind {kind!r}")
+
+            link_dicts = " ".join(
+                _link_dict(j, item) for j, item in enumerate(page_links[i])
             )
             annots_entry = f"/Annots [ {link_dicts} ] "
         if inline is not None:
@@ -1290,15 +1335,31 @@ def _page_numbers(body, node_num: int, depth: int = 0):
         yield from _page_numbers(body, int(m.group(1)), depth + 1)
 
 
-def pdf_links(data: bytes, password: bytes = b"") -> list[tuple[int, str]]:
-    """Outbound URIs from §12.5.6.5 link annotations, as ``(page_index,
-    uri)`` in document order — the link harvest a crawl pipeline runs
-    over PDF corpora (the HTML-side twin is operators/webextract.py's
-    ``html_links``). Annotations may be direct dicts in /Annots or
-    indirect refs (both real-producer shapes); non-link annotations
-    and /GoTo-style actions are skipped. String decryption follows
-    §7.6.2: only strings whose winning object lives top-level decrypt
-    (ObjStm members are covered by the stream's own encryption)."""
+def pdf_links(
+    data: bytes, password: bytes = b""
+) -> list[tuple[int, str, str | None, int | None]]:
+    """The full link-edge harvest from §12.5.6.5 link annotations, as
+    ``(page_index, kind, uri, to_page)`` rows in document order:
+
+    - ``('uri', uri, None)`` — §12.6.4.7 /URI actions, the outbound
+      edge a crawl pipeline feeds its frontier (the HTML-side twin is
+      operators/webextract.py's ``html_links``);
+    - ``('goto', None, to_page)`` — §12.6.4.2 intra-document edges,
+      from /GoTo actions or the annotation's own /Dest key, with the
+      destination resolved to a target page index through the shared
+      resolver (:func:`_make_dest_resolver` — direct arrays, indirect
+      dest objects, and NAMED destinations through the catalog's
+      /Names /Dests tree, the same machinery pdf_outline certifies);
+    - ``('gotor', remote_file, remote_page)`` — §12.6.4.3
+      cross-document edges; remote dest arrays carry page NUMBERS
+      (they cannot hold refs into another file).
+
+    Annotations may be direct dicts in /Annots or indirect refs (both
+    real-producer shapes); non-link annotations are skipped, as is a
+    link whose destination fails to resolve (harvest stays total).
+    String decryption follows §7.6.2: only strings whose winning
+    object lives top-level decrypt (ObjStm members are covered by the
+    stream's own encryption)."""
     if not data.startswith(b"%PDF-"):
         raise ValueError("not a PDF (missing %PDF- header)")
     body, trailer, decrypt = _load(data, password)
@@ -1309,7 +1370,14 @@ def pdf_links(data: bytes, password: bytes = b"") -> list[tuple[int, str]]:
             str_decrypt = decrypt
     packed = getattr(body, "packed_nums", frozenset())
     catalog = _dict_of(body(_ref(trailer, b"Root")))
-    out: list[tuple[int, str]] = []
+
+    def dec_str(s: bytes, owner: int) -> bytes:
+        if str_decrypt is not None and owner not in packed:
+            return str_decrypt(owner, s)
+        return s
+
+    resolve = _make_dest_resolver(body, catalog, dec_str)
+    out: list[tuple[int, str, str | None, int | None]] = []
     for idx, pnum in enumerate(_page_numbers(body, _ref(catalog, b"Pages"))):
         page = _dict_of(body(pnum))
         am = re.search(rb"/Annots\s*(\[|\d+\s+0\s+R)", page)
@@ -1340,15 +1408,53 @@ def pdf_links(data: bytes, password: bytes = b"") -> list[tuple[int, str]]:
         for annot, owner in annots:
             if not re.search(rb"/Subtype\s*/Link\b", annot):
                 continue
-            if not re.search(rb"/S\s*/URI\b", annot):
+            # materialize the action: inline /A dicts are nested in the
+            # annot bytes (search the annot directly); an indirect /A
+            # ref resolves to its own object, whose number wins string
+            # decryption (§7.6.2)
+            action, act_owner = annot, owner
+            am = re.search(rb"/A\s+(\d+)\s+0\s+R", annot)
+            if am is not None:
+                act_owner = int(am.group(1))
+                action = _dict_of(body(act_owner))
+            if re.search(rb"/S\s*/URI\b", action):
+                try:
+                    val = _pdf_string(action, b"URI")
+                except ValueError:
+                    continue
+                out.append(
+                    (idx, "uri", dec_str(val, act_owner).decode("latin-1"), None)
+                )
                 continue
+            if re.search(rb"/S\s*/GoToR\b", action):
+                # remote action: /F file string + /D [page-number ...]
+                # (remote dests index pages — they cannot hold refs
+                # into another file, §12.6.4.3)
+                try:
+                    fname = dec_str(_pdf_string(action, b"F"), act_owner)
+                except ValueError:
+                    continue
+                dm = re.search(rb"/D\s*\[\s*(\d+)\b(?!\s+0\s+R)", action)
+                if dm is None:
+                    continue
+                out.append(
+                    (idx, "gotor", fname.decode("latin-1"), int(dm.group(1)))
+                )
+                continue
+            # intra-document edge: the annotation's own /Dest key or a
+            # /GoTo action's /D, resolved through the shared machinery
+            spec = _dest_spec(annot, b"Dest")
+            spec_owner = owner
+            if spec is None:
+                if not re.search(rb"/S\s*/GoTo\b", action):
+                    continue
+                spec = _dest_spec(action, b"D")
+                spec_owner = act_owner
             try:
-                val = _pdf_string(annot, b"URI")
+                target = resolve(spec, spec_owner, "link on page %d" % idx)
             except ValueError:
                 continue
-            if str_decrypt is not None and owner not in packed:
-                val = str_decrypt(owner, val)
-            out.append((idx, val.decode("latin-1")))
+            out.append((idx, "goto", None, target))
     return out
 
 
@@ -1538,6 +1644,84 @@ def _dest_spec(container: bytes, key_first: bytes):
     return None
 
 
+def _make_dest_resolver(body, catalog: bytes, dec_str):
+    """Shared §12.3.2.3 destination resolution for outline items and
+    /GoTo link annotations: returns ``resolve(spec, owner, ctx)``
+    mapping a :func:`_dest_spec` result to a target page index,
+    following named destinations through the catalog's /Names /Dests
+    name tree (flat or /Kids-subdivided) and indirect destination
+    objects (bare array or ``<< /D [...] >>``), with a 4-hop chain
+    guard. The page-number→index table and the name table are built
+    lazily and shared across calls."""
+    page_index: dict[int, int] | None = None
+    named: dict[bytes, int] | None = None
+
+    def pages() -> dict[int, int]:
+        nonlocal page_index
+        if page_index is None:
+            page_index = {
+                pnum: idx
+                for idx, pnum in enumerate(_page_numbers(body, _ref(catalog, b"Pages")))
+            }
+        return page_index
+
+    def named_table() -> dict[bytes, int]:
+        nonlocal named
+        if named is None:
+            named = {}
+            nm = re.search(rb"/Names\s*(<<|\d+\s+0\s+R)", catalog)
+            if nm is not None:
+                if nm.group(1) == b"<<":
+                    names_d = catalog[
+                        nm.end() - 2 : _balanced_span(catalog, nm.end() - 2, 0x3C, 0x3E)
+                    ]
+                else:
+                    names_d = _dict_of(body(int(nm.group(1).split()[0])))
+                dm = re.search(rb"/Dests\s+(\d+)\s+0\s+R", names_d)
+                if dm is not None:
+                    raw: dict[bytes, int] = {}
+                    _name_tree_refs(body, int(dm.group(1)), raw)
+                    named = raw
+        return named
+
+    def resolve(spec, owner: int, ctx: str) -> int:
+        for _hop in range(4):
+            if spec is None:
+                raise ValueError("%s has no destination" % ctx)
+            kind, val = spec
+            if kind == "page":
+                if val not in pages():
+                    raise ValueError(
+                        "%s targets non-page object %d" % (ctx, val)
+                    )
+                return pages()[val]
+            if kind in ("name", "nameobj"):
+                # string-form names decrypt with their winning object;
+                # name-OBJECT forms (/name) are never encrypted.
+                # Name-tree leaf keys are compared as stored — the
+                # writer keeps them plaintext under every handler
+                # (leaf nodes pack into the ObjStm, §7.6.2-exempt)
+                name = dec_str(val, owner) if kind == "name" else val
+                dest_num = named_table().get(name)
+                if dest_num is None:
+                    raise ValueError(
+                        "%s names an unknown destination %r" % (ctx, name[:60])
+                    )
+                spec = ("ref", dest_num)
+                continue
+            # indirect destination object: bare array or << /D [...] >>
+            db = body(val)
+            bm = re.match(rb"\s*\[\s*(\d+)\s+0\s+R", db)
+            if bm is not None:
+                spec = ("page", int(bm.group(1)))
+                continue
+            spec = _dest_spec(_dict_of(db), b"D")
+            owner = val
+        raise ValueError("%s destination chain exceeds 4 hops" % ctx)
+
+    return resolve
+
+
 def pdf_outline(data: bytes, password: bytes = b"") -> list[tuple[int, str, int]]:
     """Document-outline (bookmark) harvest from the §12.3.3 /Outlines
     tree, as pre-order ``(level, title, page_index)`` rows — the
@@ -1570,35 +1754,10 @@ def pdf_outline(data: bytes, password: bytes = b"") -> list[tuple[int, str, int]
     om = re.search(rb"/Outlines\s+(\d+)\s+0\s+R", catalog)
     if om is None:
         return []
-    page_index = {
-        pnum: idx
-        for idx, pnum in enumerate(_page_numbers(body, _ref(catalog, b"Pages")))
-    }
-
-    named: dict[bytes, int] | None = None  # name -> dest value obj, lazy
-
-    def named_table() -> dict[bytes, int]:
-        nonlocal named
-        if named is None:
-            named = {}
-            nm = re.search(rb"/Names\s*(<<|\d+\s+0\s+R)", catalog)
-            if nm is not None:
-                if nm.group(1) == b"<<":
-                    names_d = catalog[
-                        nm.end() - 2 : _balanced_span(
-                            catalog, nm.end() - 2, 0x3C, 0x3E
-                        )
-                    ]
-                else:
-                    names_d = _dict_of(body(int(nm.group(1).split()[0])))
-                dm = re.search(rb"/Dests\s+(\d+)\s+0\s+R", names_d)
-                if dm is not None:
-                    raw: dict[bytes, int] = {}
-                    _name_tree_refs(body, int(dm.group(1)), raw)
-                    named = raw
-        return named
+    resolve = _make_dest_resolver(body, catalog, dec_str)
 
     def resolve_page(item: bytes, owner: int, item_num: int) -> int:
+        ctx = "outline item %d" % item_num
         spec = _dest_spec(item, b"Dest")
         if spec is None:
             # follow the /A GoTo action (direct dict or indirect)
@@ -1623,43 +1782,7 @@ def pdf_outline(data: bytes, password: bytes = b"") -> list[tuple[int, str, int]
                 )
             spec = _dest_spec(action, b"D")
             owner = anum
-        for _hop in range(4):
-            if spec is None:
-                raise ValueError("outline item %d has no destination" % item_num)
-            kind, val = spec
-            if kind == "page":
-                if val not in page_index:
-                    raise ValueError(
-                        "outline item %d targets non-page object %d"
-                        % (item_num, val)
-                    )
-                return page_index[val]
-            if kind in ("name", "nameobj"):
-                # string-form names decrypt with their winning object;
-                # name-OBJECT forms (/name) are never encrypted.
-                # Name-tree leaf keys are compared as stored — the
-                # writer keeps them plaintext under every handler
-                # (leaf nodes pack into the ObjStm, §7.6.2-exempt)
-                name = dec_str(val, owner) if kind == "name" else val
-                dest_num = named_table().get(name)
-                if dest_num is None:
-                    raise ValueError(
-                        "outline item %d names an unknown destination %r"
-                        % (item_num, name[:60])
-                    )
-                spec = ("ref", dest_num)
-                continue
-            # indirect destination object: bare array or << /D [...] >>
-            db = body(val)
-            bm = re.match(rb"\s*\[\s*(\d+)\s+0\s+R", db)
-            if bm is not None:
-                spec = ("page", int(bm.group(1)))
-                continue
-            spec = _dest_spec(_dict_of(db), b"D")
-            owner = val
-        raise ValueError(
-            "outline item %d destination chain exceeds 4 hops" % item_num
-        )
+        return resolve(spec, owner, ctx)
 
     out: list[tuple[int, str, int]] = []
     seen: set[int] = set()

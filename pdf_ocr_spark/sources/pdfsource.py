@@ -298,17 +298,40 @@ def write_pdf_corpus(
                         xmp_t = f"Document {doc_id}"
                 links = None
                 if not dct:
-                    # §12.5.6.5 link annotations: page i links out iff
-                    # (id + i) is even — URI derived from (id, i) so
-                    # the pdf_links oracle recomputes the exact rows
-                    links = [
-                        (
-                            [f"https://example.org/doc/{doc_id}/p{i}"]
-                            if (d + i) % 2 == 0
-                            else []
-                        )
-                        for i in range(len(images))
-                    ]
+                    # §12.5.6.5 link annotations, all residue-derived
+                    # from (id, i) so the pdf_links oracle recomputes
+                    # the exact row set in SQL:
+                    #   - (id+i)%2==0: outbound /URI action
+                    #   - (id+i)%3==0: intra-doc edge to page (i+1)%n —
+                    #     /A GoTo when (id+i) is even, the /Dest-key
+                    #     shape otherwise (§12.5.6.5 allows either;
+                    #     both resolve to the same row)
+                    #   - (id+i)%6==5: /GoToR remote edge to page
+                    #     (id+i)%4 of doc_((id*3+i)%1000).pdf
+                    # Named-outline docs additionally get a /GoTo on
+                    # page 0 whose /D NAMES the outline's last dest
+                    # (sec.(n-1) -> page n-1), folding link resolution
+                    # through the /Names /Dests tree pdf_outline built.
+                    n_imgs = len(images)
+                    links = []
+                    for i in range(n_imgs):
+                        items: list = []
+                        if (d + i) % 2 == 0:
+                            items.append(f"https://example.org/doc/{doc_id}/p{i}")
+                        if (d + i) % 3 == 0:
+                            t = (i + 1) % n_imgs
+                            items.append(
+                                ("goto", t) if (d + i) % 2 == 0 else ("dest", t)
+                            )
+                        if (d + i) % 6 == 5:
+                            items.append(
+                                (
+                                    "gotor",
+                                    f"doc_{(d * 3 + i) % 1000}.pdf",
+                                    (d + i) % 4,
+                                )
+                            )
+                        links.append(items)
                 rot, rot_inherit = 0, False
                 if not dct and d % ROTATE_RESIDUES == 15:
                     rot = (90, 180, 270)[(d // ROTATE_RESIDUES) % 3]
@@ -326,6 +349,13 @@ def write_pdf_corpus(
                             i,
                         )
                         for i in range(len(images))
+                    ]
+                if links is not None and toc is not None and toc_shape == "named":
+                    # named-dest link edge (see links comment above):
+                    # resolves through the same /Names /Dests tree the
+                    # named outline registers (sec.i -> page i)
+                    links[0] = links[0] + [
+                        ("goto_named", f"sec.{len(images) - 1}")
                     ]
                 fields = None
                 if not dct and d % FORM_RESIDUES == 16:
@@ -650,18 +680,23 @@ def read_pdf_info(spark: SparkSession, pdf_dir: str) -> DataFrame:
 
 
 def read_pdf_links(spark: SparkSession, pdf_dir: str) -> DataFrame:
-    """Outbound-link harvest over PDF corpora: §12.5.6.5 /Link
-    annotations with §12.6.4.7 /URI actions, exploded to one
-    (doc_id, page, uri) row each in document order — the PDF twin of
-    the HTML link extractor feeding the crawl frontier. Narrow Arrow
-    stage, no raster decode; malformed files contribute no rows."""
+    """Link-edge harvest over PDF corpora: §12.5.6.5 /Link annotations
+    exploded to one (doc_id, page, kind, uri, to_page) row each in
+    document order — kind 'uri' (§12.6.4.7 outbound actions, the PDF
+    twin of the HTML link extractor feeding the crawl frontier),
+    'goto' (§12.6.4.2 intra-document edges with the destination —
+    direct, indirect, or named via the /Names /Dests tree — resolved
+    to a target page index), and 'gotor' (§12.6.4.3 cross-document
+    edges: uri carries the remote file, to_page the remote page
+    number). Narrow Arrow stage, no raster decode; malformed files
+    contribute no rows."""
     bf = _binary_scan(spark, os.path.join(pdf_dir, "*.pdf"))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pdf_ocr_spark.sources.pdfcodec import pdf_links
 
         for pdf in batches:
-            ids, pg, uris = [], [], []
+            ids, pg, kinds, uris, tp = [], [], [], [], []
             for path, content in zip(pdf["path"], pdf["content"]):
                 m = _DOC_RE.search(path)
                 did = m.group(1) if m else path
@@ -669,14 +704,19 @@ def read_pdf_links(spark: SparkSession, pdf_dir: str) -> DataFrame:
                     found = pdf_links(bytes(content))
                 except ValueError:
                     continue
-                for page, uri in found:
+                for page, kind, uri, to_page in found:
                     ids.append(did)
                     pg.append(page)
+                    kinds.append(kind)
                     uris.append(uri)
-            yield pd.DataFrame({"doc_id": ids, "page": pg, "uri": uris})
+                    tp.append(to_page)
+            yield pd.DataFrame(
+                {"doc_id": ids, "page": pg, "kind": kinds, "uri": uris, "to_page": tp}
+            )
 
     return bf.select("path", "content").mapInPandas(
-        kernel, schema="doc_id string, page int, uri string"
+        kernel,
+        schema="doc_id string, page int, kind string, uri string, to_page int",
     )
 
 
@@ -835,7 +875,15 @@ def read_pdf_profiles(
                     rows["title"].append(pdf_info(data, password=pw).get("title"))
                 except ValueError:
                     rows["title"].append(None)
-                rows["n_links"].append(counted(pdf_links, data))
+                # the profile's n_links counts OUTBOUND (/URI) links —
+                # the frontier-feeding signal; intra-/cross-document
+                # goto/gotor edges are pdf_links' own harvest
+                try:
+                    rows["n_links"].append(
+                        sum(1 for r in pdf_links(data, password=pw) if r[1] == "uri")
+                    )
+                except ValueError:
+                    rows["n_links"].append(None)
                 rows["n_attachments"].append(counted(pdf_attachments, data))
                 rows["n_form_fields"].append(counted(pdf_form_fields, data))
                 rows["n_outline"].append(counted(pdf_outline, data))

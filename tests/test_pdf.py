@@ -329,8 +329,9 @@ def test_pdf_links_round_trip():
     img = np.zeros((60, 40), dtype=np.uint8)
     links = [["https://a.example/x", "https://b.example/y(z)"], [],
              ["https://c.example/p2"]]
-    want = [(0, "https://a.example/x"), (0, "https://b.example/y(z)"),
-            (2, "https://c.example/p2")]
+    want = [(0, "uri", "https://a.example/x", None),
+            (0, "uri", "https://b.example/y(z)", None),
+            (2, "uri", "https://c.example/p2", None)]
     for objstm in (False, True):
         data = encode_pdf(
             [img, img, img], compress=True, object_streams=objstm,
@@ -343,12 +344,66 @@ def test_pdf_links_round_trip():
             [img], compress=True, object_streams=True, encrypt=True,
             cipher=ciph, page_links=[["https://e.example/enc"]],
         )
-        assert pdf_links(data) == [(0, "https://e.example/enc")], ciph
+        assert pdf_links(data) == [(0, "uri", "https://e.example/enc", None)], ciph
     with pytest.raises(ValueError, match="ObjStm|object_streams"):
         encode_pdf([img], encrypt=True, page_links=[["u"]])
     assert pdf_links(encode_pdf([img])) == []
     data = encode_pdf([img], inline="flate", page_links=[["https://i.example/in"]])
-    assert pdf_links(data) == [(0, "https://i.example/in")]
+    assert pdf_links(data) == [(0, "uri", "https://i.example/in", None)]
+
+
+def test_pdf_link_edges_round_trip():
+    """Typed link edges: /GoTo actions (direct-array dests), the
+    /Dest-key annotation shape, /GoToR remote edges (page NUMBERS in
+    the remote dest), NAMED destinations resolved through the /Names
+    /Dests tree a named-shape outline registers, and mixed kinds on
+    one page — in both layouts and under encryption."""
+    from pdf_ocr_spark.sources.pdfcodec import pdf_links
+
+    img = np.zeros((60, 40), dtype=np.uint8)
+    links = [
+        ["https://a.example/x", ("goto", 2), ("gotor", "other.pdf", 7)],
+        [("dest", 0)],
+        [],
+    ]
+    want = [
+        (0, "uri", "https://a.example/x", None),
+        (0, "goto", None, 2),
+        (0, "gotor", "other.pdf", 7),
+        (1, "goto", None, 0),
+    ]
+    for objstm in (False, True):
+        data = encode_pdf(
+            [img, img, img], compress=True, object_streams=objstm,
+            page_links=links,
+        )
+        assert pdf_links(data) == want, objstm
+        assert len(decode_pdf(data)) == 3
+    for ciph in ("rc4", "aes", "aes256"):
+        data = encode_pdf(
+            [img, img, img], compress=True, object_streams=True,
+            encrypt=True, cipher=ciph, page_links=links,
+        )
+        assert pdf_links(data) == want, ciph
+    # named destination: the outline's /Names /Dests tree resolves the
+    # link's /D (sec.i -> page i)
+    toc = [(1, "One", 0), (1, "Two", 1), (1, "Three", 2)]
+    data = encode_pdf(
+        [img, img, img], compress=True, object_streams=True,
+        outlines=toc, outline_shape="named",
+        page_links=[[("goto_named", "sec.2")], [], []],
+    )
+    assert pdf_links(data) == [(0, "goto", None, 2)]
+    # an unknown name is skipped, not fatal (harvest stays total)
+    data = encode_pdf(
+        [img], compress=True, object_streams=True,
+        outlines=[(1, "One", 0)], outline_shape="named",
+        page_links=[[("goto_named", "sec.9"), "https://ok.example/"]],
+    )
+    assert pdf_links(data) == [(0, "uri", "https://ok.example/", None)]
+    # out-of-range targets are a typed writer error
+    with pytest.raises(ValueError, match="targets page"):
+        encode_pdf([img], page_links=[[("goto", 3)]])
 
 
 def test_page_rotate_round_trip():
@@ -525,7 +580,7 @@ def test_pdf_form_fields_round_trip():
     data = encode_pdf([img], form_fields=fields,
                       page_links=[["https://l.example/x"]])
     assert pdf_form_fields(data) == fields
-    assert pdf_links(data) == [(0, "https://l.example/x")]
+    assert pdf_links(data) == [(0, "uri", "https://l.example/x", None)]
     assert pdf_form_fields(encode_pdf([img])) == []
     # subset edges: hierarchical fields and non-text types
     flat = encode_pdf([img], form_fields=fields[:1])
