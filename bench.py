@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     # round 6
     "distinct_users_exact",
     "dedup_substring_hashed",
+    "document_curation_profile",
 ]
 
 # RUN order (above) keeps python-kernel queries first for timing
@@ -142,6 +143,7 @@ _EMIT_LAST = [
     "pdf_extract_text_jpx",
     "pdf_text_layer",
     "pdf_interleaved_spans",
+    "document_curation_profile",
     "flagship_extraction",
 ]
 

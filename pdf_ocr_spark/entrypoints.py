@@ -2431,6 +2431,100 @@ def q_pdf_document_profile(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_CURATION_TXT = f"""
+SELECT doc_id,
+       greatest(1, ceil(len(toks)/20.0))::BIGINT AS n_pages,
+       array_to_string(list_transform(range(greatest(1, ceil(len(toks)/20.0))::INT),
+           i -> upper(array_to_string(toks[i*20+1 : i*20+20], ' '))), {_NL2}) AS txt
+FROM (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents)
+"""
+
+
+@_register(
+    "document_curation_profile",
+    f"""
+WITH ext AS ({_CURATION_TXT}),
+scored AS (SELECT doc_id, n_pages, txt, """
+    + ", ".join(f"{sql_stop_hits('txt', lang)} AS s_{lang}" for lang in LANG_PRIORITY)
+    + f""" FROM ext)
+SELECT doc_id, n_pages, txt,
+       len({sql_tokens('txt')}) AS n_tokens,
+       round(CASE WHEN len({sql_tokens('txt')}) = 0 THEN 0.0
+             ELSE list_sum(list_transform({sql_tokens('txt')}, t -> len(t)))::DOUBLE
+                  / len({sql_tokens('txt')}) END, 6) AS avg_token_len,
+       round(coalesce(len(regexp_replace(txt, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+             / nullif(len(txt), 0), 0.0), 6) AS punct_ratio,
+       round(coalesce(len(regexp_replace(txt, '[^0-9]', '', 'g'))::DOUBLE
+             / nullif(len(txt), 0), 0.0), 6) AS digit_ratio,
+       len(regexp_extract_all(txt, '"""
+    + BPE_PATTERN.replace("'", "''")
+    + f"""')) AS n_bpe_tokens,
+       round(0.4 * least(len(txt)::DOUBLE / 200.0, 1.0)
+           + 0.3 * (1.0 - coalesce(len(regexp_replace(txt, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / nullif(len(txt), 0), 0.0))
+           + 0.3 * (CASE WHEN len({sql_tokens('txt')}) = 0 THEN 0.0
+                    ELSE s_en::DOUBLE / len({sql_tokens('lower(txt)')}) END),
+           6) AS quality,
+       {_sql_lang_case('txt')} AS lang_pred,
+       list_min(list_transform({sql_grams('txt')}, g -> md5(g))) AS fingerprint
+FROM scored
+""",
+)
+def q_document_curation_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """The FUSED curation-tier CONTENT pass — the pdf_document_profile
+    playbook applied to text signals: ONE binaryFile scan + ONE Arrow
+    extraction stage (parse + OCR fused, sources/pdfsource.py:901),
+    then every content signal a training-data pipeline gates on —
+    token stats, BPE token count, punctuation/digit ratios, quality
+    score, language id, document fingerprint — as JVM column
+    expressions over the extracted text. Zero joins, zero extra
+    scans: at 100 TB the curation pipeline is ONE pass over the raw
+    bytes, not six (the single-signal queries remain for single-
+    purpose jobs; BENCH.md round-6 records the measured fused-vs-
+    separate cost). The oracle recomputes the extraction text purely
+    in SQL (the pdf_extract_text reconstruction) and then every
+    signal formula on top, so one hash match cross-checks the whole
+    extraction+curation composition."""
+    from pdf_ocr_spark.operators.analysis import (
+        avg_token_len_col,
+        digit_ratio_col,
+        lang_id_col,
+        punct_ratio_col,
+        quality_score_col,
+        token_count_col,
+        tokens_col,
+        word_ngrams_from_tokens,
+    )
+    from pdf_ocr_spark.sources.pdfsource import extract_pdf_documents
+
+    d = _pdf_fixture_dir(spark, sf)
+    ext = extract_pdf_documents(spark, d).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_pages").cast("long").alias("n_pages"),
+        "txt",
+    )
+    t = F.col("txt")
+    # bind the token and gram arrays once: inline tokens expressions
+    # inside higher-order lambdas are re-evaluated per element
+    # (Catalyst does not CSE lambda bodies — measured 10-30x)
+    toked = ext.withColumn("_toks", tokens_col(F.lower(t)))
+    grams = toked.withColumn("_grams", word_ngrams_from_tokens(F.col("_toks"), 3))
+    return grams.select(
+        "doc_id",
+        "n_pages",
+        "txt",
+        token_count_col(t).alias("n_tokens"),
+        F.round(avg_token_len_col(t), 6).alias("avg_token_len"),
+        F.round(punct_ratio_col(t), 6).alias("punct_ratio"),
+        F.round(digit_ratio_col(t), 6).alias("digit_ratio"),
+        F.size(F.regexp_extract_all(t, F.lit(BPE_PATTERN), F.lit(0))).alias(
+            "n_bpe_tokens"
+        ),
+        quality_score_col(t).alias("quality"),
+        lang_id_col(t).alias("lang_pred"),
+        F.array_min(F.transform(F.col("_grams"), F.md5)).alias("fingerprint"),
+    )
+
+
 @_register(
     "link_graph_all",
     f"""
