@@ -119,6 +119,8 @@ BENCH_QUERIES = [
     "distinct_users_exact",
     "dedup_substring_hashed",
     "document_curation_profile",
+    "knn_hnsw_exact",
+    "knn_hnsw_topk",
 ]
 
 # RUN order (above) keeps python-kernel queries first for timing

@@ -1288,6 +1288,38 @@ def q_knn_ivf_exact(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_register("knn_hnsw_exact", _KNN_EXACT_SQL.format(cos=_sql_cosine("qv", "cv")))
+def q_knn_hnsw_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """The HNSW ANN operator at its degenerate-exact setting
+    (``ef_search >= shard size`` — every shard's beam admits its whole
+    shard, so each local search is exhaustive and the global merge is
+    exactly brute-force top-k). Pins the distributed-HNSW plumbing
+    (shard build, query broadcast fan-out, per-shard candidate emit,
+    JVM rescoring + window merge) under the driver's exact value-hash
+    check; the working-setting form (``knn_hnsw_topk``) stays
+    rows-only because graph recall is engine-defined. Same playbook
+    as ``knn_lsh_exact`` / ``knn_ivf_exact``."""
+    from pdf_ocr_spark.operators.similarity import hnsw_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    return hnsw_topk(
+        emb.where(F.col("vec_id") < 5), emb, k=3, ef_search=10**9, n_shards=8
+    )
+
+
+@_register("knn_hnsw_topk")
+def q_knn_hnsw(spark: SparkSession, sf: str) -> DataFrame:
+    """Sharded-HNSW ANN at working settings (rows-only like the
+    LSH/IVF variants: graph recall is engine-defined; the recall
+    floor vs brute force is pinned in tests/test_ann.py)."""
+    from pdf_ocr_spark.operators.similarity import hnsw_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    return hnsw_topk(
+        emb.where(F.col("vec_id") < 5), emb, k=3, ef_search=32, n_shards=4
+    )
+
+
 def _sql_dot_int(a: str, b: str) -> str:
     return f"list_sum([{a}[i] * {b}[i] for i in generate_series(1, len({a}))])"
 

@@ -540,3 +540,231 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "score")
     )
+
+
+# ---------------------------------------------------------------------------
+# HNSW (hierarchical navigable small world) — the graph-ANN variant
+# ---------------------------------------------------------------------------
+
+
+class HnswIndex:
+    """A compact, deterministic HNSW graph (Malkov & Yashunin 2016)
+    over L2-normalized vectors, similarity = dot product (= cosine).
+
+    Determinism: the level of node ``i`` derives from md5(seed:i)
+    (geometric with ratio 1/ln(m), the paper's mL), so builds are
+    run- and partition-stable — no RNG state, which matters for
+    Spark-task retries producing identical shard graphs. Neighbor
+    selection is plain top-M by similarity (the paper's simple
+    variant; the heuristic variant trades build cost for recall on
+    clustered data — the test embeddings are near-uniform).
+
+    ``search(q, k, ef)`` with ``ef >= len(index)`` is EXHAUSTIVE by
+    definition (the beam's candidate pool admits the entire corpus),
+    which is what makes the degenerate-exact oracle registration
+    (knn_hnsw_exact) possible; implementationally that case takes the
+    straight matmul shortcut — same contract, no graph walk."""
+
+    def __init__(self, X, m: int = 8, ef_construction: int = 64, seed: int = 7):
+        import math
+
+        import numpy as np
+
+        self.X = np.asarray(X, dtype="float64")
+        n = len(self.X)
+        self.m = m
+        self.efc = ef_construction
+        self.m0 = 2 * m  # layer-0 degree bound (the paper's Mmax0)
+        self.ml = 1.0 / math.log(m) if m > 1 else 1.0
+        self.levels = []
+        for i in range(n):
+            h = int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:8], 16)
+            u = (h + 1) / 4294967297.0  # (0, 1)
+            self.levels.append(int(-math.log(u) * self.ml))
+        # links[node] = list of neighbor-lists, one per level 0..levels[node]
+        self.links: list[list[list[int]]] = []
+        self.entry = -1
+        self.max_level = -1
+        for i in range(n):
+            self._insert(i)
+
+    def __len__(self) -> int:
+        return len(self.links)
+
+    def _sim(self, q, idx_list):
+        return self.X[idx_list] @ q
+
+    def _search_layer(self, q, eps: list[int], ef: int, level: int) -> list[tuple[float, int]]:
+        """Beam search on one layer: returns up to ``ef`` (sim, node)
+        pairs, best-first. Candidates expand best-first (max-heap by
+        similarity); the result set keeps the ef best seen."""
+        import heapq
+
+        visited = set(eps)
+        sims = {e: float(self.X[e] @ q) for e in eps}
+        cand = [(-sims[e], e) for e in eps]  # max-heap by sim
+        heapq.heapify(cand)
+        best = [(sims[e], e) for e in eps]  # min-heap of the ef best
+        heapq.heapify(best)
+        while cand:
+            negs, c = heapq.heappop(cand)
+            if -negs < best[0][0] and len(best) >= ef:
+                break
+            for nb in self.links[c][level]:
+                if nb in visited:
+                    continue
+                visited.add(nb)
+                s = float(self.X[nb] @ q)
+                if len(best) < ef or s > best[0][0]:
+                    heapq.heappush(cand, (-s, nb))
+                    heapq.heappush(best, (s, nb))
+                    if len(best) > ef:
+                        heapq.heappop(best)
+        return sorted(best, reverse=True)
+
+    def _insert(self, i: int) -> None:
+        level = self.levels[i]
+        self.links.append([[] for _ in range(level + 1)])
+        if self.entry < 0:
+            self.entry = i
+            self.max_level = level
+            return
+        q = self.X[i]
+        eps = [self.entry]
+        # greedy descent through layers above the node's level
+        for lv in range(self.max_level, level, -1):
+            eps = [self._search_layer(q, eps, 1, lv)[0][1]]
+        # beam + connect on each layer from min(level, max_level) down
+        for lv in range(min(level, self.max_level), -1, -1):
+            found = self._search_layer(q, eps, self.efc, lv)
+            deg = self.m0 if lv == 0 else self.m
+            nbrs = [node for _s, node in found[:deg]]
+            self.links[i][lv] = list(nbrs)
+            for nb in nbrs:
+                lk = self.links[nb][lv]
+                lk.append(i)
+                if len(lk) > deg:
+                    # prune to the deg most-similar (simple selection)
+                    sims = self._sim(self.X[nb], lk)
+                    order = sorted(range(len(lk)), key=lambda j: -sims[j])
+                    self.links[nb][lv] = [lk[j] for j in order[:deg]]
+            eps = [node for _s, node in found]
+        if level > self.max_level:
+            self.entry = i
+            self.max_level = level
+
+    def search(self, q, k: int, ef: int) -> list[tuple[float, int]]:
+        import numpy as np
+
+        q = np.asarray(q, dtype="float64")
+        nq = np.linalg.norm(q)
+        if nq > 0:
+            q = q / nq
+        n = len(self.links)
+        if n == 0:
+            return []
+        if ef >= n:
+            # degenerate-exact: the beam admits the whole corpus, so
+            # search IS an exhaustive scan — take the matmul shortcut
+            sims = self.X @ q
+            order = np.argsort(-sims)[: min(k, n)]
+            return [(float(sims[j]), int(j)) for j in order]
+        eps = [self.entry]
+        for lv in range(self.max_level, 0, -1):
+            eps = [self._search_layer(q, eps, 1, lv)[0][1]]
+        found = self._search_layer(q, eps, max(ef, k), 0)
+        return [(s, node) for s, node in found[:k]]
+
+
+def hnsw_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    m: int = 8,
+    ef_construction: int = 64,
+    ef_search: int = 32,
+    n_shards: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed HNSW top-k — the fourth ANN variant (brute force,
+    LSH, IVF being the others): the corpus is hash-sharded, each shard
+    builds a partition-LOCAL graph (build is embarrassingly parallel —
+    the only full-corpus shuffle is the sharding repartition, and a
+    bucketed/pre-partitioned corpus skips even that), the small query
+    batch broadcasts into every shard, each shard answers its local
+    top-(k+1) via the layered beam search, and a JVM window merges
+    k·n_shards candidate rows per query — a shuffle bounded by the
+    QUERY count, not the corpus. At 10^12 vectors each shard's graph
+    is memory-local to its executor and queries fan out exactly once.
+
+    Scores on the emitted candidates are recomputed JVM-side with the
+    module's summation-order-disciplined :func:`cosine_col`, so the
+    exact-oracle contract is identical to the LSH/IVF forms.
+    ``ef_search >= shard size`` makes every local search exhaustive
+    and therefore the merged result exactly the brute-force top-k
+    (knn_hnsw_exact pins that under the driver's value-hash oracle);
+    tests/test_ann.py pins recall at working settings."""
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    qrows = queries.select(id_col, vec_col).collect()  # query batch is small
+    if not qrows:
+        return queries.sparkSession.createDataFrame(
+            [], "query_id long, rank int, neighbor_id long, score double"
+        )
+    qids = [int(r[0]) for r in qrows]
+    qmat = np.array([list(r[1]) for r in qrows], dtype="float64")
+    qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-300)
+    bc = queries.sparkSession.sparkContext.broadcast((qids, qmat))
+
+    cbase = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    sharded = cbase.repartition(n_shards, "neighbor_id")
+    out_schema = StructType(
+        [StructField("query_id", LongType())] + list(cbase.schema.fields)
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        ids: list = []
+        vecs: list = []
+        for pdf in batches:
+            ids.extend(int(v) for v in pdf["neighbor_id"])
+            vecs.extend(list(v) for v in pdf["cvec"])
+        if not ids:
+            return
+        X = np.array(vecs, dtype="float64")
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+        index = HnswIndex(X, m=m, ef_construction=ef_construction)
+        q_ids, q_mat = bc.value
+        rows_q, rows_n, rows_v = [], [], []
+        for qi, qv in zip(q_ids, q_mat):
+            # k+8 local: +1 survives dropping the query's own row
+            # (self-match excluded downstream); the rest is slack so
+            # the JVM's round-to-6 rank (with id tie-break) can never
+            # disagree with the kernel's full-precision local cut —
+            # a flip would need 8 candidates inside one 1e-6 window
+            for _s, j in index.search(qv, k + 8, ef_search):
+                rows_q.append(qi)
+                rows_n.append(ids[j])
+                rows_v.append(vecs[j])
+        yield pd.DataFrame({"query_id": rows_q, "neighbor_id": rows_n, "cvec": rows_v})
+
+    cand = sharded.mapInPandas(kernel, schema=out_schema)
+    qbase = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    scored = (
+        cand.join(F.broadcast(qbase), "query_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_col(F.col("qvec"), F.col("cvec")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )
