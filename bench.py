@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "pdf_form_fields",
     "pdf_outline",
     "pdf_document_profile",
+    "stream_pdf_profiles",
     "pdf_extract_text",
     "pdf_extract_text_dct",
     "pdf_extract_text_jpx",
@@ -140,6 +141,7 @@ _EMIT_LAST = [
     "pdf_form_fields",
     "pdf_outline",
     "pdf_document_profile",
+    "stream_pdf_profiles",
     "pdf_extract_text",
     "pdf_extract_text_dct",
     "pdf_extract_text_jpx",

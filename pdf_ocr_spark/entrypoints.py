@@ -2463,6 +2463,41 @@ def q_pdf_document_profile(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_register(
+    "stream_pdf_profiles",
+    None,  # oracle assigned below: identical to pdf_document_profile's
+)
+def q_stream_pdf_profiles(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.5 streaming over REAL binary inputs, driver-visible: the
+    fused metadata-tier profile computed THROUGH the streaming engine
+    — binaryFile readStream over the PDF corpus, n micro-batches via
+    maxFilesPerTrigger, foreachBatch running the same Arrow kernel as
+    the batch scan with idempotent dynamic-partition-overwrite writes,
+    availableNow drain, sink read-back. The oracle is
+    pdf_document_profile's batch SQL: the profile is per-file, so no
+    document straddles a micro-batch and the union of batch outputs is
+    the batch answer (streaming/stream.py stream_pdf_profiles)."""
+    import tempfile
+
+    from pdf_ocr_spark.streaming.stream import stream_pdf_profiles
+
+    d = _pdf_fixture_dir(spark, sf)
+    workdir = tempfile.mkdtemp(prefix="stream_pdf_profiles_")
+    p = stream_pdf_profiles(spark, d, workdir)
+    return p.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_pages").cast("long").alias("n_pages"),
+        "title",
+        F.col("n_links").cast("long").alias("n_links"),
+        F.col("n_attachments").cast("long").alias("n_attachments"),
+        F.col("n_form_fields").cast("long").alias("n_form_fields"),
+        F.col("n_outline").cast("long").alias("n_outline"),
+    )
+
+
+ORACLES["stream_pdf_profiles"] = ORACLES["pdf_document_profile"]
+
+
 _CURATION_TXT = f"""
 SELECT doc_id,
        greatest(1, ceil(len(toks)/20.0))::BIGINT AS n_pages,

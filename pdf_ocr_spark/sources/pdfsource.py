@@ -838,6 +838,21 @@ def read_pdf_profiles(
     rather than dropping the row; a file the loader rejects yields a
     row of NULLs with doc_id set (error-as-row)."""
     bf = _binary_scan(spark, os.path.join(pdf_dir, "*.pdf"))
+    kernel, schema = profile_kernel(password)
+    return bf.select("path", "content").mapInPandas(kernel, schema=schema)
+
+
+PROFILE_SCHEMA = (
+    "doc_id string, n_pages int, title string, n_links int, "
+    "n_attachments int, n_form_fields int, n_outline int"
+)
+
+
+def profile_kernel(password: str = ""):
+    """The fused-profile Arrow kernel as a (kernel, schema) pair, shared
+    by the batch scan (:func:`read_pdf_profiles`) and the incremental
+    streaming harvest (streaming/stream.py stream_pdf_profiles) — one
+    definition, two execution modes."""
     pw = password.encode()
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -889,13 +904,7 @@ def read_pdf_profiles(
                 rows["n_outline"].append(counted(pdf_outline, data))
             yield pd.DataFrame(rows)
 
-    return bf.select("path", "content").mapInPandas(
-        kernel,
-        schema=(
-            "doc_id string, n_pages int, title string, n_links int, "
-            "n_attachments int, n_form_fields int, n_outline int"
-        ),
-    )
+    return kernel, PROFILE_SCHEMA
 
 
 def extract_pdf_documents(spark: SparkSession, pdf_dir: str, config=None) -> DataFrame:

@@ -510,3 +510,75 @@ def stream_reassemble_books(
     )
     q.awaitTermination()
     return spark.read.parquet(out_dir).select("book_id", "txt")
+
+
+def stream_pdf_profiles(
+    spark: SparkSession,
+    pdf_dir: str,
+    workdir: str,
+    n_batches: int = 4,
+    password: str = "",
+) -> DataFrame:
+    """The fused metadata-tier harvest as an INCREMENTAL job over real
+    binary PDFs, driver-checkable: a binaryFile readStream consumes
+    the corpus in ``n_batches`` micro-batches (maxFilesPerTrigger),
+    each batch runs the SAME Arrow profile kernel as the batch scan
+    (sources/pdfsource.py profile_kernel — one definition, two
+    execution modes) and lands in its own ``batch_id=<n>`` partition
+    via dynamic partition overwrite (at-least-once replay writes the
+    identical partition, so the sink is idempotent), availableNow
+    drains the backlog, and the sink parquet is read back as the
+    result. The profile is per-FILE, so no document can straddle a
+    micro-batch and the union of batch outputs IS the batch answer —
+    the exact-SQL oracle is pdf_document_profile's.
+
+    At scale this is the standing metadata-ingestion deployment: new
+    PDF drops are discovered by the file source, each trigger profiles
+    only the new files, and the checkpoint makes restarts resume
+    where discovery stopped."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pdf_ocr_spark.sources.pdfsource import profile_kernel
+
+    out_dir = os.path.join(workdir, "out")
+    ckpt = os.path.join(workdir, "ckpt")
+    n_files = len(glob.glob(os.path.join(pdf_dir, "*.pdf")))
+    per_trigger = max(1, -(-n_files // n_batches))  # ceil
+    kernel, schema = profile_kernel(password)
+
+    stream = (
+        spark.readStream.format("binaryFile")
+        # the streaming file source requires an explicit schema even
+        # for fixed-schema formats; this is binaryFile's, verbatim
+        .schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
+        .option("pathGlobFilter", "*.pdf")
+        .option("maxFilesPerTrigger", str(per_trigger))
+        .load(pdf_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            batch_df.select("path", "content")
+            .mapInPandas(kernel, schema=schema)
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).drop("batch_id")

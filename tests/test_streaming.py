@@ -119,3 +119,42 @@ def test_stream_reassemble_books_matches_batch(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "wd" / "out")).select("batch_id").distinct().collect()
     }
     assert len(batches) > 1  # the work really arrived in micro-batches
+
+
+def test_stream_pdf_profiles_matches_batch(spark, tmp_path):
+    """The second driver-visible streaming query, over REAL binary
+    inputs: the incremental binaryFile-stream profile harvest equals
+    the one-scan batch profile row-for-row, and the drain really was
+    incremental (several batch_id partitions)."""
+    import numpy as np
+
+    from pdf_ocr_spark.sources.pdfcodec import encode_pdf
+    from pdf_ocr_spark.sources.pdfsource import read_pdf_profiles
+    from pdf_ocr_spark.streaming.stream import stream_pdf_profiles
+
+    pdf_dir = tmp_path / "pdfs"
+    pdf_dir.mkdir()
+    img = np.zeros((40, 30), dtype=np.uint8)
+    for d in range(13):
+        links = [[f"https://s.example/{d}/{i}"] if (d + i) % 2 == 0 else [] for i in range(d % 3 + 1)]
+        blob = encode_pdf(
+            [img] * (d % 3 + 1),
+            compress=True,
+            object_streams=True,
+            info={"Title": f"Doc {d}"},
+            page_links=links,
+        )
+        (pdf_dir / f"doc_{d}.pdf").write_bytes(blob)
+    got = stream_pdf_profiles(spark, str(pdf_dir), str(tmp_path / "wd"), n_batches=4)
+    want = read_pdf_profiles(spark, str(pdf_dir))
+    key = lambda r: r["doc_id"]  # noqa: E731
+    g = sorted(map(tuple, got.collect()), key=lambda t: t[0])
+    w = sorted(map(tuple, want.collect()), key=lambda t: t[0])
+    assert g == w
+    assert len(g) == 13
+    batches = {
+        r["batch_id"]
+        for r in spark.read.parquet(str(tmp_path / "wd" / "out"))
+        .select("batch_id").distinct().collect()
+    }
+    assert len(batches) > 1  # the corpus really arrived in micro-batches
