@@ -2047,7 +2047,9 @@ def _text_pdf_fixture_dir(spark: SparkSession, sf: str) -> str:
         F.sum(F.crc32(F.concat_ws("\x00", "doc_id", "text"))).alias("ck"),
     ).first()
     # r5enc: 1-in-5 docs RC4-encrypted (protected born-digital shape)
-    fingerprint = f"{agg['n']}:{agg['ck']}:textlayer:r5enc"
+    # r6ttf: 1-in-11 docs use an embedded symbolic TrueType subset
+    # with no /ToUnicode and no /Encoding (decode via cmap+post)
+    fingerprint = f"{agg['n']}:{agg['ck']}:textlayer:r6ttf"
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker):
         with open(marker) as f:
@@ -3853,14 +3855,14 @@ _FORCE_WINDOW_UNTIL = {
     "pdf_extract_text": 5,
     # r5: DCT corpus gained AES-256 and ASCII85-chain variants too
     "pdf_extract_text_dct": 5,
-    # r5: text-layer corpus rotates font encodings (legacy / WinAnsi /
-    # Differences / Type0+ToUnicode) — a green row certifies the whole
-    # font-decode surface
-    "pdf_text_layer": 5,
     # r6: pdf_links extends to typed (kind, uri, to_page) edges — GoTo
     # (both destination shapes + named-dest resolution) and GoToR rows
     # join the /URI harvest; prior green rows certify the old schema
     "pdf_links": 6,
+    # r6: text-layer corpus overlays 1-in-11 embedded symbolic
+    # TrueType subsets (no /ToUnicode, no /Encoding) — a green row
+    # certifies the embedded-font cmap+post decode tier
+    "pdf_text_layer": 6,
 }
 
 

@@ -2833,7 +2833,9 @@ def _escape_pdf_string(s: bytes) -> bytes:
 _DIFF_REMAP = {c: 0x80 + i for i, c in enumerate("abcdefghijklmnopqrstuvwxyz")}
 
 
-def _encode_text_page(lines: list[str], encoding: str) -> tuple[bytes, str]:
+def _encode_text_page(
+    lines: list[str], encoding: str, ttf_remap: dict[str, int] | None = None
+) -> tuple[bytes, str]:
     """(content-stream body, required font flavor) for one page."""
     body = bytearray(b"BT /F1 12 Tf 14 TL 72 720 Td\n")
     for line in lines:
@@ -2848,6 +2850,11 @@ def _encode_text_page(lines: list[str], encoding: str) -> tuple[bytes, str]:
                 _DIFF_REMAP.get(ch, ord(ch) if ord(ch) < 128 else 0x3F)
                 for ch in line
             )
+        elif encoding == "ttf":
+            # symbolic-subset codes: document-level remap, no relation
+            # to any standard encoding — only the embedded program's
+            # cmap+post can decode these bytes
+            raw = bytes(ttf_remap[ch] for ch in line)
         else:  # legacy: UTF-8 bytes directly in the literal string
             raw = line.encode("utf-8")
         body += b"(" + _escape_pdf_string(raw) + b") Tj T*\n"
@@ -2905,8 +2912,20 @@ def encode_text_pdf(
     same decrypt path the raster corpus exercises."""
     if not pages:
         raise ValueError("a PDF needs at least one page")
-    if encoding not in ("legacy", "winansi", "differences", "cid"):
+    if encoding not in ("legacy", "winansi", "differences", "cid", "ttf"):
         raise ValueError("unknown text encoding %r" % encoding)
+    ttf_remap: dict[str, int] | None = None
+    if encoding == "ttf":
+        # document-level symbolic code assignment: sorted used chars
+        # get sequential codes from 0x20 (deliberately unrelated to
+        # their Unicode values — the hard no-/ToUnicode shape)
+        chars = sorted({ch for lines in pages for line in lines for ch in line})
+        if len(chars) > 0xE0:
+            raise ValueError(
+                "ttf subset encoding fits at most 224 distinct chars "
+                f"(got {len(chars)})"
+            )
+        ttf_remap = {ch: 0x20 + i for i, ch in enumerate(chars)}
     font_num = 3 + 3 * len(pages)
     objects: dict[int, bytes] = {}
     kids = []
@@ -2918,7 +2937,7 @@ def encode_text_pdf(
             f"/Resources << /Font << /F1 {font_num} 0 R >> >> "
             f"/Contents {content_num} 0 R >>"
         ).encode()
-        body, _ = _encode_text_page(lines, encoding)
+        body, _ = _encode_text_page(lines, encoding, ttf_remap)
         objects[content_num] = (
             b"<< /Length %d >>\nstream\n%s\nendstream" % (len(body), body)
         )
@@ -2957,6 +2976,31 @@ def encode_text_pdf(
             b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Helvetica "
             b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
             b"/Supplement 0 >> >>"
+        )
+    elif encoding == "ttf":
+        # the symbolic-subset shape: /TrueType font with NO /ToUnicode
+        # and NO /Encoding — only the embedded program (FontFile2's
+        # (3,0) cmap + post v2.0 names) decodes the codes (§9.6.6.4)
+        from pdf_ocr_spark.sources.pdffonts import build_subset_ttf
+
+        desc_num = font_num + 1
+        ff_num = font_num + 2
+        code_to_char = {c: ch for ch, c in (ttf_remap or {}).items()}
+        ttf = build_subset_ttf(code_to_char, symbolic=True)
+        objects[font_num] = (
+            b"<< /Type /Font /Subtype /TrueType /BaseFont /SUBSET+Glyphs "
+            b"/FirstChar 32 /LastChar %d /FontDescriptor %d 0 R >>"
+            % (31 + len(code_to_char), desc_num)
+        )
+        objects[desc_num] = (
+            b"<< /Type /FontDescriptor /FontName /SUBSET+Glyphs /Flags 4 "
+            b"/FontBBox [0 0 1000 1000] /ItalicAngle 0 /Ascent 800 "
+            b"/Descent -200 /CapHeight 700 /StemV 80 /FontFile2 %d 0 R >>"
+            % ff_num
+        )
+        objects[ff_num] = (
+            b"<< /Length %d /Length1 %d >>\nstream\n%s\nendstream"
+            % (len(ttf), len(ttf), ttf)
         )
     else:
         objects[font_num] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"

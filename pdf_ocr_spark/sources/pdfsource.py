@@ -1026,7 +1026,12 @@ def text_page_lines(text: str, words_per_page: int = WORDS_PER_PAGE, words_per_l
 #: every decode path — 0 legacy UTF-8, 1 /WinAnsiEncoding simple font,
 #: 2 /Differences with a-z remapped to high codes, 3 Type0/Identity-H
 #: CID with a /ToUnicode CMap. All four are content-transparent.
+#: Round 6 overlays ``id % TTF_RESIDUES == 6``: an embedded symbolic
+#: TrueType subset with NO /ToUnicode and NO /Encoding — the codes
+#: decode only through the FontFile2 program's (3,0) cmap + post
+#: names (§9.6.6.4), certifying the embedded-font decode tier.
 TEXT_ENCODINGS = ("legacy", "winansi", "differences", "cid")
+TTF_RESIDUES = 11
 
 
 def write_text_pdf_corpus(docs: DataFrame, out_dir: str) -> DataFrame:
@@ -1054,11 +1059,16 @@ def write_text_pdf_corpus(docs: DataFrame, out_dir: str) -> DataFrame:
                     d = 0
                 path = os.path.join(out_dir, f"doc_{doc_id}.pdf")
                 tmp = path + ".tmp"
+                enc_name = (
+                    "ttf"
+                    if d % TTF_RESIDUES == 6
+                    else TEXT_ENCODINGS[d % 4]
+                )
                 with open(tmp, "wb") as f:
                     f.write(
                         encode_text_pdf(
                             pages,
-                            encoding=TEXT_ENCODINGS[d % 4],
+                            encoding=enc_name,
                             encrypt=d % ENCRYPT_RESIDUES == 1,
                         )
                     )

@@ -184,3 +184,132 @@ def test_encrypted_text_layer_extracts():
         assert extract_text_layer(data) == [
             "hello encrypted world\nline two", "page deux",
         ], encoding
+
+
+# ---------------------------------------------------------------------------
+# round 6: embedded-program decoding (no /ToUnicode, no /Encoding)
+# ---------------------------------------------------------------------------
+
+
+def test_ttf_builder_round_trip_symbolic_and_unicode():
+    from pdf_ocr_spark.sources.pdffonts import build_subset_ttf, truetype_code_table
+
+    m = {c: ch for c, ch in enumerate("hello wrd! Äï42", start=0x20)}
+    for sym in (True, False):
+        ttf = build_subset_ttf(m, symbolic=sym)
+        got = truetype_code_table(ttf)
+        assert got is not None
+        assert {c: got.get(c) for c in m} == m, sym
+
+
+def test_cmap_format4_spec_shapes():
+    """Format-4 parsing handles idDelta wraparound and the
+    glyphIdArray (idRangeOffset) indexing path, not just our builder's
+    delta-only output."""
+    import struct
+
+    from pdf_ocr_spark.sources.pdffonts import parse_cmap_subtables
+
+    # one delta segment (0x41->gid 5, delta wraps mod 2^16) + one
+    # range-offset segment (0x61..0x62 via glyphIdArray) + terminal
+    segs = 3
+    ends = struct.pack(">3H", 0x41, 0x62, 0xFFFF)
+    starts = struct.pack(">3H", 0x41, 0x61, 0xFFFF)
+    deltas = struct.pack(">3H", (5 - 0x41) & 0xFFFF, 0, 1)
+    # idRangeOffset for seg 1 points 2 bytes past its own slot end
+    ranges = struct.pack(">3H", 0, 4, 0)
+    glyph_arr = struct.pack(">2H", 9, 10)
+    sub = struct.pack(">HHHHHHH", 4, 16 + 8 * segs + 4, 0, 2 * segs, 4, 1, 2)
+    sub += ends + b"\x00\x00" + starts + deltas + ranges + glyph_arr
+    cmap = struct.pack(">HH", 0, 1) + struct.pack(">HHI", 3, 1, 12) + sub
+    got = parse_cmap_subtables(cmap)[(3, 1)]
+    assert got == {0x41: 5, 0x61: 9, 0x62: 10}
+
+
+def test_type1_builtin_encoding():
+    from pdf_ocr_spark.sources.pdffonts import type1_code_table
+
+    pfb = (
+        b"%!PS-AdobeFont-1.0: Sub001\n"
+        b"/Encoding 256 array\n0 1 255 {1 index exch /.notdef put} for\n"
+        b"dup 65 /A put\ndup 97 /a put\ndup 32 /space put\n"
+        b"dup 200 /adieresis put\nreadonly def\n"
+        b"currentdict end\ncurrentfile eexec\n\x00\x01binary"
+    )
+    got = type1_code_table(pfb)
+    assert got is not None
+    assert got[65] == "A" and got[97] == "a" and got[32] == " " and got[200] == "ä"
+    assert type1_code_table(b"/Encoding StandardEncoding def")[0x41] == "A"
+
+
+def _tiny_cff(encoding_fmt: int) -> bytes:
+    """A handcrafted 3-glyph CFF: .notdef + 'A' + custom 'uni0042'
+    (SID 391 -> string index 0), charset format 0, encoding format 0
+    or 1 mapping codes 0x30/0x31."""
+    import struct
+
+    def index(items):
+        if not items:
+            return struct.pack(">H", 0)
+        offs = [1]
+        for it in items:
+            offs.append(offs[-1] + len(it))
+        return (
+            struct.pack(">HB", len(items), 1)
+            + bytes(offs)
+            + b"".join(items)
+        )
+
+    header = bytes([1, 0, 4, 1])
+    name_idx = index([b"Tiny"])
+    strings = index([b"uni0042"])
+    gsubrs = index([])
+    charstrings = index([b"\x0e", b"\x0e", b"\x0e"])  # 3 endchar stubs
+
+    # layout: header, name, top, string, gsubr, charset, encoding, cs
+    # build top dict last (needs offsets); sizes are stable because
+    # offsets are emitted as 5-byte (29) operands
+    def top_dict(charset_off, enc_off, cs_off):
+        def op29(v):
+            return b"\x1d" + struct.pack(">i", v)
+        return op29(charset_off) + b"\x0f" + op29(enc_off) + b"\x10" + op29(cs_off) + b"\x11"
+
+    probe = index([top_dict(0, 0, 0)])
+    base = len(header) + len(name_idx) + len(probe) + len(strings) + len(gsubrs)
+    charset = bytes([0]) + struct.pack(">HH", 34, 391)  # fmt 0: SIDs for gid1, gid2 ('A'=SID 34)
+    if encoding_fmt == 0:
+        encoding = bytes([0, 2, 0x30, 0x31])  # 2 codes -> gid 1, 2
+    else:
+        encoding = bytes([1, 1, 0x30, 1])  # 1 range: 0x30..0x31 -> gid 1..2
+    charset_off = base
+    enc_off = charset_off + len(charset)
+    cs_off = enc_off + len(encoding)
+    top_idx = index([top_dict(charset_off, enc_off, cs_off)])
+    assert len(top_idx) == len(probe)
+    return header + name_idx + top_idx + strings + gsubrs + charset + encoding + charstrings
+
+
+@pytest.mark.parametrize("fmt", [0, 1])
+def test_cff_code_table(fmt):
+    from pdf_ocr_spark.sources.pdffonts import cff_code_table
+
+    got = cff_code_table(_tiny_cff(fmt))
+    assert got is not None
+    assert got[0x30] == "A"      # SID 34 = 'A' standard string
+    assert got[0x31] == "B"      # custom string 'uni0042' via AGL
+
+
+def test_embedded_ttf_text_layer_end_to_end():
+    """encode_text_pdf(encoding='ttf') emits a no-/ToUnicode symbolic
+    subset; extract_text_layer must decode it via the embedded program
+    only, plain and encrypted, and the plaintext must NOT be readable
+    from the raw bytes (proving the codes are really opaque)."""
+    from pdf_ocr_spark.sources.pdfcodec import encode_text_pdf, extract_text_layer
+
+    pages = [["embedded symbolic glyphs", "page one line two"], ["page two"]]
+    for enc in (False, True):
+        data = encode_text_pdf(pages, encoding="ttf", encrypt=enc)
+        assert b"/ToUnicode" not in data and b"/Encoding" not in data
+        assert b"embedded" not in data
+        got = extract_text_layer(data)
+        assert got == ["embedded symbolic glyphs\npage one line two", "page two"]
