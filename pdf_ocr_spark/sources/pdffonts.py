@@ -71,6 +71,11 @@ AGL: dict[str, str] = {
     "Eth": "Ð", "eth": "ð", "Scaron": "Š",
     "scaron": "š", "Zcaron": "Ž", "zcaron": "ž",
     "Ydieresis": "Ÿ",
+    # TeX/dvips extension names (Poppler carries these in its
+    # nameToUnicode table; evidenced in the wild by CMSY10 subsets —
+    # /usr/share/doc libtasn1.pdf /CharSet (/bullet/circlecopyrt))
+    "circlecopyrt": "©", "suppress": "", "dotlessj": "ȷ",
+    "visiblespace": "␣", "tieaccent": "⁀",
 }
 # ASCII letters name themselves; accented latin via systematic names
 for _c in "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ":
