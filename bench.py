@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "pdf_page_count",
     "pdf_metadata",
     "pdf_links",
+    "pdf_link_graph",
     "pdf_attachments",
     "pdf_form_fields",
     "pdf_outline",
@@ -137,6 +138,7 @@ _EMIT_LAST = [
     "pdf_page_count",
     "pdf_metadata",
     "pdf_links",
+    "pdf_link_graph",
     "pdf_attachments",
     "pdf_form_fields",
     "pdf_outline",

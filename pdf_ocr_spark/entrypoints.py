@@ -2466,6 +2466,60 @@ def q_pdf_document_profile(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "pdf_link_graph",
+    f"""
+WITH pages AS (
+  SELECT doc_id,
+         greatest(1, ceil(len({sql_tokens('text')}) / 20.0))::INT AS n
+  FROM documents
+)
+, exploded AS (SELECT doc_id, n, unnest(range(n)) AS i FROM pages)
+, edges AS (
+  SELECT doc_id, 'uri' AS kind, NULL::BIGINT AS to_page FROM exploded
+  WHERE (doc_id + i) % 2 = 0
+  UNION ALL
+  SELECT doc_id, 'goto', ((i + 1) % n)::BIGINT FROM exploded
+  WHERE (doc_id + i) % 3 = 0
+  UNION ALL
+  SELECT doc_id, 'gotor', ((doc_id + i) % 4)::BIGINT FROM exploded
+  WHERE (doc_id + i) % 6 = 5
+  UNION ALL
+  SELECT doc_id, 'goto', (n - 1)::BIGINT FROM pages
+  WHERE doc_id % 53 = 17 AND (doc_id // 53) % 2 = 1 AND doc_id % 5 != 1
+)
+SELECT doc_id,
+       sum(CASE WHEN kind = 'uri' THEN 1 ELSE 0 END)::BIGINT AS n_outbound,
+       sum(CASE WHEN kind = 'goto' THEN 1 ELSE 0 END)::BIGINT AS n_internal,
+       sum(CASE WHEN kind = 'gotor' THEN 1 ELSE 0 END)::BIGINT AS n_remote,
+       count(DISTINCT CASE WHEN kind = 'goto' THEN to_page END)::BIGINT
+         AS n_target_pages
+FROM edges GROUP BY doc_id
+""",
+)
+def q_pdf_link_graph(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document link-graph rollup over the typed edge harvest —
+    the navigational-complexity signal a document-understanding
+    pipeline computes from pdf_links' output (outbound / internal /
+    remote edge counts + distinct internal targets). One narrow Arrow
+    harvest + one doc-keyed aggregation with map-side partials; at
+    100 TB the shuffle is doc-cardinality bound and the edges never
+    leave their file's partition before the partial agg. Wild
+    evidence for the edge kinds: 77 real GoTo edges in the two
+    third-party pdfTeX files (COVERAGE.md interop sweep)."""
+    from pdf_ocr_spark.sources.pdfsource import read_pdf_links
+
+    e = read_pdf_links(spark, _pdf_fixture_dir(spark, sf))
+    return e.groupBy(F.col("doc_id").cast("long").alias("doc_id")).agg(
+        F.sum((F.col("kind") == "uri").cast("long")).alias("n_outbound"),
+        F.sum((F.col("kind") == "goto").cast("long")).alias("n_internal"),
+        F.sum((F.col("kind") == "gotor").cast("long")).alias("n_remote"),
+        F.countDistinct(
+            F.when(F.col("kind") == "goto", F.col("to_page")).cast("long")
+        ).alias("n_target_pages"),
+    )
+
+
+@_register(
     "stream_pdf_profiles",
     None,  # oracle assigned below: identical to pdf_document_profile's
 )
