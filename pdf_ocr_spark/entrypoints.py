@@ -2047,9 +2047,10 @@ def _text_pdf_fixture_dir(spark: SparkSession, sf: str) -> str:
         F.sum(F.crc32(F.concat_ws("\x00", "doc_id", "text"))).alias("ck"),
     ).first()
     # r5enc: 1-in-5 docs RC4-encrypted (protected born-digital shape)
-    # r6ttf: 1-in-11 docs use an embedded symbolic TrueType subset
-    # with no /ToUnicode and no /Encoding (decode via cmap+post)
-    fingerprint = f"{agg['n']}:{agg['ck']}:textlayer:r6ttf"
+    # r6t1: 1-in-11 docs use an embedded subset font with no
+    # /ToUnicode and no /Encoding, alternating symbolic TrueType
+    # (cmap+post) and Type1 (cleartext builtin encoding)
+    fingerprint = f"{agg['n']}:{agg['ck']}:textlayer:r6t1"
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker):
         with open(marker) as f:

@@ -2850,10 +2850,10 @@ def _encode_text_page(
                 _DIFF_REMAP.get(ch, ord(ch) if ord(ch) < 128 else 0x3F)
                 for ch in line
             )
-        elif encoding == "ttf":
+        elif encoding in ("ttf", "type1"):
             # symbolic-subset codes: document-level remap, no relation
-            # to any standard encoding — only the embedded program's
-            # cmap+post can decode these bytes
+            # to any standard encoding — only the embedded program
+            # (TrueType cmap+post / Type1 builtin encoding) can decode
             raw = bytes(ttf_remap[ch] for ch in line)
         else:  # legacy: UTF-8 bytes directly in the literal string
             raw = line.encode("utf-8")
@@ -2912,10 +2912,10 @@ def encode_text_pdf(
     same decrypt path the raster corpus exercises."""
     if not pages:
         raise ValueError("a PDF needs at least one page")
-    if encoding not in ("legacy", "winansi", "differences", "cid", "ttf"):
+    if encoding not in ("legacy", "winansi", "differences", "cid", "ttf", "type1"):
         raise ValueError("unknown text encoding %r" % encoding)
     ttf_remap: dict[str, int] | None = None
-    if encoding == "ttf":
+    if encoding in ("ttf", "type1"):
         # document-level symbolic code assignment: sorted used chars
         # get sequential codes from 0x20 (deliberately unrelated to
         # their Unicode values — the hard no-/ToUnicode shape)
@@ -3001,6 +3001,44 @@ def encode_text_pdf(
         objects[ff_num] = (
             b"<< /Length %d /Length1 %d >>\nstream\n%s\nendstream"
             % (len(ttf), len(ttf), ttf)
+        )
+    elif encoding == "type1":
+        # the pdfTeX CM-font shape: /Type1 with NO /ToUnicode and NO
+        # /Encoding — codes decode only through the embedded program's
+        # builtin encoding vector (cleartext `dup N /name put`), the
+        # path libtasn1.pdf's CMSY10 subset exercises in the wild
+        desc_num = font_num + 1
+        ff_num = font_num + 2
+        enc_lines = "".join(
+            "dup %d /uni%04X put\n" % (c, ord(ch))
+            for ch, c in sorted((ttf_remap or {}).items(), key=lambda kv: kv[1])
+        )
+        clear = (
+            "%!PS-AdobeFont-1.0: SubsetT1 001.000\n"
+            "/FontName /SUBSET+T1 def\n"
+            "/Encoding 256 array\n"
+            "0 1 255 {1 index exch /.notdef put} for\n"
+            + enc_lines
+            + "readonly def\ncurrentdict end\ncurrentfile eexec\n"
+        ).encode("ascii")
+        binary = b"\x00" * 32  # charstring section stub (extraction
+        # never rasterizes; /Length2 just frames it)
+        prog = clear + binary + b"0" * 512 + b"\ncleartomark\n"
+        objects[font_num] = (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /SUBSET+T1 "
+            b"/FirstChar 32 /LastChar %d /FontDescriptor %d 0 R >>"
+            % (31 + len(ttf_remap or {}), desc_num)
+        )
+        objects[desc_num] = (
+            b"<< /Type /FontDescriptor /FontName /SUBSET+T1 /Flags 4 "
+            b"/FontBBox [0 0 1000 1000] /ItalicAngle 0 /Ascent 800 "
+            b"/Descent -200 /CapHeight 700 /StemV 80 /FontFile %d 0 R >>"
+            % ff_num
+        )
+        objects[ff_num] = (
+            b"<< /Length %d /Length1 %d /Length2 %d /Length3 532 >>"
+            b"\nstream\n%s\nendstream"
+            % (len(prog), len(clear), len(binary), prog)
         )
     else:
         objects[font_num] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"

@@ -1026,10 +1026,12 @@ def text_page_lines(text: str, words_per_page: int = WORDS_PER_PAGE, words_per_l
 #: every decode path — 0 legacy UTF-8, 1 /WinAnsiEncoding simple font,
 #: 2 /Differences with a-z remapped to high codes, 3 Type0/Identity-H
 #: CID with a /ToUnicode CMap. All four are content-transparent.
-#: Round 6 overlays ``id % TTF_RESIDUES == 6``: an embedded symbolic
-#: TrueType subset with NO /ToUnicode and NO /Encoding — the codes
-#: decode only through the FontFile2 program's (3,0) cmap + post
-#: names (§9.6.6.4), certifying the embedded-font decode tier.
+#: Round 6 overlays ``id % TTF_RESIDUES == 6``: an embedded font with
+#: NO /ToUnicode and NO /Encoding — alternating (by ``id // 11``) a
+#: symbolic TrueType subset (FontFile2: (3,0) cmap + post names,
+#: §9.6.6.4) and a Type1 subset (FontFile: cleartext builtin encoding
+#: vector, the pdfTeX CM shape) — certifying both embedded decode
+#: tiers under the driver's exact oracle.
 TEXT_ENCODINGS = ("legacy", "winansi", "differences", "cid")
 TTF_RESIDUES = 11
 
@@ -1059,11 +1061,10 @@ def write_text_pdf_corpus(docs: DataFrame, out_dir: str) -> DataFrame:
                     d = 0
                 path = os.path.join(out_dir, f"doc_{doc_id}.pdf")
                 tmp = path + ".tmp"
-                enc_name = (
-                    "ttf"
-                    if d % TTF_RESIDUES == 6
-                    else TEXT_ENCODINGS[d % 4]
-                )
+                if d % TTF_RESIDUES == 6:
+                    enc_name = "ttf" if (d // TTF_RESIDUES) % 2 == 0 else "type1"
+                else:
+                    enc_name = TEXT_ENCODINGS[d % 4]
                 with open(tmp, "wb") as f:
                     f.write(
                         encode_text_pdf(

@@ -313,3 +313,17 @@ def test_embedded_ttf_text_layer_end_to_end():
         assert b"embedded" not in data
         got = extract_text_layer(data)
         assert got == ["embedded symbolic glyphs\npage one line two", "page two"]
+
+
+def test_embedded_type1_text_layer_end_to_end():
+    """encode_text_pdf(encoding='type1') emits the pdfTeX CM shape —
+    a Type1 subset with no /ToUnicode and no /Encoding whose cleartext
+    builtin encoding vector is the only decode evidence."""
+    from pdf_ocr_spark.sources.pdfcodec import encode_text_pdf, extract_text_layer
+
+    pages = [["builtin vector decode", "line 2"], ["page two"]]
+    for enc in (False, True):
+        data = encode_text_pdf(pages, encoding="type1", encrypt=enc)
+        assert b"/ToUnicode" not in data and b"/Encoding /" not in data
+        got = extract_text_layer(data)
+        assert got == ["builtin vector decode\nline 2", "page two"]
