@@ -2019,6 +2019,10 @@ def _pdf_fixture_dir(
             if f.read().strip() == fingerprint:
                 return out
         shutil.rmtree(out, ignore_errors=True)
+    # spread generation across the executor pool: each PDF writes to
+    # its own file so partitioning never changes content (the small
+    # source parquet otherwise yields 1-2 splits and serial rendering)
+    docs = docs.repartition(32)
     n_written = write_pdf_corpus(docs, out, dct=dct, jpx=jpx).count()
     assert n_written == agg["n"], (n_written, agg["n"])
     tmp = marker + ".tmp"
@@ -2057,7 +2061,7 @@ def _text_pdf_fixture_dir(spark: SparkSession, sf: str) -> str:
             if f.read().strip() == fingerprint:
                 return out
         shutil.rmtree(out, ignore_errors=True)
-    n_written = write_text_pdf_corpus(docs, out).count()
+    n_written = write_text_pdf_corpus(docs.repartition(32), out).count()
     assert n_written == agg["n"], (n_written, agg["n"])
     tmp = marker + ".tmp"
     with open(tmp, "w") as f:
