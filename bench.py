@@ -123,6 +123,9 @@ BENCH_QUERIES = [
     "document_curation_profile",
     "knn_hnsw_exact",
     "knn_hnsw_topk",
+    "stratified_sample",
+    "sequence_packing",
+    "bm25_topk",
 ]
 
 # RUN order (above) keeps python-kernel queries first for timing

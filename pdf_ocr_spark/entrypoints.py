@@ -914,6 +914,201 @@ def q_sample(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "stratified_sample",
+    """
+SELECT event_type, count(*) AS n_sampled,
+       sum(CASE WHEN value > 50 THEN 1 ELSE 0 END)::BIGINT AS n_high
+FROM events
+WHERE substr(md5(event_type || ':' || event_id::VARCHAR), 1, 1)
+      IN ('0', '1', '2', '3')
+GROUP BY event_type
+""",
+)
+def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Stratified deterministic sampling — the corpus-mixture primitive
+    a training pipeline uses to hit per-source quotas: a ~25% hash
+    threshold evaluated per (stratum, id) so every stratum is sampled
+    independently, reproducibly, and engine-portably (no rand()). Pure
+    map-side filter + one stratum-keyed agg; at 100 TB the filter
+    prunes in the scan stage and only survivors shuffle."""
+    e = load_table(spark, sf, "events")
+    key = F.md5(F.concat(F.col("event_type"), F.lit(":"), F.col("event_id").cast("string")))
+    return (
+        e.where(F.substring(key, 1, 1).isin("0", "1", "2", "3"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum((F.col("value") > 50).cast("long")).alias("n_high"),
+        )
+    )
+
+
+@_register(
+    "sequence_packing",
+    """
+WITH toks AS (
+  SELECT doc_id, doc_id % 8 AS bucket,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+  FROM documents WHERE trim(text) != ''
+),
+packed AS (
+  SELECT doc_id, bucket, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM toks
+)
+SELECT bucket, ((cum - n_tokens) // 512)::BIGINT AS seq_id,
+       count(*) AS n_docs, sum(n_tokens)::BIGINT AS n_tokens,
+       min(doc_id) AS first_doc
+FROM packed GROUP BY bucket, seq_id
+""",
+)
+def q_sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence packing — the concatenate-then-chunk batching step of
+    LLM training-data pipelines (documents concatenated in a stable
+    order, split into fixed-token-budget sequences; a document starts
+    in the sequence where its first token lands). The global sort a
+    naive packer needs is replaced by HASH-BUCKETED packing — the form
+    real pipelines use: pack within each of B buckets independently,
+    so the plan is one bucket-partitioned window (running token sum)
+    plus one (bucket, seq_id) aggregation — every stage keyed, nothing
+    global, B × sequence parallelism at any corpus size."""
+    d = load_table(spark, sf, "documents")
+    toks = d.where(F.trim(F.col("text")) != "").select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("bucket"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn("cum", F.sum("n_tokens").over(w))
+    return (
+        packed.withColumn(
+            "seq_id", ((F.col("cum") - F.col("n_tokens")) / 512).cast("long")
+        )
+        .groupBy("bucket", "seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
+_BM25_TERMS = ("window", "government", "music")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _bm25_sql() -> str:
+    per_term = []
+    for t in _BM25_TERMS:
+        per_term.append(
+            f"""
+stat_{t} AS (
+  SELECT count(*) AS df FROM toks
+  WHERE list_contains(tok_list, '{t}')
+),
+tf_{t} AS (
+  SELECT doc_id,
+         len(list_filter(tok_list, x -> x = '{t}'))::DOUBLE AS tf
+  FROM toks
+)"""
+        )
+    score_terms = " + ".join(
+        f"""(CASE WHEN tf_{t}.tf > 0 THEN
+  ln(1 + (n.n_docs - stat_{t}.df + 0.5) / (stat_{t}.df + 0.5))
+  * tf_{t}.tf * ({_BM25_K1} + 1)
+  / (tf_{t}.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * toks.dl / n.avgdl))
+ELSE 0 END)"""
+        for t in _BM25_TERMS
+    )
+    joins = " ".join(
+        f"JOIN tf_{t} ON tf_{t}.doc_id = toks.doc_id CROSS JOIN stat_{t}"
+        for t in _BM25_TERMS
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tok_list,
+         len(string_split_regex(trim(lower(text)), '\\s+'))::DOUBLE AS dl
+  FROM documents WHERE trim(text) != ''
+),
+n AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM toks),
+{",".join(per_term)},
+scored AS (
+  SELECT toks.doc_id, round({score_terms}, 6) AS score
+  FROM toks CROSS JOIN n {joins}
+)
+SELECT doc_id, score,
+       row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+FROM scored WHERE score > 0
+QUALIFY rank <= 20
+"""
+
+
+@_register("bm25_topk", _bm25_sql())
+def q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 ranking for a fixed query over the corpus — the classic
+    distributed-IR scoring pass (Robertson/Spärck Jones; k1=1.2,
+    b=0.75). Plan shape: ONE scan computes per-doc token arrays; the
+    per-term document frequencies and the corpus (N, avgdl) are tiny
+    aggregates broadcast back; scoring is a pure JVM projection; the
+    only corpus-scale movement is the final top-k (rank <= 20) — at
+    100 TB this is a map-side-scored scan plus a k-row-per-partition
+    TakeOrdered, never a corpus shuffle. Exact oracle: identical BM25
+    arithmetic in SQL, rounded at 6."""
+    d = load_table(spark, sf, "documents")
+    toks = d.where(F.trim(F.col("text")) != "").select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("tok_list")
+    )
+    toks = toks.withColumn("dl", F.size("tok_list").cast("double"))
+    # bind once: the three tf columns (closure factory, NOT a default
+    # arg — `lambda x, t=t:` silently becomes Spark's 2-arg
+    # (element, index) lambda form)
+    def _tf_matcher(term: str):
+        return lambda x: x == F.lit(term)
+
+    for t in _BM25_TERMS:
+        toks = toks.withColumn(
+            f"tf_{t}", F.size(F.filter("tok_list", _tf_matcher(t))).cast("double")
+        )
+    stats = toks.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("double")).alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    joined = toks.crossJoin(F.broadcast(stats))
+    score = None
+    for t in _BM25_TERMS:
+        idf = F.log(
+            1 + (F.col("n_docs") - F.col(f"df_{t}") + 0.5) / (F.col(f"df_{t}") + 0.5)
+        )
+        tf = F.col(f"tf_{t}")
+        part = F.when(
+            tf > 0,
+            idf
+            * tf
+            * (_BM25_K1 + 1)
+            / (tf + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))),
+        ).otherwise(F.lit(0.0))
+        score = part if score is None else score + part
+    scored = joined.select("doc_id", F.round(score, 6).alias("score")).where(
+        F.col("score") > 0
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 20)
+        .select("doc_id", "score", "rank")
+    )
+
+
+@_register(
     "range_join_quantity_buckets",
     """
 WITH ranges AS (SELECT i AS bucket, i * 5.0 AS lo, (i + 1) * 5.0 AS hi
