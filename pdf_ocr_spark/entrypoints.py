@@ -1100,11 +1100,13 @@ def q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     scored = joined.select("doc_id", F.round(score, 6).alias("score")).where(
         F.col("score") > 0
     )
+    # distributed top-k: orderBy+limit plans TakeOrderedAndProject
+    # (k rows per partition, merged on the driver) — a global
+    # row_number window here would sort every match in ONE task
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(20)
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 20)
-        .select("doc_id", "score", "rank")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "score", "rank"
     )
 
 
