@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "stratified_sample",
     "sequence_packing",
     "bm25_topk",
+    "stream_dedup_exact",
 ]
 
 # RUN order (above) keeps python-kernel queries first for timing

@@ -1163,6 +1163,35 @@ def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "stream_dedup_exact",
+    f"""
+WITH {CORPUS_CTE.strip()}
+SELECT md5({_NORM_SQL}) AS text_hash,
+       count(*) AS n_copies, min(id) AS keeper_id
+FROM corpus GROUP BY 1 HAVING count(*) > 1
+""",
+)
+def q_stream_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.5 streaming, third driver-visible row: exact dedup computed
+    THROUGH the streaming engine — the corpus staged hash-bucketed by
+    normalized-text hash (no duplicate group straddles a micro-batch),
+    one file per trigger, foreachBatch running the SAME
+    exact_dedup_groups operator, idempotent partition-overwrite,
+    availableNow drain, sink read-back. The oracle is dedup_exact's
+    batch SQL: the union of per-batch groupBys equals the global
+    groupBy by the bucketing invariant (streaming/stream.py
+    stream_dedup_exact)."""
+    import tempfile
+
+    from pdf_ocr_spark.streaming.stream import stream_dedup_exact
+
+    workdir = tempfile.mkdtemp(prefix="stream_dedup_")
+    return stream_dedup_exact(
+        spark, _corpus_df(spark, sf), workdir, text_col="text", id_col="id"
+    )
+
+
+@_register(
     "dedup_ngram_jaccard",
     f"""
 WITH {CORPUS_CTE.strip()},

@@ -582,3 +582,71 @@ def stream_pdf_profiles(
     )
     q.awaitTermination()
     return spark.read.parquet(out_dir).drop("batch_id")
+
+
+def stream_dedup_exact(
+    spark: SparkSession,
+    corpus: DataFrame,
+    workdir: str,
+    n_batches: int = 4,
+    text_col: str = "text",
+    id_col: str = "id",
+) -> DataFrame:
+    """Exact-duplicate detection as an INCREMENTAL job — the third
+    driver-checkable streaming query (the stream_reassemble_books
+    playbook applied to dedup): the corpus is staged HASH-BUCKETED BY
+    NORMALIZED-TEXT HASH into ``n_batches`` files, so every duplicate
+    group lands wholly inside one file; the file-source stream consumes
+    one file per trigger, each micro-batch runs the SAME
+    exact_dedup_groups operator as the batch query, results land in
+    idempotent ``batch_id=<n>`` partitions (dynamic overwrite),
+    availableNow drains, and the sink reads back as the result. Because
+    no hash group straddles a batch, the union of per-batch groupBys IS
+    the global groupBy — the oracle is dedup_exact's batch SQL.
+
+    At scale this is how incremental dedup deploys: the upstream
+    writer buckets arriving documents by content hash (the same key
+    the dedup groups on), so each trigger's group counts are final and
+    append exactly once."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pdf_ocr_spark.operators.dedup import exact_dedup_groups, norm_text_col
+
+    in_dir = os.path.join(workdir, "input")
+    out_dir = os.path.join(workdir, "out")
+    ckpt = os.path.join(workdir, "ckpt")
+    bucket = F.pmod(
+        F.xxhash64(F.md5(norm_text_col(F.col(text_col)))), F.lit(n_batches)
+    )
+    (
+        corpus.repartition(n_batches, bucket)
+        .write.mode("overwrite")
+        .parquet(in_dir)
+    )
+
+    stream = spark.readStream.schema(corpus.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(in_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            exact_dedup_groups(batch_df, text_col=text_col, id_col=id_col)
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select("text_hash", "n_copies", "keeper_id")

@@ -158,3 +158,25 @@ def test_stream_pdf_profiles_matches_batch(spark, tmp_path):
         .select("batch_id").distinct().collect()
     }
     assert len(batches) > 1  # the corpus really arrived in micro-batches
+
+
+def test_stream_dedup_exact_matches_batch(spark, tmp_path):
+    """The third driver-visible streaming query: per-micro-batch exact
+    dedup over hash-bucketed files equals the global batch dedup, and
+    the drain really was incremental."""
+    from pdf_ocr_spark.operators.dedup import exact_dedup_groups
+    from pdf_ocr_spark.streaming.stream import stream_dedup_exact
+
+    rows = [(i, f"doc {i % 7} body text") for i in range(40)]  # 7 groups
+    corpus = spark.createDataFrame(rows, "id long, text string")
+    got = stream_dedup_exact(spark, corpus, str(tmp_path / "wd"), n_batches=4, id_col="id")
+    want = exact_dedup_groups(corpus, text_col="text", id_col="id")
+    g = sorted(map(tuple, got.collect()))
+    w = sorted(map(tuple, want.collect()))
+    assert g == w and len(g) == 7
+    batches = {
+        r["batch_id"]
+        for r in spark.read.parquet(str(tmp_path / "wd" / "out"))
+        .select("batch_id").distinct().collect()
+    }
+    assert len(batches) > 1
