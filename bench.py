@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "sequence_packing",
     "bm25_topk",
     "stream_dedup_exact",
+    "lm_bigram_familiarity",
 ]
 
 # RUN order (above) keeps python-kernel queries first for timing

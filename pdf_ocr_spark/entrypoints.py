@@ -914,6 +914,80 @@ def q_sample(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "lm_bigram_familiarity",
+    """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents WHERE trim(text) != ''
+),
+bigrams AS (
+  -- 4100-start cap: generate_series needs a constant bound; the
+  -- corpus guard (dedup_substring's assert) holds docs <= 4015
+  -- tokens, so starts <= 4014 and the cap never truncates
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+  FROM toks, generate_series(1, 4100) AS g(i)
+  WHERE i + 1 <= len(t)
+),
+model AS (
+  SELECT bg, count(*) AS c FROM bigrams WHERE doc_id % 2 = 0 GROUP BY bg
+)
+SELECT b.doc_id,
+       count(*)::BIGINT AS n_bigrams,
+       sum(CASE WHEN m.c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+       round(sum(coalesce(m.c, 0))::DOUBLE / count(*), 6) AS familiarity
+FROM bigrams b LEFT JOIN model m ON b.bg = m.bg
+GROUP BY b.doc_id
+""",
+)
+def q_lm_bigram_familiarity(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-based language-model quality proxy — the CCNet-style
+    "does this text look like the reference corpus" filter, in the
+    float-portable form: a bigram count model is trained on the
+    reference slice (even doc_ids), every document is scored by its
+    average reference-bigram count (integer sum / integer count — ONE
+    division, so the value-hash is engine-portable; a log-prob sum
+    would accumulate in engine-specific order) plus its
+    out-of-vocabulary bigram count. Gibberish scores near 0 with high
+    OOV; fluent in-domain text scores high. Plan: one aggregation
+    builds the model, one broadcast join + doc-keyed aggregation
+    scores; at 100 TB the model is vocab-bounded (cap hot bigrams or
+    hash-partition the join when it outgrows broadcast)."""
+    d = load_table(spark, sf, "documents")
+    toks = d.where(F.trim(F.col("text")) != "").select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t")
+    )
+    starts = F.when(
+        F.size("t") >= 2, F.sequence(F.lit(1), F.size("t") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.concat(
+                    F.element_at("t", i), F.lit(" "), F.element_at("t", i + 1)
+                ),
+            )
+        ).alias("bg"),
+    )
+    model = (
+        bigrams.where(F.col("doc_id") % 2 == 0).groupBy("bg").agg(F.count("*").alias("c"))
+    )
+    return (
+        bigrams.join(F.broadcast(model), "bg", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(F.col("c").isNull().cast("long")).alias("n_oov"),
+            F.round(
+                F.sum(F.coalesce(F.col("c"), F.lit(0))).cast("double") / F.count("*"),
+                6,
+            ).alias("familiarity"),
+        )
+    )
+
+
+@_register(
     "stratified_sample",
     """
 SELECT event_type, count(*) AS n_sampled,
