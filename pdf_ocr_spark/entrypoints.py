@@ -229,6 +229,23 @@ def _register(name: str, sql: str | None = None):
     return deco
 
 
+def _drain_stream_result(spark: SparkSession, df: DataFrame, workdir: str) -> DataFrame:
+    """Materialize a streaming sink read-back and remove its scratch
+    dir. The streaming driver queries stage input + checkpoint + sink
+    under a fresh tempdir per invocation; returning a lazy reader over
+    that dir would leak it forever (bench's min-of-2 and repeated
+    oracle runs invoke each query several times per session). The
+    results are small by construction (dup groups / per-file profiles
+    / per-book text), so an eager local copy costs less than the
+    leak."""
+    import shutil
+
+    rows = df.collect()
+    out = spark.createDataFrame(rows, df.schema)
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out
+
+
 def _books(spark: SparkSession, sf: str) -> DataFrame:
     """Derive a multi-page 'book' table from the flat documents table:
     book_id = doc_id // 5, page = doc_id % 5 — the per-document page
@@ -319,7 +336,9 @@ def q_stream_reassemble_txt(spark: SparkSession, sf: str) -> DataFrame:
     from pdf_ocr_spark.streaming.stream import stream_reassemble_books
 
     workdir = tempfile.mkdtemp(prefix="stream_reassemble_")
-    return stream_reassemble_books(spark, _books(spark, sf), workdir)
+    return _drain_stream_result(
+        spark, stream_reassemble_books(spark, _books(spark, sf), workdir), workdir
+    )
 
 
 @_register(
@@ -1260,8 +1279,12 @@ def q_stream_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     from pdf_ocr_spark.streaming.stream import stream_dedup_exact
 
     workdir = tempfile.mkdtemp(prefix="stream_dedup_")
-    return stream_dedup_exact(
-        spark, _corpus_df(spark, sf), workdir, text_col="text", id_col="id"
+    return _drain_stream_result(
+        spark,
+        stream_dedup_exact(
+            spark, _corpus_df(spark, sf), workdir, text_col="text", id_col="id"
+        ),
+        workdir,
     )
 
 
@@ -2354,7 +2377,9 @@ def _text_pdf_fixture_dir(spark: SparkSession, sf: str) -> str:
     # r6t1: 1-in-11 docs use an embedded subset font with no
     # /ToUnicode and no /Encoding, alternating symbolic TrueType
     # (cmap+post) and Type1 (cleartext builtin encoding)
-    fingerprint = f"{agg['n']}:{agg['ck']}:textlayer:r6t1"
+    # r7t1: the Type1 fixture's /Length3 is now computed from the
+    # actual trailing segment (was a wrong hardcoded 532) — regenerate
+    fingerprint = f"{agg['n']}:{agg['ck']}:textlayer:r7t1"
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker):
         with open(marker) as f:
@@ -2844,7 +2869,7 @@ def q_stream_pdf_profiles(spark: SparkSession, sf: str) -> DataFrame:
 
     d = _pdf_fixture_dir(spark, sf)
     workdir = tempfile.mkdtemp(prefix="stream_pdf_profiles_")
-    p = stream_pdf_profiles(spark, d, workdir)
+    p = _drain_stream_result(spark, stream_pdf_profiles(spark, d, workdir), workdir)
     return p.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("n_pages").cast("long").alias("n_pages"),
@@ -4218,23 +4243,31 @@ _FORCE_WINDOW_UNTIL = {
     # (both destination shapes + named-dest resolution) and GoToR rows
     # join the /URI harvest; prior green rows certify the old schema
     "pdf_links": 6,
-    # r6: text-layer corpus overlays 1-in-11 embedded symbolic
-    # TrueType subsets (no /ToUnicode, no /Encoding) — a green row
-    # certifies the embedded-font cmap+post decode tier
-    "pdf_text_layer": 6,
+    # r7: the Type1 fixture's /Length3 is now computed from the actual
+    # trailing segment (was a wrong constant) and the text-layer gen
+    # tag moved to r7t1 — a green r7 row re-certifies the new corpus
+    "pdf_text_layer": 7,
+    # r7: knn_hnsw_topk is the one registry entry that has never had a
+    # driver row (added round 6 after the rotation snapshot); force it
+    # into the window for a rows-only row
+    "knn_hnsw_topk": 7,
 }
 
 
-def _green_history() -> dict[str, int]:
-    """query name -> latest round number with a fully-green driver row
-    (rows+schema+hash all matching), read from CORRECTNESS_r*.json in
-    the repo root. Missing/unreadable artifacts are simply skipped, so
-    a fresh checkout degrades to registration order."""
+def _driver_history() -> tuple[dict[str, int], dict[str, int]]:
+    """(green, seen): query name -> latest round number with a
+    fully-green driver row (rows+schema+hash all matching) / with ANY
+    driver row at all (rows-only entries never go green — the driver
+    records them with err="no_oracle" — so their window bookkeeping
+    keys off "seen"). Read from CORRECTNESS_r*.json in the repo root;
+    missing/unreadable artifacts are simply skipped, so a fresh
+    checkout degrades to registration order."""
     import json
     import re
     from pathlib import Path
 
-    latest: dict[str, int] = {}
+    green: dict[str, int] = {}
+    seen: dict[str, int] = {}
     root = Path(__file__).resolve().parents[1]
     for p in sorted(root.glob("CORRECTNESS_r*.json")):
         m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", p.name)
@@ -4246,14 +4279,16 @@ def _green_history() -> dict[str, int]:
         except Exception:
             continue
         for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            seen[name] = max(seen.get(name, 0), rnd)
             if (
-                isinstance(row, dict)
-                and row.get("rows_match")
+                row.get("rows_match")
                 and row.get("schema_match")
                 and row.get("hash_match") is True
             ):
-                latest[name] = max(latest.get(name, 0), rnd)
-    return latest
+                green[name] = max(green.get(name, 0), rnd)
+    return green, seen
 
 
 def _reorder_registry() -> None:
@@ -4261,8 +4296,12 @@ def _reorder_registry() -> None:
     exact-oracle queries first, then green ones stalest-first (ties
     broken by registration order for determinism), then rows-only
     queries (no SQL oracle — the driver only row-counts them) at the
-    very tail so they never consume an exact-comparison slot."""
-    green = _green_history()
+    very tail so they never consume an exact-comparison slot. A
+    rows-only query with an ACTIVE force entry (no driver row since
+    its force round) jumps to the very head instead: a rows-only row
+    is weaker than an exact one, but zero driver history is weaker
+    still (knn_hnsw_topk was the one entry of 103 never to appear)."""
+    green, seen = _driver_history()
     exact = [q for q in QUERIES if q in ORACLES]
     reg_pos = {q: i for i, q in enumerate(exact)}
 
@@ -4273,8 +4312,14 @@ def _reorder_registry() -> None:
         return 0 if g < _FORCE_WINDOW_UNTIL.get(q, 0) else g
 
     exact.sort(key=lambda q: (effective_green(q), reg_pos[q]))
-    tail = [q for q in QUERIES if q not in ORACLES]
-    ordered = exact + tail
+    rows_only = [q for q in QUERIES if q not in ORACLES]
+    forced_head = [
+        q
+        for q in rows_only
+        if q in _FORCE_WINDOW_UNTIL and seen.get(q, 0) < _FORCE_WINDOW_UNTIL[q]
+    ]
+    tail = [q for q in rows_only if q not in forced_head]
+    ordered = forced_head + exact + tail
     assert len(ordered) == len(QUERIES), (len(ordered), len(QUERIES))
     reordered = {name: QUERIES[name] for name in ordered}
     QUERIES.clear()

@@ -736,19 +736,41 @@ def hnsw_topk(
             return
         X = np.array(vecs, dtype="float64")
         X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
-        index = HnswIndex(X, m=m, ef_construction=ef_construction)
         q_ids, q_mat = bc.value
         rows_q, rows_n, rows_v = [], [], []
-        for qi, qv in zip(q_ids, q_mat):
-            # k+8 local: +1 survives dropping the query's own row
-            # (self-match excluded downstream); the rest is slack so
-            # the JVM's round-to-6 rank (with id tie-break) can never
-            # disagree with the kernel's full-precision local cut —
-            # a flip would need 8 candidates inside one 1e-6 window
-            for _s, j in index.search(qv, k + 8, ef_search):
-                rows_q.append(qi)
-                rows_n.append(ids[j])
-                rows_v.append(vecs[j])
+        if ef_search >= len(ids):
+            # degenerate-exact: the beam would admit the whole shard,
+            # so skip the graph build and cut the shard-local list BY
+            # ROUNDED SCORE, tie-inclusive — emit every candidate whose
+            # round-6 score ties or beats the local (k+1)-th largest
+            # (+1 absorbs the self-match dropped downstream). A row cut
+            # here has k+1 shard-local candidates STRICTLY above it in
+            # rounded score, of which at most one is the self-match, so
+            # it cannot be in the global top-k under the JVM's
+            # (round-6 score desc, id) order — byte-exactness no
+            # longer rests on the old fixed "+8 inside one 1e-6
+            # window" slack (round-6 ADVICE item)
+            sims = np.round(X @ q_mat.T, 6)  # (n, q)
+            kk = min(k + 1, len(ids))
+            thr = np.partition(sims, len(ids) - kk, axis=0)[len(ids) - kk]
+            for col, qi in enumerate(q_ids):
+                for j in np.nonzero(sims[:, col] >= thr[col])[0]:
+                    rows_q.append(qi)
+                    rows_n.append(ids[j])
+                    rows_v.append(vecs[j])
+        else:
+            index = HnswIndex(X, m=m, ef_construction=ef_construction)
+            for qi, qv in zip(q_ids, q_mat):
+                # k+8 local: +1 survives dropping the query's own row
+                # (self-match excluded downstream); the rest is slack
+                # so the JVM's round-to-6 rank (with id tie-break)
+                # rarely disagrees with the kernel's full-precision
+                # local cut — approximate-path recall is engine-defined
+                # and pinned by tests/test_ann.py, not the oracle
+                for _s, j in index.search(qv, k + 8, ef_search):
+                    rows_q.append(qi)
+                    rows_n.append(ids[j])
+                    rows_v.append(vecs[j])
         yield pd.DataFrame({"query_id": rows_q, "neighbor_id": rows_n, "cvec": rows_v})
 
     cand = sharded.mapInPandas(kernel, schema=out_schema)

@@ -3036,9 +3036,17 @@ def encode_text_pdf(
             % ff_num
         )
         objects[ff_num] = (
-            b"<< /Length %d /Length1 %d /Length2 %d /Length3 532 >>"
+            b"<< /Length %d /Length1 %d /Length2 %d /Length3 %d >>"
             b"\nstream\n%s\nendstream"
-            % (len(prog), len(clear), len(binary), prog)
+            % (
+                len(prog),
+                len(clear),
+                len(binary),
+                # the actual trailing-segment length, so strict Type1
+                # consumers see Length1+Length2+Length3 == stream length
+                len(prog) - len(clear) - len(binary),
+                prog,
+            )
         )
     else:
         objects[font_num] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"

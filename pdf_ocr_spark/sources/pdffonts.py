@@ -518,14 +518,22 @@ def truetype_code_table(ttf: bytes) -> dict[int, str] | None:
       membership (a code the font cannot render carries no evidence).
 
     Returns None when the program yields nothing usable."""
+    import struct
+
     try:
         tables = sfnt_tables(ttf)
     except ValueError:
         return None
     if b"cmap" not in tables:
         return None
-    subs = parse_cmap_subtables(tables[b"cmap"])
-    post = parse_post_names(tables.get(b"post", b""))
+    # the subtable/post parsers raise struct.error/IndexError on
+    # truncated binaries — the public parser's contract is None for
+    # undecodable programs, not an untyped exception
+    try:
+        subs = parse_cmap_subtables(tables[b"cmap"])
+        post = parse_post_names(tables.get(b"post", b""))
+    except (struct.error, IndexError, ValueError):
+        return None
     out: dict[int, str] = {}
     sym = subs.get((3, 0))
     if sym:
@@ -537,7 +545,11 @@ def truetype_code_table(ttf: bytes) -> dict[int, str] | None:
             uni = glyph_to_unicode(name) if name else ""
             if uni:
                 out[code] = uni
-        return out or None
+        if out:
+            return out
+        # a symbolic cmap with no decodable glyph names (e.g. missing
+        # or pre-2.0 'post') carries no evidence — fall through to a
+        # coexisting (3,1) Unicode subtable instead of giving up
     uni_sub = subs.get((3, 1))
     if uni_sub:
         gid_to_uni: dict[int, str] = {}
