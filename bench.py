@@ -128,6 +128,10 @@ BENCH_QUERIES = [
     "bm25_topk",
     "stream_dedup_exact",
     "lm_bigram_familiarity",
+    # round 7
+    "kmeans_assign",
+    "dedup_semantic",
+    "knn_ivf_trained",
 ]
 
 # RUN order (above) keeps python-kernel queries first for timing

@@ -1699,6 +1699,155 @@ def q_knn_ivf(spark: SparkSession, sf: str) -> DataFrame:
     return ivf_topk(emb.where(F.col("vec_id") < 5), emb, k=3, n_lists=16, n_probe=4)
 
 
+# --- distributed k-means + the operators it feeds ---------------------------
+
+#: k-means constants shared by the Spark operator and the SQL oracle
+#: generator below (same single-source-of-truth discipline as the
+#: MinHash/LSH parameters).
+KMEANS_K = 8
+KMEANS_ITERS = 4
+
+
+def _sql_kmeans_ctes(src: str, k: int, n_iter: int, prefix: str = "km") -> str:
+    """The fixed-iteration Lloyd's loop, unrolled as DuckDB CTEs over a
+    source CTE ``src`` with (id, v) columns — generated from the SAME
+    constants as operators/clustering.py so the two sides cannot drift.
+    Every step is integer arithmetic: floor(x*10^6) quantization,
+    exact squared-L2 argmin with smallest-index tie-break
+    (row_number ORDER BY dist, j), and a sum // count centroid mean
+    (DuckDB ``//`` truncates toward zero exactly like Spark ``div`` —
+    verified incl. negative sums). Empty clusters keep their previous
+    centroid via the LEFT JOIN coalesce. The final CTE
+    ``{prefix}final`` has (id, cluster_id, sq_dist)."""
+    from pdf_ocr_spark.operators.clustering import KMEANS_SCALE
+
+    def dist(q: str, c: str) -> str:
+        return (
+            f"list_sum([({q}[i]-{c}[i])*({q}[i]-{c}[i]) "
+            f"for i in generate_series(1, len({q}))])"
+        )
+
+    p = prefix
+    parts = [
+        f"{p}base AS (SELECT id, list_transform(v, x -> CAST(floor("
+        f"x::DOUBLE * {KMEANS_SCALE}.0) AS BIGINT)) AS q FROM {src})",
+        f"{p}c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS j, q AS c "
+        f"FROM {p}base ORDER BY id LIMIT {k})",
+    ]
+    for t in range(1, n_iter + 1):
+        d = dist("b.q", "c.c")
+        parts.append(
+            f"{p}a{t} AS (SELECT id, q, j AS cluster_id FROM ("
+            f"SELECT b.id, b.q, c.j, "
+            f"row_number() OVER (PARTITION BY b.id ORDER BY {d}, c.j) AS rn "
+            f"FROM {p}base b CROSS JOIN {p}c{t - 1} c) WHERE rn = 1)"
+        )
+        parts.append(
+            f"{p}s{t} AS (SELECT cluster_id AS j, dim, sum(val) // count(*) AS sv "
+            f"FROM (SELECT cluster_id, generate_subscripts(q, 1) AS dim, "
+            f"unnest(q) AS val FROM {p}a{t}) GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"{p}n{t} AS (SELECT j, list(sv ORDER BY dim) AS c FROM {p}s{t} GROUP BY j)"
+        )
+        parts.append(
+            f"{p}c{t} AS (SELECT o.j, coalesce(n.c, o.c) AS c "
+            f"FROM {p}c{t - 1} o LEFT JOIN {p}n{t} n USING (j))"
+        )
+    d = dist("b.q", "c.c")
+    parts.append(
+        f"{p}final AS (SELECT id, j AS cluster_id, d AS sq_dist FROM ("
+        f"SELECT b.id, c.j, {d} AS d, "
+        f"row_number() OVER (PARTITION BY b.id ORDER BY {d}, c.j) AS rn "
+        f"FROM {p}base b CROSS JOIN {p}c{n_iter} c) WHERE rn = 1)"
+    )
+    return ",\n".join(parts)
+
+
+@_register(
+    "kmeans_assign",
+    f"""
+WITH emb AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+{_sql_kmeans_ctes('emb', KMEANS_K, KMEANS_ITERS)}
+SELECT id AS vec_id, cluster_id::INT AS cluster_id, sq_dist FROM kmfinal
+""",
+)
+def q_kmeans_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed k-means training (fixed {KMEANS_ITERS}-iteration
+    Lloyd's, deterministic smallest-id init) with an EXACT value-hash
+    oracle: the whole loop is fixed-point integer arithmetic, so the
+    unrolled SQL above reproduces assignment AND squared distance
+    bit-for-bit (operators/clustering.py module docstring has the
+    portability argument). Plan shape per iteration: one broadcast
+    Arrow matmul stage + one keyed agg whose map-side combine reduces
+    the exchange to k×(dim+1) longs per partition."""
+    from pdf_ocr_spark.operators.clustering import kmeans_assign
+
+    emb = load_table(spark, sf, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("v")
+    )
+    return kmeans_assign(emb, k=KMEANS_K, n_iter=KMEANS_ITERS).select(
+        F.col("id").alias("vec_id"), "cluster_id", "sq_dist"
+    )
+
+
+@_register(
+    "dedup_semantic",
+    f"""
+WITH base AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+dup AS (SELECT vec_id + 10000 AS id, embedding AS v FROM embeddings WHERE vec_id % 10 = 0),
+emb AS (SELECT * FROM base UNION ALL SELECT * FROM dup),
+{_sql_kmeans_ctes('emb', KMEANS_K, KMEANS_ITERS)},
+tagged AS (SELECT f.id, f.cluster_id, e.v FROM kmfinal f JOIN emb e USING (id)),
+sempairs AS (
+    SELECT a.id AS id_a, b.id AS id_b
+    FROM tagged a JOIN tagged b
+      ON a.cluster_id = b.cluster_id AND a.id < b.id
+    WHERE round({_sql_cosine('a.v', 'b.v')}, 6) >= 0.99
+)
+SELECT id_b AS id, min(id_a) AS keeper_id FROM sempairs GROUP BY id_b
+""",
+)
+def q_dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style semantic dedup with an exact oracle: k-means the
+    corpus (same injected exact-dup corpus as dedup_embedding_cosine),
+    generate candidates by the cluster_id equi-join ONLY (Σ size² —
+    never corpus²), verify with the summation-order-disciplined
+    round-6 cosine, and emit min-keeper verdicts. Identical vectors
+    quantize identically, so injected duplicates always share a
+    cluster and are found with probability 1."""
+    from pdf_ocr_spark.operators.clustering import semantic_dedup
+
+    e = load_table(spark, sf, "embeddings")
+    base = e.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
+    dup = e.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10000).alias("id"), F.col("embedding").alias("v")
+    )
+    corpus = base.unionByName(dup)
+    return semantic_dedup(corpus, threshold=0.99, k=KMEANS_K, n_iter=KMEANS_ITERS)
+
+
+@_register("knn_ivf_trained")
+def q_knn_ivf_trained(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN over a TRAINED coarse quantizer: the k-means codebook
+    replaces the hash-derived stand-in ivf_centroids (whose docstring
+    promised exactly this swap), query plan unchanged. Rows-only like
+    the other working-setting ANN forms — recall is engine-defined —
+    but the training itself is certified exactly by kmeans_assign's
+    value-hash row, and tests/test_ann.py pins trained recall >=
+    hash-codebook recall at equal n_probe."""
+    from pdf_ocr_spark.operators.clustering import trained_centroids_f64
+    from pdf_ocr_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    base = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
+    cents = trained_centroids_f64(base, k=16, n_iter=KMEANS_ITERS)
+    return ivf_topk(
+        emb.where(F.col("vec_id") < 5), emb, k=3, n_lists=16, n_probe=4,
+        centroids=cents,
+    )
+
+
 @_register(
     "dedup_embedding_cosine",
     f"""
@@ -4249,8 +4398,10 @@ _FORCE_WINDOW_UNTIL = {
     "pdf_text_layer": 7,
     # r7: knn_hnsw_topk is the one registry entry that has never had a
     # driver row (added round 6 after the rotation snapshot); force it
-    # into the window for a rows-only row
+    # into the window for a rows-only row. knn_ivf_trained is new this
+    # round — force it too so no rows-only entry starts life unseen.
     "knn_hnsw_topk": 7,
+    "knn_ivf_trained": 7,
 }
 
 

@@ -473,6 +473,7 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids=None,
 ) -> DataFrame:
     """IVF-style approximate top-k — the third ANN variant (exact
     brute-force and hyperplane-LSH being the others).
@@ -483,7 +484,14 @@ def ivf_topk(
     ranks exactly within them. The (list_id) equi-join replaces the
     cross join: at 100 TB the corpus shuffles once by list_id (or is
     written bucketed by it) and each query touches n_probe/n_lists of
-    the data. ``n_probe = n_lists`` degenerates to exact search."""
+    the data. ``n_probe = n_lists`` degenerates to exact search.
+
+    ``centroids``: a row-normalized (n_lists, dim) float64 codebook to
+    use instead of the hash-derived stand-in — pass
+    :func:`clustering.trained_centroids_f64` output for the
+    trained-IVF variant (data-adapted lists balance the inverted file,
+    so equal ``n_probe`` buys equal-or-better recall; pinned in
+    tests/test_ann.py)."""
     import numpy as np
     import pandas as pd  # noqa: F401
     from pyspark.sql.types import IntegerType, StructField, StructType
@@ -495,7 +503,11 @@ def ivf_topk(
             [], "query_id long, rank int, neighbor_id long, score double"
         )
     dim = len(first[0])
-    cents = ivf_centroids(dim, n_lists)
+    if centroids is None:
+        cents = ivf_centroids(dim, n_lists)
+    else:
+        cents = np.asarray(centroids, dtype="float64")
+        assert cents.shape == (n_lists, dim), (cents.shape, n_lists, dim)
     bc = queries.sparkSession.sparkContext.broadcast(cents)
 
     def tagger(colname: str, n_top: int):

@@ -207,3 +207,29 @@ def test_hnsw_index_local_recall_unit():
     # ef >= n: exact ordering
     got = [j for _s, j in idx_a.search(X[0], 5, ef=10**9)]
     assert got == list(np.argsort(-sims[0])[:5])
+
+
+def test_ivf_trained_recall_at_least_hash_recall(spark, emb):
+    """The trained coarse quantizer (k-means codebook) must buy
+    equal-or-better recall than the hash-derived stand-in at the SAME
+    n_probe — the reason to train at all. Deterministic end to end
+    (integer k-means, fixed data), so this is a pin, not a flake."""
+    from pdf_ocr_spark.operators.clustering import trained_centroids_f64
+    from pdf_ocr_spark.operators.similarity import ivf_topk
+
+    q = emb.where(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(q, emb, k=3).collect()}
+    base = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
+    cents = trained_centroids_f64(base, k=8, n_iter=4)
+    trained = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(q, emb, k=3, n_lists=8, n_probe=4, centroids=cents).collect()
+    }
+    hashed = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(q, emb, k=3, n_lists=8, n_probe=4).collect()
+    }
+    r_trained = len(exact & trained) / len(exact)
+    r_hash = len(exact & hashed) / len(exact)
+    assert r_trained >= r_hash, (r_trained, r_hash)
+    assert r_trained >= 0.5, r_trained
