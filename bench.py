@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "kmeans_assign",
     "dedup_semantic",
     "knn_ivf_trained",
+    "bpe_train_merges",
 ]
 
 # RUN order (above) keeps python-kernel queries first for timing

@@ -1937,6 +1937,68 @@ def q_bpe_token_count(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _sql_bpe_ctes(n_rounds: int) -> str:
+    """The fixed-round BPE training loop, unrolled as DuckDB CTEs —
+    generated from the same constants as operators/bpe.py. Words are
+    double-sentinel symbol strings; the merge is a literal replace
+    (verified character-identical across Spark/DuckDB/Python on
+    overlap-adversarial cases, operators/bpe.py docstring); the
+    election is ORDER BY count DESC, l, r LIMIT 1. DuckDB's
+    generate_series(1, 0) is EMPTY (unlike Spark's descending
+    sequence), so fused single-symbol words drop out naturally."""
+    parts = [
+        "bpew0 AS (SELECT '##' || regexp_replace(word, '(.)', '\\1##', 'g') AS s, cnt "
+        f"FROM (SELECT word, count(*) AS cnt FROM (SELECT unnest({sql_tokens('lower(text)')}) "
+        "AS word FROM documents) WHERE regexp_matches(word, '^[a-z0-9]+$') GROUP BY word))"
+    ]
+    for t in range(1, n_rounds + 1):
+        parts.append(
+            f"bpep{t} AS (SELECT pr.l AS l, pr.r AS r, sum(cnt) AS c FROM ("
+            "SELECT unnest(list_transform(generate_series(1, len(syms)-1), "
+            "i -> struct_pack(l := syms[i], r := syms[i+1]))) AS pr, cnt "
+            f"FROM (SELECT string_split(substr(s, 3, len(s)-4), '##') AS syms, cnt "
+            f"FROM bpew{t - 1})) GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"bpewin{t} AS (SELECT {t} AS merge_round, l, r, c "
+            f"FROM bpep{t} ORDER BY c DESC, l, r LIMIT 1)"
+        )
+        parts.append(
+            f"bpew{t} AS (SELECT replace(s, '#'||l||'##'||r||'#', '#'||l||r||'#') AS s, "
+            f"cnt FROM bpew{t - 1} CROSS JOIN bpewin{t})"
+        )
+    return ",\n".join(parts)
+
+
+def _bpe_merges_sql() -> str:
+    from pdf_ocr_spark.operators.bpe import BPE_MERGE_ROUNDS
+
+    union = "\nUNION ALL\n".join(
+        f"SELECT merge_round::INT AS merge_round, l AS left_sym, r AS right_sym, "
+        f"c::BIGINT AS pair_count FROM bpewin{t}"
+        for t in range(1, BPE_MERGE_ROUNDS + 1)
+    )
+    return f"WITH {_sql_bpe_ctes(BPE_MERGE_ROUNDS)}\n{union}"
+
+
+ORACLE_BPE_SQL = _bpe_merges_sql()
+
+
+@_register("bpe_train_merges", ORACLE_BPE_SQL)
+def q_bpe_train_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed BPE vocabulary TRAINING (bpe_token_count tokenizes
+    with a fixed vocab; this learns the merges): fixed-round top-pair
+    election over the vocab-bounded word-frequency table, exact
+    value-hash oracle via the unrolled SQL above. Per round: one
+    pair-explode + keyed agg (map-side combined), a 1-row driver
+    election, one literal-replace map — corpus size only enters
+    through the one-off word count."""
+    from pdf_ocr_spark.operators.bpe import bpe_train_merges
+
+    d = load_table(spark, sf, "documents")
+    return bpe_train_merges(d, text_col="text")
+
+
 # --- multimodal (rows-only: no SQL oracle can parse PNG) --------------------
 
 
