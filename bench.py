@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "dedup_semantic",
     "knn_ivf_trained",
     "bpe_train_merges",
+    "ordered_quality_export",
 ]
 
 # RUN order (above) keeps python-kernel queries first for timing

@@ -112,6 +112,17 @@ def sql_stop_hits(e: str, lang: str) -> str:
     return f"len(list_filter({sql_tokens(f'lower({e})')}, t -> list_contains([{words}], t)))"
 
 
+def _sql_quality(e: str) -> str:
+    """quality_score_col's blend in DuckDB SQL (shared by the
+    quality_score and ordered_quality_export oracles)."""
+    return (
+        f"round(0.4 * least(len({e})::DOUBLE / 200.0, 1.0)"
+        f" + 0.3 * (1.0 - coalesce(len(regexp_replace({e}, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / nullif(len({e}), 0), 0.0))"
+        f" + 0.3 * (CASE WHEN len({sql_tokens(e)}) = 0 THEN 0.0"
+        f" ELSE {sql_stop_hits(e, 'en')}::DOUBLE / len({sql_tokens(f'lower({e})')}) END), 6)"
+    )
+
+
 #: Shared corpus CTE injecting exact and near duplicates into the flat
 #: documents table (dedup operators need dups to find).
 CORPUS_CTE = """
@@ -2225,11 +2236,7 @@ def q_token_stats(spark: SparkSession, sf: str) -> DataFrame:
     "quality_score",
     f"""
 SELECT doc_id,
-       round(0.4 * least(len(text)::DOUBLE / 200.0, 1.0)
-           + 0.3 * (1.0 - coalesce(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / nullif(len(text), 0), 0.0))
-           + 0.3 * (CASE WHEN len({sql_tokens('text')}) = 0 THEN 0.0
-                    ELSE {sql_stop_hits('text', 'en')}::DOUBLE / len({sql_tokens('lower(text)')}) END),
-           6) AS quality,
+       {_sql_quality('text')} AS quality,
        round(CASE WHEN len({sql_tokens('text')}) = 0 THEN 0.0
              ELSE {sql_stop_hits('text', 'en')}::DOUBLE / len({sql_tokens('lower(text)')}) END, 6)
            AS stopword_ratio
@@ -2244,6 +2251,34 @@ def q_quality(spark: SparkSession, sf: str) -> DataFrame:
         quality_score_col(t).alias("quality"),
         F.round(stopword_ratio_col(t), 6).alias("stopword_ratio"),
     )
+
+
+@_register(
+    "ordered_quality_export",
+    f"""
+WITH q AS (SELECT doc_id, {_sql_quality('text')} AS quality FROM documents)
+SELECT row_number() OVER (ORDER BY quality NULLS FIRST, doc_id) AS position,
+       doc_id, quality
+FROM q
+""",
+)
+def q_ordered_quality_export(spark: SparkSession, sf: str) -> DataFrame:
+    """Global ordered export (curriculum sort) — the range-Exchange
+    operator: total order by (quality, doc_id) with explicit 1-based
+    global positions, computed as repartitionByRange →
+    sortWithinPartitions → count-per-partition offsets → one narrow
+    Arrow position stage. NO single-task global sort, NO
+    monotonically_increasing_id (operators/ordering.py has the plan
+    argument; PLANS.md shows the executed RangePartitioning). The
+    oracle orders NULLS FIRST to match Spark's ASC default — quality
+    is non-null on this corpus, but the contract shouldn't hinge on
+    that."""
+    from pdf_ocr_spark.operators.ordering import global_ordered_positions
+
+    d = load_table(spark, sf, "documents")
+    q = d.select("doc_id", quality_score_col(F.col("text")).alias("quality"))
+    out = global_ordered_positions(q, ["quality", "doc_id"])
+    return out.select("position", "doc_id", "quality")
 
 
 def _pii_sql() -> str:
