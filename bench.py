@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "knn_ivf_trained",
     "bpe_train_merges",
     "ordered_quality_export",
+    "curate_to_packed",
 ]
 
 # RUN order (above) keeps python-kernel queries first for timing

@@ -1077,29 +1077,78 @@ def q_sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
     so the plan is one bucket-partitioned window (running token sum)
     plus one (bucket, seq_id) aggregation — every stage keyed, nothing
     global, B × sequence parallelism at any corpus size."""
+    from pdf_ocr_spark.operators.curation import pack_sequences
+
+    return pack_sequences(load_table(spark, sf, "documents"))
+
+
+def _curate_to_packed_sql() -> str:
+    """ONE oracle for the composed curation DAG: admission filter →
+    exact-dup keeper → stratified mixture → sequence packing. Built
+    from the same fragments as the per-stage oracles (quality blend,
+    norm-text hash, md5 stratum threshold, bucket-window packing), so
+    a hash-green row certifies the stage COMPOSITION — any drift in an
+    upstream stage changes the packed output."""
+    from pdf_ocr_spark.operators.curation import DUP_LINE_CAP, QUALITY_FLOOR
+
+    dup_frac = (
+        "(SELECT CASE WHEN len(ls) = 0 THEN 0.0 "
+        "ELSE round((len(ls) - len(list_distinct(ls)) * 1.0) / len(ls), 6) END "
+        "FROM (SELECT list_filter(string_split(replace(text, ' merge ', chr(10)), "
+        "chr(10)), x -> x != '') AS ls))"
+    )
+    return f"""
+WITH scored AS (
+  SELECT doc_id, text, lang,
+       {_sql_quality('text')} AS quality,
+       {dup_frac} AS dup_line_frac,
+       min(doc_id) OVER (PARTITION BY md5(regexp_replace(lower({sql_strip('text')}), '\\s+', ' ', 'g'))) AS keeper_id
+  FROM documents),
+admitted AS (
+  SELECT doc_id, text, lang FROM scored
+  WHERE doc_id = keeper_id AND quality >= {QUALITY_FLOOR} AND dup_line_frac <= {DUP_LINE_CAP}),
+sampled AS (
+  SELECT doc_id, text FROM admitted
+  WHERE substr(md5(lang || ':' || doc_id::VARCHAR), 1, 1)
+        IN ('0', '1', '2', '3', '4', '5', '6', '7')),
+ctoks AS (
+  SELECT doc_id, doc_id % 8 AS bucket,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+  FROM sampled WHERE trim(text) != ''),
+cpacked AS (
+  SELECT doc_id, bucket, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM ctoks)
+SELECT bucket, ((cum - n_tokens) // 512)::BIGINT AS seq_id,
+       count(*) AS n_docs, sum(n_tokens)::BIGINT AS n_tokens,
+       min(doc_id) AS first_doc
+FROM cpacked GROUP BY 1, 2
+"""
+
+
+@_register("curate_to_packed", _curate_to_packed_sql())
+def q_curate_to_packed(spark: SparkSession, sf: str) -> DataFrame:
+    """The end-to-end curation COMPOSITION in one plan: admission
+    filter (quality floor + repetition cap) → exact-dup keeper (min-id
+    window over the normalized-text hash) → stratified mixture (50%
+    md5 threshold per (lang, doc_id) — deterministic, no rand()) →
+    hash-bucketed sequence packing. Certifies what the per-stage
+    oracles cannot: that the stages compose. Plan audit: text and lang
+    are CARRIED through the admission projection (no join back to the
+    source), so the whole DAG is scan → keeper window → filters →
+    bucket window → one agg — the same exchange count as
+    corpus_filter_verdict plus sequence_packing, with zero extra
+    shuffles for the composition itself."""
+    from pdf_ocr_spark.operators.curation import admitted_documents, pack_sequences
+
     d = load_table(spark, sf, "documents")
-    toks = d.where(F.trim(F.col("text")) != "").select(
-        "doc_id",
-        (F.col("doc_id") % 8).alias("bucket"),
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
-    )
-    w = (
-        Window.partitionBy("bucket")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    packed = toks.withColumn("cum", F.sum("n_tokens").over(w))
-    return (
-        packed.withColumn(
-            "seq_id", ((F.col("cum") - F.col("n_tokens")) / 512).cast("long")
-        )
-        .groupBy("bucket", "seq_id")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_tokens").cast("long").alias("n_tokens"),
-            F.min("doc_id").alias("first_doc"),
-        )
-    )
+    admitted = admitted_documents(d, carry=("text", "lang"))
+    key = F.md5(F.concat(F.col("lang"), F.lit(":"), F.col("doc_id").cast("string")))
+    sampled = admitted.where(
+        F.substring(key, 1, 1).isin(*"01234567")
+    ).select("doc_id", "text")
+    return pack_sequences(sampled)
 
 
 _BM25_TERMS = ("window", "government", "music")
