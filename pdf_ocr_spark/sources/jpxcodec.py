@@ -46,7 +46,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from pdf_ocr_spark.sources.jbig2codec import MQDecoder, MQEncoder
+from pdf_ocr_spark.sources.jbig2codec import MQ_TABLE, MQDecoder, MQEncoder
 
 # ---------------------------------------------------------------------------
 # Reversible 5/3 DWT (T.800 Annex F) + RCT (G.2)
@@ -654,6 +654,87 @@ def _zc_lut(band: str) -> list[int]:
 _ZC_LUTS = {band: _zc_lut(band) for band in ("LL", "LH", "HL", "HH")}
 
 
+#: flat Qe list for the inlined fast path (one index instead of a
+#: tuple unpack per decoded bit)
+_MQ_QE = [row[0] for row in MQ_TABLE]
+
+
+def _mq_lps(data, a, c, ct, bp, cx, k, st, qe):
+    """LPS-threshold branch of the inlined MQ decode (T.88 E.3.2):
+    conditional-exchange state update, then RENORMD with the inline
+    marker-tolerant BYTEIN. ``data`` carries two trailing 0xFF pad
+    bytes (t1_decode_block adds them) so BYTEIN never bounds-checks —
+    bp parks at the first 0xFF 0xFF pair, exactly the E.3.4 "feed
+    1-bits forever" behavior. Semantics are MQDecoder.decode's
+    (jbig2codec.py), split out so the per-bit hot path in
+    t1_decode_block stays call-free."""
+    mps = st & 1
+    _qe, nmps, nlps, switch = MQ_TABLE[st >> 1]
+    if a < qe:
+        bit = mps
+        cx[k] = (nmps << 1) | mps
+    else:
+        bit = 1 - mps
+        if switch:
+            mps = 1 - mps
+        cx[k] = (nlps << 1) | mps
+    a = qe
+    while True:
+        if ct == 0:
+            if data[bp] == 0xFF:
+                if data[bp + 1] > 0x8F:
+                    c += 0xFF00
+                    ct = 8
+                else:
+                    bp += 1
+                    c += data[bp] << 9
+                    ct = 7
+            else:
+                bp += 1
+                c += data[bp] << 8
+                ct = 8
+        a = (a << 1) & 0xFFFF
+        c = (c << 1) & 0xFFFFFFFF
+        ct -= 1
+        if a & 0x8000:
+            return a, c, ct, bp, bit
+
+
+def _mq_mps(data, a, c, ct, bp, cx, k, st, qe):
+    """MPS-renorm branch of the inlined MQ decode (caller already
+    subtracted qe from a and (qe << 16) from c): conditional-exchange
+    state update, then the same RENORMD as :func:`_mq_lps`."""
+    mps = st & 1
+    _qe, nmps, nlps, switch = MQ_TABLE[st >> 1]
+    if a < qe:
+        bit = 1 - mps
+        if switch:
+            mps = 1 - mps
+        cx[k] = (nlps << 1) | mps
+    else:
+        bit = mps
+        cx[k] = (nmps << 1) | mps
+    while True:
+        if ct == 0:
+            if data[bp] == 0xFF:
+                if data[bp + 1] > 0x8F:
+                    c += 0xFF00
+                    ct = 8
+                else:
+                    bp += 1
+                    c += data[bp] << 9
+                    ct = 7
+            else:
+                bp += 1
+                c += data[bp] << 8
+                ct = 8
+        a = (a << 1) & 0xFFFF
+        c = (c << 1) & 0xFFFFFFFF
+        ct -= 1
+        if a & 0x8000:
+            return a, c, ct, bp, bit
+
+
 def t1_decode_block(
     data: bytes, w: int, h: int, band: str, numpasses: int, nbps: int
 ) -> np.ndarray:
@@ -664,26 +745,53 @@ def t1_decode_block(
     neighbor significance counts are maintained INCREMENTALLY — each
     significance event bumps its 8 neighbors' (h, v, d) counters —
     instead of recomputed per visit (the encoder keeps the readable
-    recompute form in _T1Block; both produce identical contexts), and
-    the zero-coding context is a flat LUT on those counters. Measured
-    ~1.5x on the per-page decode at sf fixtures."""
+    recompute form in _T1Block; both produce identical contexts), the
+    zero-coding context is a flat LUT on those counters, and the MQ
+    decoder is INLINED into the pass loops (round-7): per decoded bit
+    the common MPS-no-renorm case runs entirely on function locals
+    (state load, one Qe lookup, two compares) with zero calls; only
+    the renorm branches call the module-level :func:`_mq_lps` /
+    :func:`_mq_mps` helpers. Profiling showed ~42% of tier-1 time was
+    MQDecoder.decode call overhead at ~1M calls/page — the same
+    playbook as the round-5 JPEG bit-reader inlining. Context
+    evolution is bit-identical to MQDecoder (pinned by test_jpx
+    round-trips and the shared-oracle bench query)."""
     if nbps <= 0 or numpasses <= 0:
         return np.zeros((h, w), dtype=np.int64)
     if nbps > 40:
         raise ValueError("implausible JPEG 2000 bit-plane count %d" % nbps)
     blk = _T1Block(w, h, band)
-    magf = [0] * (w * h)
-    dec = MQDecoder(data)
+    n = w * h
+    magf = [0] * n
     cx = _t1_initial_states()
     sig, visited, refined = blk.sig, blk.visited, blk.refined
-    n = w * h
     hs_a = bytearray(n)  # per-pixel significant-neighbor counts
     vs_a = bytearray(n)
     ds_a = bytearray(n)
     zc = _ZC_LUTS[band]
-    decode = dec.decode
     sc_ctx = blk._sc_ctx
     sgn = blk.sgn
+    mq_qe = _MQ_QE
+
+    # INITDEC (E.3.5), inlined; pad so BYTEIN is bounds-check-free
+    data = bytes(data) + b"\xff\xff"
+    c = data[0] << 16
+    bp = 0
+    if data[0] == 0xFF:
+        if data[1] > 0x8F:
+            c += 0xFF00
+            ct = 8
+        else:
+            bp = 1
+            c += data[1] << 9
+            ct = 7
+    else:
+        bp = 1
+        c += data[1] << 8
+        ct = 8
+    c = (c << 7) & 0xFFFFFFFF
+    ct -= 7
+    a = 0x8000
 
     def mark(i: int, y: int, x: int) -> None:
         """Make (y, x) significant: update the neighbors' counters."""
@@ -707,6 +815,7 @@ def t1_decode_block(
                 ds_a[i + w + 1] += 1
 
     def spp(p):
+        nonlocal a, c, ct, bp
         bit_p = 1 << p
         for y0 in range(0, h, 4):
             ylim = min(y0 + 4, h)
@@ -720,15 +829,44 @@ def t1_decode_block(
                         continue
                     if ds > 4:
                         ds = 4
-                    bit = decode(cx, zc[(hs * 3 + vs) * 5 + ds])
+                    k = zc[(hs * 3 + vs) * 5 + ds]
+                    st = cx[k]  # -- inline MQ decode --
+                    qe = mq_qe[st >> 1]
+                    a -= qe
+                    if (c >> 16) < qe:
+                        a, c, ct, bp, bit = _mq_lps(data, a, c, ct, bp, cx, k, st, qe)
+                    else:
+                        c -= qe << 16
+                        if a & 0x8000:
+                            bit = st & 1
+                        else:
+                            a, c, ct, bp, bit = _mq_mps(
+                                data, a, c, ct, bp, cx, k, st, qe
+                            )
                     visited[i] = 1
                     if bit:
-                        ctx, xor = sc_ctx(y, x)
-                        sgn[i] = decode(cx, ctx) ^ xor
+                        k, xor = sc_ctx(y, x)
+                        st = cx[k]  # -- inline MQ decode --
+                        qe = mq_qe[st >> 1]
+                        a -= qe
+                        if (c >> 16) < qe:
+                            a, c, ct, bp, bit = _mq_lps(
+                                data, a, c, ct, bp, cx, k, st, qe
+                            )
+                        else:
+                            c -= qe << 16
+                            if a & 0x8000:
+                                bit = st & 1
+                            else:
+                                a, c, ct, bp, bit = _mq_mps(
+                                    data, a, c, ct, bp, cx, k, st, qe
+                                )
+                        sgn[i] = bit ^ xor
                         mark(i, y, x)
                         magf[i] |= bit_p
 
     def mrp(p):
+        nonlocal a, c, ct, bp
         bit_p = 1 << p
         for y0 in range(0, h, 4):
             ylim = min(y0 + 4, h)
@@ -738,14 +876,45 @@ def t1_decode_block(
                     if not sig[i] or visited[i]:
                         continue
                     if refined[i]:
-                        ctx = 16
+                        k = 16
                     else:
-                        ctx = 15 if hs_a[i] + vs_a[i] + ds_a[i] > 0 else 14
-                    if decode(cx, ctx):
+                        k = 15 if hs_a[i] + vs_a[i] + ds_a[i] > 0 else 14
+                    st = cx[k]  # -- inline MQ decode --
+                    qe = mq_qe[st >> 1]
+                    a -= qe
+                    if (c >> 16) < qe:
+                        a, c, ct, bp, bit = _mq_lps(data, a, c, ct, bp, cx, k, st, qe)
+                    else:
+                        c -= qe << 16
+                        if a & 0x8000:
+                            bit = st & 1
+                        else:
+                            a, c, ct, bp, bit = _mq_mps(
+                                data, a, c, ct, bp, cx, k, st, qe
+                            )
+                    if bit:
                         magf[i] |= bit_p
                     refined[i] = 1
 
+    def _dec(k):
+        """Shared decode for the rare CUP special-path bits (RLC,
+        UNIFORM, sign) — one call per EVENT, not per scanned pixel, so
+        these sites keep the readable call form."""
+        nonlocal a, c, ct, bp
+        st = cx[k]
+        qe = mq_qe[st >> 1]
+        a -= qe
+        if (c >> 16) < qe:
+            a, c, ct, bp, bit = _mq_lps(data, a, c, ct, bp, cx, k, st, qe)
+            return bit
+        c -= qe << 16
+        if a & 0x8000:
+            return st & 1
+        a, c, ct, bp, bit = _mq_mps(data, a, c, ct, bp, cx, k, st, qe)
+        return bit
+
     def cup(p):
+        nonlocal a, c, ct, bp
         bit_p = 1 << p
         for y0 in range(0, h, 4):
             sh = min(4, h - y0)
@@ -763,31 +932,44 @@ def t1_decode_block(
                             rlc = False
                             break
                     if rlc:
-                        if not decode(cx, _CTX_RLC):
+                        if not _dec(_CTX_RLC):
                             continue
-                        r = (decode(cx, _CTX_UNI) << 1) | decode(cx, _CTX_UNI)
+                        r = (_dec(_CTX_UNI) << 1) | _dec(_CTX_UNI)
                         y = y0 + r
                         i = y * w + x
-                        ctx, xor = sc_ctx(y, x)
-                        sgn[i] = decode(cx, ctx) ^ xor
+                        k, xor = sc_ctx(y, x)
+                        sgn[i] = _dec(k) ^ xor
                         mark(i, y, x)
                         magf[i] |= bit_p
                         start = r + 1
-                for k in range(start, sh):
-                    y = y0 + k
+                for kk in range(start, sh):
+                    y = y0 + kk
                     i = y * w + x
                     if sig[i] or visited[i]:
                         continue
                     hs, vs, ds = hs_a[i], vs_a[i], ds_a[i]
                     if ds > 4:
                         ds = 4
-                    if decode(cx, zc[(hs * 3 + vs) * 5 + ds]):
-                        ctx, xor = sc_ctx(y, x)
-                        sgn[i] = decode(cx, ctx) ^ xor
+                    k = zc[(hs * 3 + vs) * 5 + ds]
+                    st = cx[k]  # -- inline MQ decode --
+                    qe = mq_qe[st >> 1]
+                    a -= qe
+                    if (c >> 16) < qe:
+                        a, c, ct, bp, bit = _mq_lps(data, a, c, ct, bp, cx, k, st, qe)
+                    else:
+                        c -= qe << 16
+                        if a & 0x8000:
+                            bit = st & 1
+                        else:
+                            a, c, ct, bp, bit = _mq_mps(
+                                data, a, c, ct, bp, cx, k, st, qe
+                            )
+                    if bit:
+                        k, xor = sc_ctx(y, x)
+                        sgn[i] = _dec(k) ^ xor
                         mark(i, y, x)
                         magf[i] |= bit_p
-        for i in range(len(visited)):
-            visited[i] = 0
+        visited[:] = bytes(n)
 
     passes = 0
     p = nbps - 1
