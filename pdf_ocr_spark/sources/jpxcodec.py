@@ -658,6 +658,9 @@ _ZC_LUTS = {band: _zc_lut(band) for band in ("LL", "LH", "HL", "HH")}
 #: tuple unpack per decoded bit)
 _MQ_QE = [row[0] for row in MQ_TABLE]
 
+#: clears bit 1 (visited) of every state byte via bytes.translate
+_CLR_VISITED = bytes(b & ~2 for b in range(256))
+
 
 def _mq_lps(data, a, c, ct, bp, cx, k, st, qe):
     """LPS-threshold branch of the inlined MQ decode (T.88 E.3.2):
@@ -741,37 +744,44 @@ def t1_decode_block(
     """Mirror of :func:`t1_encode_block`: decode ``numpasses`` coding
     passes from ``data`` into an h x w signed coefficient array.
 
-    Decode-side hot-loop structure (the bench-measured EBCOT floor):
-    neighbor significance counts are maintained INCREMENTALLY — each
-    significance event bumps its 8 neighbors' (h, v, d) counters —
-    instead of recomputed per visit (the encoder keeps the readable
-    recompute form in _T1Block; both produce identical contexts), the
-    zero-coding context is a flat LUT on those counters, and the MQ
-    decoder is INLINED into the pass loops (round-7): per decoded bit
-    the common MPS-no-renorm case runs entirely on function locals
-    (state load, one Qe lookup, two compares) with zero calls; only
-    the renorm branches call the module-level :func:`_mq_lps` /
-    :func:`_mq_mps` helpers. Profiling showed ~42% of tier-1 time was
-    MQDecoder.decode call overhead at ~1M calls/page — the same
-    playbook as the round-5 JPEG bit-reader inlining. Context
-    evolution is bit-identical to MQDecoder (pinned by test_jpx
-    round-trips and the shared-oracle bench query)."""
+    Decode-side hot-loop structure (the bench-measured EBCOT floor;
+    the encoder keeps the readable recompute form in _T1Block — both
+    produce identical contexts, pinned by test_jpx round-trips):
+
+    * neighbor significance is ONE packed byte per pixel, maintained
+      incrementally: each significance event bumps its neighbors by
+      +15 (horizontal), +5 (vertical), +1 (diagonal), so the packed
+      value hs*15 + vs*5 + ds IS the zero-coding LUT index directly
+      (ds <= 4 always — there are only four diagonals — so the value
+      caps at 44 and no clamp is needed), and "any significant
+      neighbor" is a single nonzero test;
+    * sig/visited/refined are bits 0/1/2 of one state byte, so the
+      pass skip tests read ONE array (`st & 3` distinguishes all
+      skip cases) and the per-CUP visited reset is a C-speed
+      bytes.translate;
+    * the MQ decoder is INLINED into the pass loops: per decoded bit
+      the common MPS-no-renorm case runs entirely on function locals
+      (state load, one flat-Qe lookup, two compares, zero calls);
+      only the renorm branches call :func:`_mq_lps` / :func:`_mq_mps`
+      (profiling had MQDecoder.decode call overhead at ~42% of tier-1
+      time, ~1M calls/page — the round-5 JPEG bit-reader playbook);
+    * inner loops walk the column index by ``i += w`` instead of
+      recomputing ``y*w + x`` per pixel, and the sign-context helper
+      reads the packed arrays directly (no closure chain).
+    """
     if nbps <= 0 or numpasses <= 0:
         return np.zeros((h, w), dtype=np.int64)
     if nbps > 40:
         raise ValueError("implausible JPEG 2000 bit-plane count %d" % nbps)
-    blk = _T1Block(w, h, band)
     n = w * h
     magf = [0] * n
     cx = _t1_initial_states()
-    sig, visited, refined = blk.sig, blk.visited, blk.refined
-    hs_a = bytearray(n)  # per-pixel significant-neighbor counts
-    vs_a = bytearray(n)
-    ds_a = bytearray(n)
+    st_a = bytearray(n)  # bit0 sig, bit1 visited, bit2 refined
+    nb_a = bytearray(n)  # packed hs*15 + vs*5 + ds == ZC LUT index
+    sgn = bytearray(n)
     zc = _ZC_LUTS[band]
-    sc_ctx = blk._sc_ctx
-    sgn = blk.sgn
     mq_qe = _MQ_QE
+    sc_table = _SC_TABLE
 
     # INITDEC (E.3.5), inlined; pad so BYTEIN is bounds-check-free
     data = bytes(data) + b"\xff\xff"
@@ -793,59 +803,117 @@ def t1_decode_block(
     ct -= 7
     a = 0x8000
 
+    def sc_ctx(y: int, x: int, i: int):
+        """Sign-coding context + XOR bit (Table D.3) from the packed
+        arrays — same contributions as _T1Block._sc_ctx."""
+        hc = 0
+        if x > 0 and st_a[i - 1] & 1:
+            hc += -1 if sgn[i - 1] else 1
+        if x < w - 1 and st_a[i + 1] & 1:
+            hc += -1 if sgn[i + 1] else 1
+        vc = 0
+        if y > 0 and st_a[i - w] & 1:
+            vc += -1 if sgn[i - w] else 1
+        if y < h - 1 and st_a[i + w] & 1:
+            vc += -1 if sgn[i + w] else 1
+        if hc > 1:
+            hc = 1
+        elif hc < -1:
+            hc = -1
+        if vc > 1:
+            vc = 1
+        elif vc < -1:
+            vc = -1
+        return sc_table[(hc, vc)]
+
     def mark(i: int, y: int, x: int) -> None:
-        """Make (y, x) significant: update the neighbors' counters."""
-        sig[i] = 1
+        """Make (y, x) significant: bump the neighbors' packed
+        counters (+15 horizontal, +5 vertical, +1 diagonal)."""
+        st_a[i] |= 1
         x0, x1 = x > 0, x < w - 1
         if x0:
-            hs_a[i - 1] += 1
+            nb_a[i - 1] += 15
         if x1:
-            hs_a[i + 1] += 1
+            nb_a[i + 1] += 15
         if y > 0:
-            vs_a[i - w] += 1
+            nb_a[i - w] += 5
             if x0:
-                ds_a[i - w - 1] += 1
+                nb_a[i - w - 1] += 1
             if x1:
-                ds_a[i - w + 1] += 1
+                nb_a[i - w + 1] += 1
         if y < h - 1:
-            vs_a[i + w] += 1
+            nb_a[i + w] += 5
             if x0:
-                ds_a[i + w - 1] += 1
+                nb_a[i + w - 1] += 1
             if x1:
-                ds_a[i + w + 1] += 1
+                nb_a[i + w + 1] += 1
 
     def spp(p):
         nonlocal a, c, ct, bp
         bit_p = 1 << p
         for y0 in range(0, h, 4):
             ylim = min(y0 + 4, h)
+            base = y0 * w
             for x in range(w):
+                i = base + x
                 for y in range(y0, ylim):
-                    i = y * w + x
-                    if sig[i]:
-                        continue
-                    hs, vs, ds = hs_a[i], vs_a[i], ds_a[i]
-                    if hs + vs + ds == 0:
-                        continue
-                    if ds > 4:
-                        ds = 4
-                    k = zc[(hs * 3 + vs) * 5 + ds]
-                    st = cx[k]  # -- inline MQ decode --
-                    qe = mq_qe[st >> 1]
-                    a -= qe
-                    if (c >> 16) < qe:
-                        a, c, ct, bp, bit = _mq_lps(data, a, c, ct, bp, cx, k, st, qe)
-                    else:
-                        c -= qe << 16
-                        if a & 0x8000:
-                            bit = st & 1
+                    if not st_a[i] & 1:
+                        k = nb_a[i]
+                        if k:
+                            k = zc[k]
+                            st = cx[k]  # -- inline MQ decode --
+                            qe = mq_qe[st >> 1]
+                            a -= qe
+                            if (c >> 16) < qe:
+                                a, c, ct, bp, bit = _mq_lps(
+                                    data, a, c, ct, bp, cx, k, st, qe
+                                )
+                            else:
+                                c -= qe << 16
+                                if a & 0x8000:
+                                    bit = st & 1
+                                else:
+                                    a, c, ct, bp, bit = _mq_mps(
+                                        data, a, c, ct, bp, cx, k, st, qe
+                                    )
+                            st_a[i] |= 2
+                            if bit:
+                                k, xor = sc_ctx(y, x, i)
+                                st = cx[k]  # -- inline MQ decode --
+                                qe = mq_qe[st >> 1]
+                                a -= qe
+                                if (c >> 16) < qe:
+                                    a, c, ct, bp, bit = _mq_lps(
+                                        data, a, c, ct, bp, cx, k, st, qe
+                                    )
+                                else:
+                                    c -= qe << 16
+                                    if a & 0x8000:
+                                        bit = st & 1
+                                    else:
+                                        a, c, ct, bp, bit = _mq_mps(
+                                            data, a, c, ct, bp, cx, k, st, qe
+                                        )
+                                sgn[i] = bit ^ xor
+                                mark(i, y, x)
+                                magf[i] |= bit_p
+                    i += w
+
+    def mrp(p):
+        nonlocal a, c, ct, bp
+        bit_p = 1 << p
+        for y0 in range(0, h, 4):
+            ylim = min(y0 + 4, h)
+            base = y0 * w
+            for x in range(w):
+                i = base + x
+                for _y in range(y0, ylim):
+                    s = st_a[i]
+                    if s & 3 == 1:  # significant, not visited
+                        if s & 4:
+                            k = 16
                         else:
-                            a, c, ct, bp, bit = _mq_mps(
-                                data, a, c, ct, bp, cx, k, st, qe
-                            )
-                    visited[i] = 1
-                    if bit:
-                        k, xor = sc_ctx(y, x)
+                            k = 15 if nb_a[i] else 14
                         st = cx[k]  # -- inline MQ decode --
                         qe = mq_qe[st >> 1]
                         a -= qe
@@ -861,45 +929,14 @@ def t1_decode_block(
                                 a, c, ct, bp, bit = _mq_mps(
                                     data, a, c, ct, bp, cx, k, st, qe
                                 )
-                        sgn[i] = bit ^ xor
-                        mark(i, y, x)
-                        magf[i] |= bit_p
-
-    def mrp(p):
-        nonlocal a, c, ct, bp
-        bit_p = 1 << p
-        for y0 in range(0, h, 4):
-            ylim = min(y0 + 4, h)
-            for x in range(w):
-                for y in range(y0, ylim):
-                    i = y * w + x
-                    if not sig[i] or visited[i]:
-                        continue
-                    if refined[i]:
-                        k = 16
-                    else:
-                        k = 15 if hs_a[i] + vs_a[i] + ds_a[i] > 0 else 14
-                    st = cx[k]  # -- inline MQ decode --
-                    qe = mq_qe[st >> 1]
-                    a -= qe
-                    if (c >> 16) < qe:
-                        a, c, ct, bp, bit = _mq_lps(data, a, c, ct, bp, cx, k, st, qe)
-                    else:
-                        c -= qe << 16
-                        if a & 0x8000:
-                            bit = st & 1
-                        else:
-                            a, c, ct, bp, bit = _mq_mps(
-                                data, a, c, ct, bp, cx, k, st, qe
-                            )
-                    if bit:
-                        magf[i] |= bit_p
-                    refined[i] = 1
+                        if bit:
+                            magf[i] |= bit_p
+                        st_a[i] = s | 4
+                    i += w
 
     def _dec(k):
         """Shared decode for the rare CUP special-path bits (RLC,
-        UNIFORM, sign) — one call per EVENT, not per scanned pixel, so
-        these sites keep the readable call form."""
+        UNIFORM, sign) — one call per EVENT, not per scanned pixel."""
         nonlocal a, c, ct, bp
         st = cx[k]
         qe = mq_qe[st >> 1]
@@ -914,62 +951,62 @@ def t1_decode_block(
         return bit
 
     def cup(p):
-        nonlocal a, c, ct, bp
+        nonlocal a, c, ct, bp, st_a
         bit_p = 1 << p
+        w2, w3 = 2 * w, 3 * w
         for y0 in range(0, h, 4):
             sh = min(4, h - y0)
+            base = y0 * w
             for x in range(w):
                 start = 0
-                if sh == 4:
-                    rlc = True
-                    for y in range(y0, y0 + 4):
-                        i = y * w + x
-                        if (
-                            sig[i]
-                            or visited[i]
-                            or hs_a[i] + vs_a[i] + ds_a[i]
-                        ):
-                            rlc = False
-                            break
-                    if rlc:
-                        if not _dec(_CTX_RLC):
-                            continue
-                        r = (_dec(_CTX_UNI) << 1) | _dec(_CTX_UNI)
-                        y = y0 + r
-                        i = y * w + x
-                        k, xor = sc_ctx(y, x)
-                        sgn[i] = _dec(k) ^ xor
-                        mark(i, y, x)
-                        magf[i] |= bit_p
-                        start = r + 1
-                for kk in range(start, sh):
-                    y = y0 + kk
-                    i = y * w + x
-                    if sig[i] or visited[i]:
+                i0 = base + x
+                if sh == 4 and not (
+                    st_a[i0] & 3
+                    or nb_a[i0]
+                    or st_a[i0 + w] & 3
+                    or nb_a[i0 + w]
+                    or st_a[i0 + w2] & 3
+                    or nb_a[i0 + w2]
+                    or st_a[i0 + w3] & 3
+                    or nb_a[i0 + w3]
+                ):
+                    if not _dec(_CTX_RLC):
                         continue
-                    hs, vs, ds = hs_a[i], vs_a[i], ds_a[i]
-                    if ds > 4:
-                        ds = 4
-                    k = zc[(hs * 3 + vs) * 5 + ds]
-                    st = cx[k]  # -- inline MQ decode --
-                    qe = mq_qe[st >> 1]
-                    a -= qe
-                    if (c >> 16) < qe:
-                        a, c, ct, bp, bit = _mq_lps(data, a, c, ct, bp, cx, k, st, qe)
-                    else:
-                        c -= qe << 16
-                        if a & 0x8000:
-                            bit = st & 1
-                        else:
-                            a, c, ct, bp, bit = _mq_mps(
+                    r = (_dec(_CTX_UNI) << 1) | _dec(_CTX_UNI)
+                    y = y0 + r
+                    i = i0 + r * w
+                    k, xor = sc_ctx(y, x, i)
+                    sgn[i] = _dec(k) ^ xor
+                    mark(i, y, x)
+                    magf[i] |= bit_p
+                    start = r + 1
+                i = i0 + start * w
+                for kk in range(start, sh):
+                    if not st_a[i] & 3:
+                        y = y0 + kk
+                        k = zc[nb_a[i]]
+                        st = cx[k]  # -- inline MQ decode --
+                        qe = mq_qe[st >> 1]
+                        a -= qe
+                        if (c >> 16) < qe:
+                            a, c, ct, bp, bit = _mq_lps(
                                 data, a, c, ct, bp, cx, k, st, qe
                             )
-                    if bit:
-                        k, xor = sc_ctx(y, x)
-                        sgn[i] = _dec(k) ^ xor
-                        mark(i, y, x)
-                        magf[i] |= bit_p
-        visited[:] = bytes(n)
+                        else:
+                            c -= qe << 16
+                            if a & 0x8000:
+                                bit = st & 1
+                            else:
+                                a, c, ct, bp, bit = _mq_mps(
+                                    data, a, c, ct, bp, cx, k, st, qe
+                                )
+                        if bit:
+                            k, xor = sc_ctx(y, x, i)
+                            sgn[i] = _dec(k) ^ xor
+                            mark(i, y, x)
+                            magf[i] |= bit_p
+                    i += w
+        st_a = st_a.translate(_CLR_VISITED)  # C-speed visited reset
 
     passes = 0
     p = nbps - 1
@@ -985,7 +1022,7 @@ def t1_decode_block(
             kind(p)
             passes += 1
     out = np.array(magf, dtype=np.int64).reshape(h, w)
-    signs = np.frombuffer(bytes(blk.sgn), dtype=np.uint8).reshape(h, w)
+    signs = np.frombuffer(bytes(sgn), dtype=np.uint8).reshape(h, w)
     return np.where(signs == 1, -out, out)
 
 
