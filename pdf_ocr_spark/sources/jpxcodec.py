@@ -661,6 +661,20 @@ _MQ_QE = [row[0] for row in MQ_TABLE]
 #: clears bit 1 (visited) of every state byte via bytes.translate
 _CLR_VISITED = bytes(b & ~2 for b in range(256))
 
+#: next context-state byte after an MPS-direction / LPS-direction
+#: update, indexed by the CURRENT state byte ``(index << 1) | mps``;
+#: the LPS table folds in the T.88 SWITCH mps flip, so the renorm
+#: branches inlined in t1_decode_block update ``cx[k]`` with one
+#: flat-list load instead of a MQ_TABLE row unpack
+_MQ_NM = [0] * (2 * len(MQ_TABLE))
+_MQ_NL = [0] * (2 * len(MQ_TABLE))
+for _idx, (_qe, _nmps, _nlps, _switch) in enumerate(MQ_TABLE):
+    for _mps in (0, 1):
+        _st = (_idx << 1) | _mps
+        _MQ_NM[_st] = (_nmps << 1) | _mps
+        _MQ_NL[_st] = (_nlps << 1) | ((1 - _mps) if _switch else _mps)
+del _idx, _qe, _nmps, _nlps, _switch, _mps, _st
+
 
 def _mq_lps(data, a, c, ct, bp, cx, k, st, qe):
     """LPS-threshold branch of the inlined MQ decode (T.88 E.3.2):
@@ -759,12 +773,16 @@ def t1_decode_block(
       pass skip tests read ONE array (`st & 3` distinguishes all
       skip cases) and the per-CUP visited reset is a C-speed
       bytes.translate;
-    * the MQ decoder is INLINED into the pass loops: per decoded bit
-      the common MPS-no-renorm case runs entirely on function locals
-      (state load, one flat-Qe lookup, two compares, zero calls);
-      only the renorm branches call :func:`_mq_lps` / :func:`_mq_mps`
-      (profiling had MQDecoder.decode call overhead at ~42% of tier-1
-      time, ~1M calls/page — the round-5 JPEG bit-reader playbook);
+    * the MQ decoder is FULLY INLINED into the pass loops: per decoded
+      bit the common MPS-no-renorm case runs entirely on function
+      locals (state load, one flat-Qe lookup, two compares, zero
+      calls), and the renorm branches are inlined too — conditional
+      exchange via the precomputed ``_MQ_NM`` / ``_MQ_NL`` next-state
+      tables, then RENORMD+BYTEIN in place (profiling had
+      MQDecoder.decode call overhead at ~42% of tier-1 time, ~1M
+      calls/page — the round-5 JPEG bit-reader playbook; the
+      :func:`_mq_lps` / :func:`_mq_mps` helpers remain for the rare
+      CUP special-path events in :func:`_dec`);
     * inner loops walk the column index by ``i += w`` instead of
       recomputing ``y*w + x`` per pixel, and the sign-context helper
       reads the packed arrays directly (no closure chain).
@@ -781,6 +799,8 @@ def t1_decode_block(
     sgn = bytearray(n)
     zc = _ZC_LUTS[band]
     mq_qe = _MQ_QE
+    mq_nm = _MQ_NM
+    mq_nl = _MQ_NL
     sc_table = _SC_TABLE
 
     # INITDEC (E.3.5), inlined; pad so BYTEIN is bounds-check-free
@@ -861,39 +881,89 @@ def t1_decode_block(
                         k = nb_a[i]
                         if k:
                             k = zc[k]
-                            st = cx[k]  # -- inline MQ decode --
+                            st = cx[k]  # -- inline MQ decode (renorm inline too) --
                             qe = mq_qe[st >> 1]
                             a -= qe
-                            if (c >> 16) < qe:
-                                a, c, ct, bp, bit = _mq_lps(
-                                    data, a, c, ct, bp, cx, k, st, qe
-                                )
-                            else:
+                            if (c >> 16) >= qe and a & 0x8000:
                                 c -= qe << 16
-                                if a & 0x8000:
-                                    bit = st & 1
+                                bit = st & 1
+                            else:
+                                if (c >> 16) < qe:
+                                    if a < qe:
+                                        bit = st & 1
+                                        cx[k] = mq_nm[st]
+                                    else:
+                                        bit = (st & 1) ^ 1
+                                        cx[k] = mq_nl[st]
+                                    a = qe
+                                elif a < qe:
+                                    c -= qe << 16
+                                    bit = (st & 1) ^ 1
+                                    cx[k] = mq_nl[st]
                                 else:
-                                    a, c, ct, bp, bit = _mq_mps(
-                                        data, a, c, ct, bp, cx, k, st, qe
-                                    )
+                                    c -= qe << 16
+                                    bit = st & 1
+                                    cx[k] = mq_nm[st]
+                                while a < 0x8000:  # RENORMD + marker-safe BYTEIN
+                                    if ct == 0:
+                                        if data[bp] == 0xFF:
+                                            if data[bp + 1] > 0x8F:
+                                                c += 0xFF00
+                                                ct = 8
+                                            else:
+                                                bp += 1
+                                                c += data[bp] << 9
+                                                ct = 7
+                                        else:
+                                            bp += 1
+                                            c += data[bp] << 8
+                                            ct = 8
+                                    a += a
+                                    c = (c << 1) & 0xFFFFFFFF
+                                    ct -= 1
                             st_a[i] |= 2
                             if bit:
                                 k, xor = sc_ctx(y, x, i)
-                                st = cx[k]  # -- inline MQ decode --
+                                st = cx[k]  # -- inline MQ decode (renorm inline too) --
                                 qe = mq_qe[st >> 1]
                                 a -= qe
-                                if (c >> 16) < qe:
-                                    a, c, ct, bp, bit = _mq_lps(
-                                        data, a, c, ct, bp, cx, k, st, qe
-                                    )
-                                else:
+                                if (c >> 16) >= qe and a & 0x8000:
                                     c -= qe << 16
-                                    if a & 0x8000:
-                                        bit = st & 1
+                                    bit = st & 1
+                                else:
+                                    if (c >> 16) < qe:
+                                        if a < qe:
+                                            bit = st & 1
+                                            cx[k] = mq_nm[st]
+                                        else:
+                                            bit = (st & 1) ^ 1
+                                            cx[k] = mq_nl[st]
+                                        a = qe
+                                    elif a < qe:
+                                        c -= qe << 16
+                                        bit = (st & 1) ^ 1
+                                        cx[k] = mq_nl[st]
                                     else:
-                                        a, c, ct, bp, bit = _mq_mps(
-                                            data, a, c, ct, bp, cx, k, st, qe
-                                        )
+                                        c -= qe << 16
+                                        bit = st & 1
+                                        cx[k] = mq_nm[st]
+                                    while a < 0x8000:  # RENORMD + marker-safe BYTEIN
+                                        if ct == 0:
+                                            if data[bp] == 0xFF:
+                                                if data[bp + 1] > 0x8F:
+                                                    c += 0xFF00
+                                                    ct = 8
+                                                else:
+                                                    bp += 1
+                                                    c += data[bp] << 9
+                                                    ct = 7
+                                            else:
+                                                bp += 1
+                                                c += data[bp] << 8
+                                                ct = 8
+                                        a += a
+                                        c = (c << 1) & 0xFFFFFFFF
+                                        ct -= 1
                                 sgn[i] = bit ^ xor
                                 mark(i, y, x)
                                 magf[i] |= bit_p
@@ -914,21 +984,46 @@ def t1_decode_block(
                             k = 16
                         else:
                             k = 15 if nb_a[i] else 14
-                        st = cx[k]  # -- inline MQ decode --
+                        st = cx[k]  # -- inline MQ decode (renorm inline too) --
                         qe = mq_qe[st >> 1]
                         a -= qe
-                        if (c >> 16) < qe:
-                            a, c, ct, bp, bit = _mq_lps(
-                                data, a, c, ct, bp, cx, k, st, qe
-                            )
-                        else:
+                        if (c >> 16) >= qe and a & 0x8000:
                             c -= qe << 16
-                            if a & 0x8000:
-                                bit = st & 1
+                            bit = st & 1
+                        else:
+                            if (c >> 16) < qe:
+                                if a < qe:
+                                    bit = st & 1
+                                    cx[k] = mq_nm[st]
+                                else:
+                                    bit = (st & 1) ^ 1
+                                    cx[k] = mq_nl[st]
+                                a = qe
+                            elif a < qe:
+                                c -= qe << 16
+                                bit = (st & 1) ^ 1
+                                cx[k] = mq_nl[st]
                             else:
-                                a, c, ct, bp, bit = _mq_mps(
-                                    data, a, c, ct, bp, cx, k, st, qe
-                                )
+                                c -= qe << 16
+                                bit = st & 1
+                                cx[k] = mq_nm[st]
+                            while a < 0x8000:  # RENORMD + marker-safe BYTEIN
+                                if ct == 0:
+                                    if data[bp] == 0xFF:
+                                        if data[bp + 1] > 0x8F:
+                                            c += 0xFF00
+                                            ct = 8
+                                        else:
+                                            bp += 1
+                                            c += data[bp] << 9
+                                            ct = 7
+                                    else:
+                                        bp += 1
+                                        c += data[bp] << 8
+                                        ct = 8
+                                a += a
+                                c = (c << 1) & 0xFFFFFFFF
+                                ct -= 1
                         if bit:
                             magf[i] |= bit_p
                         st_a[i] = s | 4
@@ -985,21 +1080,46 @@ def t1_decode_block(
                     if not st_a[i] & 3:
                         y = y0 + kk
                         k = zc[nb_a[i]]
-                        st = cx[k]  # -- inline MQ decode --
+                        st = cx[k]  # -- inline MQ decode (renorm inline too) --
                         qe = mq_qe[st >> 1]
                         a -= qe
-                        if (c >> 16) < qe:
-                            a, c, ct, bp, bit = _mq_lps(
-                                data, a, c, ct, bp, cx, k, st, qe
-                            )
-                        else:
+                        if (c >> 16) >= qe and a & 0x8000:
                             c -= qe << 16
-                            if a & 0x8000:
-                                bit = st & 1
+                            bit = st & 1
+                        else:
+                            if (c >> 16) < qe:
+                                if a < qe:
+                                    bit = st & 1
+                                    cx[k] = mq_nm[st]
+                                else:
+                                    bit = (st & 1) ^ 1
+                                    cx[k] = mq_nl[st]
+                                a = qe
+                            elif a < qe:
+                                c -= qe << 16
+                                bit = (st & 1) ^ 1
+                                cx[k] = mq_nl[st]
                             else:
-                                a, c, ct, bp, bit = _mq_mps(
-                                    data, a, c, ct, bp, cx, k, st, qe
-                                )
+                                c -= qe << 16
+                                bit = st & 1
+                                cx[k] = mq_nm[st]
+                            while a < 0x8000:  # RENORMD + marker-safe BYTEIN
+                                if ct == 0:
+                                    if data[bp] == 0xFF:
+                                        if data[bp + 1] > 0x8F:
+                                            c += 0xFF00
+                                            ct = 8
+                                        else:
+                                            bp += 1
+                                            c += data[bp] << 9
+                                            ct = 7
+                                    else:
+                                        bp += 1
+                                        c += data[bp] << 8
+                                        ct = 8
+                                a += a
+                                c = (c << 1) & 0xFFFFFFFF
+                                ct -= 1
                         if bit:
                             k, xor = sc_ctx(y, x, i)
                             sgn[i] = _dec(k) ^ xor
