@@ -560,23 +560,53 @@ def _binary_scan(spark: SparkSession, pattern: str) -> DataFrame:
 
     One scan session is cached per SparkContext (not created per call):
     a long-lived driver issuing many scans would otherwise accumulate
-    JVM-side session state (listeners, conf, catalog) per scan."""
+    JVM-side session state (listeners, conf, catalog) per scan.
+
+    Wave packing: binaryFile bins whole files into splits of
+    ``maxPartitionBytes`` (default 128 MB) counting ``openCostInBytes``
+    (4 MB) per file, so a small fused-fixture corpus lands just above
+    one task wave — e.g. 1.25 waves = a measured ~25% straggler tail
+    on the CPU-bound extraction kernel. When the planned scan yields
+    fewer than 4x-parallelism partitions, re-plan it with a
+    proportionally smaller maxPartitionBytes (quantized to a power of
+    two; one cached session per value, so the bounded-session
+    guarantee holds). Corpora that already fill >= 4 waves — the
+    100 TB case, where split count scales with data — are untouched,
+    keeping the metadata-family scan floor free of extra task-
+    scheduling overhead; binaryFile never splits within a file, so a
+    lowered budget can only split multi-file bins."""
     ctx = spark.sparkContext
-    entry = _SCAN_SESSIONS.get("session")
-    scan_session = None
-    if entry is not None:
-        ctx_ref, cached = entry
-        # weakref key: a GC'd SparkContext can never alias a new one
-        # (id() reuse after GC was the previous, hard-to-hit hazard)
-        if ctx_ref() is ctx:
-            scan_session = cached
-    if scan_session is None:
-        scan_session = spark.newSession()
-        scan_session.conf.set(
+
+    def _session(key: str, mpb: int | None):
+        entry = _SCAN_SESSIONS.get(key)
+        if entry is not None:
+            ctx_ref, cached = entry
+            # weakref key: a GC'd SparkContext can never alias a new
+            # one (id() reuse after GC was the previous hazard)
+            if ctx_ref() is ctx:
+                return cached
+        s = spark.newSession()
+        s.conf.set(
             "spark.sql.sources.parallelPartitionDiscovery.threshold", "100000"
         )
-        _SCAN_SESSIONS["session"] = (weakref.ref(ctx), scan_session)
-    return scan_session.read.format("binaryFile").load(pattern)
+        if mpb is not None:
+            s.conf.set("spark.sql.files.maxPartitionBytes", str(mpb))
+        _SCAN_SESSIONS[key] = (weakref.ref(ctx), s)
+        return s
+
+    df = _session("session", None).read.format("binaryFile").load(pattern)
+    target = 4 * max(1, ctx.defaultParallelism)
+    p0 = df.rdd.getNumPartitions()
+    if 1 < p0 < target:
+        mpb = max(1, (134217728 * p0) // target)
+        mpb = 1 << max(20, mpb.bit_length() - 1)  # quantize, floor 1 MB
+        if mpb < 134217728:
+            df = (
+                _session("session-mpb%d" % mpb, mpb)
+                .read.format("binaryFile")
+                .load(pattern)
+            )
+    return df
 
 
 def read_pdf_pages(
