@@ -1908,6 +1908,140 @@ def q_knn_ivf_trained(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- model-based quality filtering (integer logistic regression) ------------
+
+
+def _sql_cls_ctes(n_iter: int | None = None, prefix: str = "cls") -> str:
+    """The fixed-iteration integer gradient descent of
+    operators/classifier.py, unrolled as DuckDB CTEs over the
+    ``documents`` view — generated from the SAME constants and
+    feature-arithmetic strings as the Spark side, so the two cannot
+    drift. Final CTEs: ``{prefix}feat`` (id, y, x0..x5) and
+    ``{prefix}w{n_iter}`` (w0..w5)."""
+    from pdf_ocr_spark.operators.classifier import (
+        CLS_ITERS,
+        CLS_LR_INV,
+        CLS_TEACHER_FLOOR,
+        _error_expr,
+        feature_arith_exprs,
+    )
+
+    n_iter = CLS_ITERS if n_iter is None else n_iter
+    p = prefix
+    d = 6
+    feats = ", ".join(feature_arith_exprs("//"))
+    margin = " + ".join(f"c.w{j} * f.x{j}" for j in range(d))
+    parts = [
+        f"{p}cnt AS (SELECT doc_id AS id, "
+        f"(CASE WHEN {_sql_quality('text')} >= {CLS_TEACHER_FLOOR} "
+        f"THEN 1 ELSE 0 END)::BIGINT AS y, "
+        f"len(text)::BIGINT AS ln, "
+        f"len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::BIGINT AS pn, "
+        f"{sql_stop_hits('text', 'en')}::BIGINT AS sh, "
+        f"len({sql_tokens('text')})::BIGINT AS tk, "
+        f"len(regexp_replace(text, '[^0-9]', '', 'g'))::BIGINT AS dg "
+        f"FROM documents)",
+        # MATERIALIZED: 3 CTEs per unrolled iteration each reference
+        # clsfeat; inlining would re-open the parquet scan per
+        # reference (measured: fd exhaustion beside a live JVM) and
+        # re-run the regex features n_iter times
+        f"{p}feat AS MATERIALIZED (SELECT id, y, {feats} FROM {p}cnt)",
+        f"{p}n AS (SELECT count(*)::BIGINT AS n FROM {p}feat)",
+        f"{p}w0 AS (SELECT " + ", ".join(f"0::BIGINT AS w{j}" for j in range(d)) + ")",
+    ]
+    err = _error_expr().format(DIV="//")
+    for t in range(1, n_iter + 1):
+        # every per-iteration CTE is MATERIALIZED: w{t} is referenced
+        # twice per level (directly and through g{t+1}), so inlining
+        # would expand the chain 2^n_iter-fold
+        parts.append(
+            f"{p}e{t} AS MATERIALIZED (SELECT f.*, ({err}) AS e FROM ("
+            f"SELECT f.*, ({margin}) AS m "
+            f"FROM {p}feat f CROSS JOIN {p}w{t - 1} c) f)"
+        )
+        parts.append(
+            f"{p}g{t} AS MATERIALIZED (SELECT "
+            + ", ".join(f"CAST(sum(e * x{j}) AS BIGINT) AS g{j}" for j in range(d))
+            + f" FROM {p}e{t})"
+        )
+        parts.append(
+            f"{p}w{t} AS MATERIALIZED (SELECT "
+            + ", ".join(
+                f"w{j} - (g{j} // n) // {CLS_LR_INV} AS w{j}" for j in range(d)
+            )
+            + f" FROM {p}w{t - 1} CROSS JOIN {p}g{t} CROSS JOIN {p}n)"
+        )
+    return ",\n".join(parts)
+
+
+def _cls_train_oracle() -> str:
+    from pdf_ocr_spark.operators.classifier import CLS_FEATURES, CLS_ITERS
+
+    unpivot = " UNION ALL ".join(
+        f"SELECT '{name}' AS feature, w{j} AS weight FROM clsw{CLS_ITERS}"
+        for j, name in enumerate(CLS_FEATURES)
+    )
+    return f"WITH {_sql_cls_ctes()}\n{unpivot}"
+
+
+def _cls_score_oracle() -> str:
+    from pdf_ocr_spark.operators.classifier import CLS_ITERS, CLS_SCALE
+
+    s = CLS_SCALE
+    margin = " + ".join(f"c.w{j} * f.x{j}" for j in range(6))
+    return f"""
+WITH {_sql_cls_ctes()}
+SELECT id AS doc_id, m AS margin,
+       CAST({s // 2} + (m * {s}) // (2 * ({s} + abs(m))) AS BIGINT) AS prob_q,
+       m >= 0 AS admitted
+FROM (SELECT f.id, ({margin}) AS m FROM clsfeat f CROSS JOIN clsw{CLS_ITERS} c)
+"""
+
+
+@_register("quality_classifier_train", _cls_train_oracle())
+def q_quality_classifier_train(spark: SparkSession, sf: str) -> DataFrame:
+    """fastText/CCNet-style model-based quality filtering, step 1:
+    train a linear classifier on weak labels (lang == 'en') from cheap
+    integer text signals, with an EXACT value-hash oracle — the whole
+    gradient-descent loop is fixed-point integer arithmetic (algebraic
+    fast sigmoid, truncating-div updates; operators/classifier.py has
+    the portability argument). Per iteration: one JVM expression
+    projection + one agg collapsing to d+1 longs per partition via
+    map-side combine; the driver applies an O(d) integer update."""
+    from pdf_ocr_spark.operators.classifier import (
+        CLS_FEATURES,
+        train_quality_classifier,
+    )
+
+    docs = load_table(spark, sf, "documents").select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    w = train_quality_classifier(docs)
+    return spark.createDataFrame(
+        list(zip(CLS_FEATURES, w)), "feature string, weight long"
+    )
+
+
+@_register("quality_classifier_score", _cls_score_oracle())
+def q_quality_classifier_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Model-based quality filtering, step 2: score the WHOLE corpus
+    with the trained weights broadcast as literals — one JVM map
+    stage, zero shuffles, the embarrassingly parallel shape the
+    100 TB admission pass needs. Margin, scale-S fast-sigmoid
+    probability, and the >= 0 admission verdict are all bit-exact
+    against the unrolled-SQL oracle."""
+    from pdf_ocr_spark.operators.classifier import (
+        score_documents,
+        train_quality_classifier,
+    )
+
+    docs = load_table(spark, sf, "documents").select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    w = train_quality_classifier(docs)
+    return score_documents(docs, w)
+
+
 @_register(
     "dedup_embedding_cosine",
     f"""
