@@ -2464,6 +2464,137 @@ def q_ordered_quality_export(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("position", "doc_id", "quality")
 
 
+#: token budget per output shard for the shard-manifest operator
+SHARD_TOKEN_BUDGET = 2048
+
+
+@_register(
+    "shard_manifest",
+    f"""
+WITH toks AS (
+  SELECT doc_id, len({sql_tokens('text')})::BIGINT AS n_tokens
+  FROM documents WHERE trim(text) != ''
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM toks
+)
+SELECT ((cum - n_tokens) // {SHARD_TOKEN_BUDGET})::BIGINT AS shard_id,
+       count(*) AS n_docs, sum(n_tokens)::BIGINT AS n_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM c GROUP BY 1
+""",
+)
+def q_shard_manifest(spark: SparkSession, sf: str) -> DataFrame:
+    """WebDataset-style output sharding: assign documents in corpus
+    order to fixed token-budget shards and emit the shard manifest.
+    Shard identity is the EXCLUSIVE global token prefix sum DIV the
+    budget — computed with :func:`global_running_totals`, the
+    range-Exchange prefix-sum operator (weights generalize
+    ordered_quality_export's row positions), so there is no
+    single-task sort and no full-width window Exchange; the only
+    global coordination is P per-partition weight sums. The manifest
+    agg is one keyed exchange of 5 longs per shard."""
+    from pdf_ocr_spark.operators.analysis import token_count_col
+    from pdf_ocr_spark.operators.ordering import global_running_totals
+
+    d = load_table(spark, sf, "documents")
+    toks = d.where(F.trim(F.col("text")) != "").select(
+        "doc_id", token_count_col(F.col("text")).cast("long").alias("n_tokens")
+    )
+    cum = global_running_totals(toks, ["doc_id"], "n_tokens", total_col="cum")
+    return (
+        cum.select(
+            "doc_id",
+            "n_tokens",
+            ((F.col("cum") - F.col("n_tokens")) / SHARD_TOKEN_BUDGET)
+            .cast("long")
+            .alias("shard_id"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+#: target mixture shares (percent) for the data-mixing operator; the
+#: synthetic corpus carries exactly these five language tags
+MIXTURE_TARGET_PCT = {"en": 40, "fr": 15, "es": 15, "de": 15, "zh": 15}
+
+
+def _mixture_values_sql() -> str:
+    return ", ".join(
+        f"('{lang}', {pct}.0)" for lang, pct in sorted(MIXTURE_TARGET_PCT.items())
+    )
+
+
+@_register(
+    "mixture_weights",
+    f"""
+WITH toks AS (
+  SELECT lang, count(*) AS n_docs,
+         sum(len({sql_tokens('text')}))::BIGINT AS n_tokens
+  FROM documents GROUP BY lang
+),
+tgt AS (SELECT * FROM (VALUES {_mixture_values_sql()}) AS t(lang, share)),
+j AS (SELECT toks.lang, n_docs, n_tokens, share FROM toks JOIN tgt ON toks.lang = tgt.lang),
+b AS (SELECT min(n_tokens::DOUBLE * 100.0 / share) AS budget FROM j)
+SELECT lang, n_docs, n_tokens,
+       round(least(1.0, (share * budget) / (100.0 * n_tokens::DOUBLE)), 6) AS sample_rate,
+       CAST(floor((share * budget) / 100.0) AS BIGINT) AS token_budget
+FROM j CROSS JOIN b
+""",
+)
+def q_mixture_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-mixing (DoReMi/Pile-style static mixture balancing):
+    given per-language token totals and a target share table, compute
+    the per-language sampling rate that realizes the target mixture at
+    the largest budget no language oversamples (rate <= 1). Exactness:
+    token totals are integer sums; every float step is a FIXED
+    op-order IEEE double chain (one cast, one multiply, one divide —
+    bit-identical across engines regardless of magnitude), and the
+    budget min is order-independent. Plan: one keyed agg (5 groups), a
+    broadcast join against the literal target table, and a 1-row
+    budget agg broadcast back — control-plane-bounded like bm25's
+    stats row."""
+    d = load_table(spark, sf, "documents")
+    toks = d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count_col(F.col("text")).cast("long")).alias("n_tokens"),
+    )
+    tgt = F.broadcast(
+        d.sparkSession.createDataFrame(
+            sorted((k, float(v)) for k, v in MIXTURE_TARGET_PCT.items()),
+            "lang string, share double",
+        )
+    )
+    j = toks.join(tgt, "lang")
+    budget = j.agg(
+        F.min(F.col("n_tokens").cast("double") * 100.0 / F.col("share")).alias("budget")
+    )
+    return j.crossJoin(F.broadcast(budget)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                (F.col("share") * F.col("budget"))
+                / (F.lit(100.0) * F.col("n_tokens").cast("double")),
+            ),
+            6,
+        ).alias("sample_rate"),
+        F.floor((F.col("share") * F.col("budget")) / 100.0)
+        .cast("long")
+        .alias("token_budget"),
+    )
+
+
 def _pii_sql() -> str:
     """pii_scrub oracle, built from the SAME PII_RULES table the Spark
     kernel uses (plain concatenation — the patterns contain ``%`` and

@@ -6,7 +6,10 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from pdf_ocr_spark.operators.ordering import global_ordered_positions
+from pdf_ocr_spark.operators.ordering import (
+    global_ordered_positions,
+    global_running_totals,
+)
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -38,6 +41,32 @@ def test_range_exchange_no_global_sort(spark):
 
     m = re.search(r"Sort \[[^\]]*\], (\w+), ", plan)
     assert m and m.group(1) == "false", plan[:500]  # partition-local sort
+
+
+def test_running_totals_match_driver_prefix_sum(spark):
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", F.length("text").cast("long").alias("w")
+    )
+    out = {r.doc_id: r.cum for r in global_running_totals(d, ["doc_id"], "w", "cum").collect()}
+    acc, want = 0, {}
+    for doc_id, w in sorted((r.doc_id, r.w) for r in d.collect()):
+        acc += w
+        want[doc_id] = acc
+    assert out == want
+
+
+def test_running_totals_zero_weights_and_empty_partitions(spark):
+    rows = [(i, 0 if i % 2 else i) for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    out = {
+        r.id: r.running_total
+        for r in global_running_totals(df, ["id"], "w", num_partitions=32).collect()
+    }
+    acc, want = 0, {}
+    for i, w in rows:
+        acc += w
+        want[i] = acc
+    assert out == want
 
 
 def test_positions_with_heavy_ties_and_more_partitions_than_rows(spark):
