@@ -2178,6 +2178,27 @@ def _bpe_merges_sql() -> str:
 ORACLE_BPE_SQL = _bpe_merges_sql()
 
 
+def _bpe_apply_sql() -> str:
+    """Corpus-scale tokenizer application: the unrolled training CTEs
+    yield the final merged vocab; the applied word→n_subwords map is
+    recovered from the sentinel strings (word = replace(s,'#',''))."""
+    from pdf_ocr_spark.operators.bpe import BPE_MERGE_ROUNDS
+
+    n = BPE_MERGE_ROUNDS
+    return f"""
+WITH {_sql_bpe_ctes(n)},
+bpevocab AS (SELECT replace(s, '#', '') AS word,
+             len(string_split(substr(s, 3, len(s)-4), '##'))::BIGINT AS n_subwords
+             FROM bpew{n}),
+bpedw AS (SELECT doc_id, word
+          FROM (SELECT doc_id, unnest({sql_tokens('lower(text)')}) AS word
+                FROM documents)
+          WHERE regexp_matches(word, '^[a-z0-9]+$'))
+SELECT doc_id, count(*)::BIGINT AS n_words, sum(v.n_subwords)::BIGINT AS n_subwords
+FROM bpedw JOIN bpevocab v USING (word) GROUP BY doc_id
+"""
+
+
 @_register("bpe_train_merges", ORACLE_BPE_SQL)
 def q_bpe_train_merges(spark: SparkSession, sf: str) -> DataFrame:
     """Distributed BPE vocabulary TRAINING (bpe_token_count tokenizes
@@ -2191,6 +2212,33 @@ def q_bpe_train_merges(spark: SparkSession, sf: str) -> DataFrame:
 
     d = load_table(spark, sf, "documents")
     return bpe_train_merges(d, text_col="text")
+
+
+@_register("bpe_apply_tokens", _bpe_apply_sql())
+def q_bpe_apply_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-scale APPLICATION of the learned BPE merges — the
+    tokenize-everything step that follows training in every LLM data
+    pipeline. BPE merging is a pure function of the word, so the
+    applied tokenizer is materialized ONCE as the vocab-bounded
+    (word, n_subwords) table and applied by a broadcast join against
+    the corpus's exploded words; per doc one keyed agg emits
+    (n_words, n_subwords). At 100 TB the corpus is touched exactly
+    twice (the one-off word count inside training + this tokenize
+    pass) and the join never shuffles the corpus — the vocab
+    broadcasts. Exact oracle: the unrolled training CTEs
+    (ORACLE_BPE_SQL) extended with the vocab join."""
+    from pdf_ocr_spark.operators.analysis import tokens_col
+    from pdf_ocr_spark.operators.bpe import BPE_WORD_RE, bpe_subword_vocab
+
+    d = load_table(spark, sf, "documents")
+    vocab = bpe_subword_vocab(d, text_col="text")
+    dw = d.select(
+        "doc_id", F.explode(tokens_col(F.lower(F.col("text")))).alias("word")
+    ).where(F.col("word").rlike(BPE_WORD_RE))
+    return dw.join(F.broadcast(vocab), "word").groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.sum("n_subwords").alias("n_subwords"),
+    )
 
 
 # --- multimodal (rows-only: no SQL oracle can parse PNG) --------------------

@@ -83,16 +83,14 @@ def _adjacent_pairs(s_col):
     )
 
 
-def bpe_train_merges(
-    df: DataFrame, text_col: str = "text", n_merges: int = BPE_MERGE_ROUNDS
-) -> DataFrame:
-    """Learn ``n_merges`` BPE merges over ``df[text_col]``; returns
-    (merge_round, left_sym, right_sym, pair_count) — the merge table,
-    one row per round in election order. Stops early if no adjacent
-    pair remains (every word fused to one symbol)."""
-    spark = df.sparkSession
+def _train(
+    df: DataFrame, text_col: str, n_merges: int
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Run the fixed-round training loop; returns the merge list AND
+    the final vocab DataFrame (word, s, cnt) with every merge applied
+    — the word→subwords map application joins against."""
     words = word_freq(df, text_col).select(
-        _sym_string(F.col("word")).alias("s"), "cnt"
+        "word", _sym_string(F.col("word")).alias("s"), "cnt"
     )
     words = words.localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int]] = []
@@ -115,9 +113,38 @@ def bpe_train_merges(
                 F.col("s"), F.lit(f"#{l}##{r}#"), F.lit(f"#{l}{r}#")
             ),
         ).localCheckpoint(eager=True)
-    return spark.createDataFrame(
+    return merges, words
+
+
+def bpe_train_merges(
+    df: DataFrame, text_col: str = "text", n_merges: int = BPE_MERGE_ROUNDS
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges over ``df[text_col]``; returns
+    (merge_round, left_sym, right_sym, pair_count) — the merge table,
+    one row per round in election order. Stops early if no adjacent
+    pair remains (every word fused to one symbol)."""
+    merges, _ = _train(df, text_col, n_merges)
+    return df.sparkSession.createDataFrame(
         merges, "merge_round int, left_sym string, right_sym string, pair_count long"
     )
+
+
+def bpe_subword_vocab(
+    df: DataFrame, text_col: str = "text", n_merges: int = BPE_MERGE_ROUNDS
+) -> DataFrame:
+    """Train, then return the APPLIED vocabulary — (word, n_subwords):
+    every trainable word with its subword count under the learned
+    merges. This is the tokenizer-application artifact: because BPE
+    merges are a pure function of the word, corpus-scale tokenization
+    is a broadcast join of this vocab-bounded table against the
+    corpus's exploded words — the corpus is never re-segmented
+    per-occurrence. n_subwords = symbol count of the final sentinel
+    string (``"##ab##c##"`` → 2)."""
+    _, words = _train(df, text_col, n_merges)
+    syms = F.split(
+        F.col("s").substr(F.lit(3), F.length("s") - 4), "##"
+    )
+    return words.select("word", F.size(syms).cast("long").alias("n_subwords"))
 
 
 def apply_merges(word: str, merges: list[tuple[str, str]]) -> list[str]:
