@@ -3648,6 +3648,88 @@ def q_link_graph_all(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _sql_pagerank() -> str:
+    """Fixed-point PageRank, unrolled as DuckDB CTEs — generated from
+    the same constants as operators/pagerank.py. The edge weights are
+    the planted-link multiplicities of sources/webgen.py (per doc: the
+    own site gets the 1+doc_id%4 related links plus /about and
+    /privacy; ads.example.com one; tags.example.com three), identical
+    to what extract_links harvests from the rendered pages."""
+    from pdf_ocr_spark.operators.pagerank import PAGERANK_ITERS, PAGERANK_SCALE
+
+    s = PAGERANK_SCALE
+    parts = [
+        "prel AS (SELECT 'site-' || (doc_id % 7) || '.example.' || "
+        "(['com','org','net','io','co.uk'][doc_id % 5 + 1]) AS src, doc_id "
+        "FROM documents)",
+        "predges AS (SELECT src, dst, sum(w)::BIGINT AS w FROM ("
+        "SELECT src, src AS dst, (3 + doc_id % 4)::BIGINT AS w FROM prel "
+        "UNION ALL SELECT src, 'ads.example.com', 1::BIGINT FROM prel "
+        "UNION ALL SELECT src, 'tags.example.com', 3::BIGINT FROM prel"
+        ") GROUP BY 1, 2)",
+        "prnodes AS (SELECT DISTINCT src AS host FROM predges "
+        "UNION SELECT DISTINCT dst FROM predges)",
+        "prnn AS (SELECT count(*) AS n FROM prnodes)",
+        "prout AS (SELECT src, sum(w)::BIGINT AS outw FROM predges GROUP BY 1)",
+        f"prr0 AS (SELECT host, ({s} // nn.n)::BIGINT AS rank "
+        "FROM prnodes CROSS JOIN prnn nn)",
+    ]
+    for t in range(1, PAGERANK_ITERS + 1):
+        parts.append(
+            f"prc{t} AS (SELECT e.dst AS host, "
+            "sum((r.rank * e.w) // o.outw)::BIGINT AS contrib "
+            f"FROM predges e JOIN prout o ON e.src = o.src "
+            f"JOIN prr{t - 1} r ON r.host = e.src GROUP BY 1)"
+        )
+        parts.append(
+            f"prd{t} AS (SELECT coalesce(sum(r.rank), 0)::BIGINT AS dangle "
+            f"FROM prr{t - 1} r LEFT JOIN prout o ON r.host = o.src "
+            "WHERE o.src IS NULL)"
+        )
+        parts.append(
+            f"prr{t} AS (SELECT n.host, "
+            f"((15 * ({s} // nn.n)) // 100 "
+            f"+ (85 * (coalesce(c.contrib, 0) + d.dangle // nn.n)) // 100)::BIGINT "
+            "AS rank "
+            f"FROM prnodes n LEFT JOIN prc{t} c ON n.host = c.host "
+            f"CROSS JOIN prd{t} d CROSS JOIN prnn nn)"
+        )
+    body = ",\n".join(parts)
+    return f"WITH {body}\nSELECT host, rank FROM prr{PAGERANK_ITERS}"
+
+
+@_register("pagerank_hosts", _sql_pagerank())
+def q_pagerank_hosts(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-point PageRank over the harvested host graph — the
+    crawl-prioritization / per-source quality-prior artifact
+    (CommonCrawl's domain ranking). Src host comes from the page's
+    canonical og:url (extract_metadata), dst hosts from the body's
+    <a href> harvest (extract_links); edges aggregate to one weighted
+    row per (src, dst). The iteration is pure integer fixed-point
+    (operators/pagerank.py — truncating div pinned in the spec), so
+    four rounds are value-hash certified by the unrolled oracle. Plan:
+    two narrow Arrow harvests + one doc-keyed join build the edge
+    table ONCE; each round is a single host-keyed shuffle plus a 1-row
+    dangling-mass broadcast — at 100 TB rank state is host-bounded,
+    never corpus-bounded."""
+    from pdf_ocr_spark.operators.pagerank import pagerank_fixed
+    from pdf_ocr_spark.operators.webextract import extract_links, extract_metadata
+
+    html = _html_corpus(spark, sf)
+    links = extract_links(html).select("doc_id", "href")
+    meta = extract_metadata(html).select("doc_id", "og_url")
+    edges = (
+        links.join(meta, "doc_id")
+        .select(
+            F.parse_url(F.col("og_url"), F.lit("HOST")).alias("src"),
+            F.parse_url(F.col("href"), F.lit("HOST")).alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    return pagerank_fixed(edges)
+
+
 @_register("pdf_extract_text_dct")
 def q_pdf_extract_text_dct(spark: SparkSession, sf: str) -> DataFrame:
     """The same end-to-end pipeline over a **JPEG-scan** corpus: every
