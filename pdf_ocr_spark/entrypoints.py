@@ -3648,6 +3648,73 @@ def q_link_graph_all(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: max documents kept per registrable domain by the diversity cap
+DOMAIN_QUOTA = 20
+
+#: salt fan-out for the two-phase per-domain top-Q (bounds the skew a
+#: mega-domain can put on a single reducer)
+DOMAIN_QUOTA_SALTS = 16
+
+
+@_register(
+    "domain_quota_sample",
+    f"""
+WITH q AS (SELECT doc_id,
+        'example.' || (['com','org','net','io','co.uk'][doc_id % 5 + 1]) AS domain,
+        {_sql_quality('text')} AS quality
+      FROM documents),
+r AS (SELECT domain, doc_id, quality,
+        row_number() OVER (PARTITION BY domain
+                           ORDER BY quality DESC NULLS LAST, doc_id) AS pick_rank
+      FROM q)
+SELECT domain, pick_rank::BIGINT AS pick_rank, doc_id, quality
+FROM r WHERE pick_rank <= {DOMAIN_QUOTA}
+""",
+)
+def q_domain_quota_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-domain diversity cap (the C4/RefinedWeb anti-domination
+    rule): keep at most DOMAIN_QUOTA documents per registrable domain,
+    best-quality first with doc_id tie-break. The domain comes from
+    the page's own og:url through the registrable-domain heuristic
+    (operators/weburl.py), not from trusted input columns. Skew story:
+    a naive window sorts every row of a mega-domain on one reducer;
+    this runs the SALTED two-phase top-Q — phase 1 keeps each (domain,
+    salt) bucket's top Q (a globally top-Q row is top-Q in its bucket,
+    so no survivor is lost), phase 2 ranks only the <= salts*Q
+    survivors per domain. The oracle is the plain window rule — the
+    two plans are value-identical because (quality, doc_id) is a total
+    order."""
+    from pdf_ocr_spark.operators.webextract import extract_metadata
+    from pdf_ocr_spark.operators.weburl import registrable_domain_col
+
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", quality_score_col(F.col("text")).alias("quality")
+    )
+    hosts = extract_metadata(_html_corpus(spark, sf)).select(
+        "doc_id",
+        registrable_domain_col(F.parse_url(F.col("og_url"), F.lit("HOST"))).alias(
+            "domain"
+        ),
+    )
+    j = d.join(hosts, "doc_id")
+    order = [F.col("quality").desc_nulls_last(), F.col("doc_id")]
+    w1 = Window.partitionBy("domain", "salt").orderBy(*order)
+    pre = (
+        j.withColumn(
+            "salt", F.pmod(F.xxhash64("doc_id"), F.lit(DOMAIN_QUOTA_SALTS))
+        )
+        .withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") <= DOMAIN_QUOTA)
+        .drop("salt", "rn")
+    )
+    w2 = Window.partitionBy("domain").orderBy(*order)
+    return (
+        pre.withColumn("pick_rank", F.row_number().over(w2).cast("long"))
+        .where(F.col("pick_rank") <= DOMAIN_QUOTA)
+        .select("domain", "pick_rank", "doc_id", "quality")
+    )
+
+
 def _sql_pagerank() -> str:
     """Fixed-point PageRank, unrolled as DuckDB CTEs — generated from
     the same constants as operators/pagerank.py. The edge weights are
