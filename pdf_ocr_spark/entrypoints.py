@@ -47,6 +47,7 @@ from pdf_ocr_spark.operators.dedup import (
     LSH_ROWS,
     MINHASH_PERMS,
     exact_dedup_groups,
+    incremental_dedup_verdicts,
     minhash_near_dup,
     ngram_jaccard_pairs,
     norm_text_col,
@@ -1313,6 +1314,38 @@ FROM corpus GROUP BY 1 HAVING count(*) > 1
 )
 def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     return exact_dedup_groups(_corpus_df(spark, sf), text_col="text", id_col="id")
+
+
+@_register(
+    "dedup_cross_snapshot",
+    f"""
+WITH {CORPUS_CTE.strip()},
+existing AS (SELECT DISTINCT md5({_NORM_SQL}) AS h FROM corpus WHERE id < 100000),
+incoming AS (SELECT id, md5({_NORM_SQL}) AS h FROM corpus WHERE id >= 100000),
+keep AS (SELECT h, min(id) AS keeper FROM incoming GROUP BY h)
+SELECT i.id,
+       CASE WHEN e.h IS NOT NULL THEN 'dup_of_existing'
+            WHEN i.id != k.keeper THEN 'dup_in_batch'
+            ELSE 'new' END AS verdict
+FROM incoming i JOIN keep k ON i.h = k.h LEFT JOIN existing e ON i.h = e.h
+""",
+)
+def q_dedup_cross_snapshot(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental dedup of a NEW crawl batch against the accepted
+    corpus (operators/dedup.py incremental_dedup_verdicts): the
+    injected rows (id >= 100000) play the incoming snapshot — the
+    exact-dup injections (id >= 200000) must come back
+    ``dup_of_existing``, the near-dup injections survive as ``new``
+    (their text genuinely differs; catching them is the minhash/
+    semantic tier's job, by design). The existing corpus crosses the
+    wire as 16-byte hashes only."""
+    c = _corpus_df(spark, sf)
+    return incremental_dedup_verdicts(
+        c.where(F.col("id") < 100000),
+        c.where(F.col("id") >= 100000),
+        text_col="text",
+        id_col="id",
+    )
 
 
 @_register(

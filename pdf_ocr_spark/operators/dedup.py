@@ -85,6 +85,46 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+def incremental_dedup_verdicts(
+    existing: DataFrame,
+    incoming: DataFrame,
+    text_col: str = "text",
+    id_col: str = "id",
+) -> DataFrame:
+    """Cross-snapshot incremental dedup — the production shape for a
+    continuously-crawled corpus: an incoming batch dedups against the
+    ALREADY-ACCEPTED corpus without ever re-shuffling the old corpus's
+    text. Returns one verdict row per incoming document:
+    ``dup_of_existing`` (normalized hash already accepted),
+    ``dup_in_batch`` (a smaller-id twin arrived in the same batch), or
+    ``new``. Plan: the existing side is projected to its 16-byte hash
+    at the scan (column pruning keeps text out of the exchange), the
+    batch self-dedup is one keyed agg over the (small) batch, and the
+    existing-vs-batch probe is a hash-keyed left join that Spark's
+    runtime bloom filter / DPP can prefilter; nothing is ever
+    corpus × batch."""
+    ex = (
+        existing.select(F.md5(norm_text_col(F.col(text_col))).alias("_h"))
+        .distinct()
+        .withColumn("_seen", F.lit(True))
+    )
+    inc = incoming.select(
+        F.col(id_col), F.md5(norm_text_col(F.col(text_col))).alias("_h")
+    )
+    keep = inc.groupBy("_h").agg(F.min(id_col).alias("_keeper"))
+    return (
+        inc.join(keep, "_h")
+        .join(ex, "_h", "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("_seen").isNotNull(), F.lit("dup_of_existing"))
+            .when(F.col(id_col) != F.col("_keeper"), F.lit("dup_in_batch"))
+            .otherwise(F.lit("new"))
+            .alias("verdict"),
+        )
+    )
+
+
 def minhash_signature_col(text: Column, perms: int = MINHASH_PERMS) -> Column:
     """Array of `perms` MinHash values (min MD5 of salted shingles).
 
