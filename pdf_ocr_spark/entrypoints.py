@@ -3681,6 +3681,66 @@ def q_link_graph_all(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: passage-chunking window (tokens) and stride — stride < window
+#: gives the standard overlapped context windows
+CHUNK_WINDOW = 128
+CHUNK_STRIDE = 96
+
+
+@_register(
+    "passage_chunks",
+    f"""
+WITH t AS (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents),
+s AS (SELECT doc_id, toks, unnest(range(0, len(toks), {CHUNK_STRIDE})) AS start
+      FROM t WHERE len(toks) > 0)
+SELECT doc_id, (start // {CHUNK_STRIDE})::BIGINT AS chunk_id,
+       start::BIGINT AS start_tok,
+       len(toks[start + 1 : start + {CHUNK_WINDOW}])::BIGINT AS n_tokens,
+       array_to_string(toks[start + 1 : start + {CHUNK_WINDOW}], ' ') AS chunk_text
+FROM s
+""",
+)
+def q_passage_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapped passage chunking — the context-window fan-out every
+    pretraining / RAG-indexing pipeline runs before packing or
+    embedding: token windows of CHUNK_WINDOW with CHUNK_STRIDE step
+    (trailing partial window kept). Pure JVM array expressions
+    (sequence → transform → explode) in the scan stage — a narrow
+    1→n fan-out with NO shuffle at any corpus size; the token array is
+    bound once via withColumn (the lambda-CSE pitfall). Spark's
+    sequence() is descending on empty ranges, so zero-token docs are
+    filtered before it evaluates."""
+    from pdf_ocr_spark.operators.analysis import tokens_col
+
+    d = load_table(spark, sf, "documents")
+    toked = d.withColumn("_toks", tokens_col(F.col("text"))).where(
+        F.size("_toks") > 0
+    )
+    starts = F.sequence(
+        F.lit(0), F.size("_toks") - 1, F.lit(CHUNK_STRIDE)
+    )
+    chunks = toked.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                starts,
+                lambda s: F.struct(
+                    (s / CHUNK_STRIDE).cast("long").alias("chunk_id"),
+                    s.cast("long").alias("start_tok"),
+                    F.slice(F.col("_toks"), s + 1, CHUNK_WINDOW).alias("_w"),
+                ),
+            )
+        ).alias("c"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("c.chunk_id"),
+        F.col("c.start_tok"),
+        F.size("c._w").cast("long").alias("n_tokens"),
+        F.array_join("c._w", " ").alias("chunk_text"),
+    )
+
+
 #: max documents kept per registrable domain by the diversity cap
 DOMAIN_QUOTA = 20
 
