@@ -4954,6 +4954,60 @@ def q_dedup_substring_hashed(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_DEDUP_SUBSTRING_REWRITE_SQL = f"""
+WITH corpus AS (
+    SELECT doc_id AS id, {sql_tokens('text')} AS toks FROM documents
+    UNION ALL
+    SELECT doc_id + 100000, {sql_tokens('text')} FROM documents WHERE doc_id % 10 = 0
+),
+w AS (
+    SELECT id, i AS start, array_to_string(toks[i+1:i+15], ' ') AS wt
+    FROM corpus, generate_series(0, 4000) AS g(i)
+    WHERE i + 15 <= len(toks)
+),
+dup AS (
+    SELECT wt, min(struct_pack(i := id, s := start)) AS k
+    FROM w GROUP BY wt HAVING count(DISTINCT id) >= 2
+),
+nk AS (
+    SELECT o.id, o.start FROM w o JOIN dup d ON o.wt = d.wt
+    WHERE NOT (o.id = d.k.i AND o.start = d.k.s)
+),
+pos AS (SELECT DISTINCT id, start + u AS p
+        FROM nk, generate_series(0, 14) AS gg(u)),
+rem AS (SELECT id, list(p) AS plist FROM pos GROUP BY id)
+SELECT c.id AS doc_id, len(c.toks)::BIGINT AS n_tokens,
+       coalesce(len(r.plist), 0)::BIGINT AS n_removed,
+       -- DuckDB's array_to_string([]) is NULL where Spark's
+       -- array_join([]) is '' — coalesce to match
+       coalesce(array_to_string(
+         list_transform(
+           list_filter(range(len(c.toks)),
+                       i -> NOT list_contains(coalesce(r.plist, []), i)),
+           i -> c.toks[i + 1]),
+         ' '), '') AS clean_text
+FROM corpus c LEFT JOIN rem r ON c.id = r.id
+"""
+
+
+@_register("dedup_substring_rewrite", _DEDUP_SUBSTRING_REWRITE_SQL)
+def q_dedup_substring_rewrite(spark: SparkSession, sf: str) -> DataFrame:
+    """The rewrite step Lee et al.'s substring dedup actually ships:
+    excise every token position covered by a corpus-duplicated 15-token
+    run except in the run's single keeper occurrence (global
+    (doc_id, start) struct-min), so exactly one copy of each duplicated
+    passage survives the corpus. Same fixture corpus (and 4000-start
+    oracle cap guard) as the dedup_substring pair; the removal-set
+    explode is bounded by duplicated mass, never corpus size
+    (operators/dedup.py substring_dedup_rewrite)."""
+    from pdf_ocr_spark.operators.dedup import substring_dedup_rewrite
+
+    return substring_dedup_rewrite(
+        _dedup_substring_corpus(spark, sf), window=15, id_col="doc_id",
+        text_col="text",
+    )
+
+
 @_register(
     "multimodal_extract",
     """

@@ -697,6 +697,80 @@ def substring_dup_windows(
     )
 
 
+def substring_dedup_rewrite(
+    df: DataFrame,
+    window: int = 15,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The REWRITE step of exact-substring dedup (Lee et al. remove
+    the duplicated runs, they don't just report them): every token
+    position covered by a corpus-duplicated ``window``-token run is
+    excised, except inside each run's single KEEPER occurrence — the
+    globally smallest (doc_id, start), so exactly one copy of every
+    duplicated passage survives. Returns (doc_id, n_tokens,
+    n_removed, clean_text). Deterministic by construction (keeper
+    election is a struct-min; position sets are exact), hence
+    SQL-oracle certifiable.
+
+    Plan shape: the tokenized base is checkpointed once (windows and
+    the final rewrite both read it); the dup-window election is the
+    same window-keyed agg as :func:`substring_dup_windows`; non-keeper
+    occurrences explode to ≤ window positions each (duplicated-mass
+    bound, not corpus bound); the removal sets come back as one
+    doc-keyed agg and the rewrite is a JVM indexed array filter. At
+    100 TB the window key would be xxhash64-narrowed exactly as in
+    :func:`substring_dup_windows_hashed`."""
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("toks")
+    ).localCheckpoint(eager=True)
+    starts = F.when(
+        F.size("toks") >= window,
+        F.sequence(F.lit(0), F.size("toks") - F.lit(window)),
+    ).otherwise(F.array().cast("array<int>"))
+    wins = toks.select(
+        "id",
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.struct(
+                    i.alias("start"),
+                    F.array_join(F.slice("toks", i + 1, window), " ").alias("wt"),
+                ),
+            )
+        ).alias("w"),
+    ).select("id", F.col("w.start").alias("start"), F.col("w.wt").alias("wt"))
+    dup = (
+        wins.groupBy("wt")
+        .agg(
+            F.countDistinct("id").alias("n_docs"),
+            F.min(F.struct(F.col("id").alias("i"), F.col("start").alias("s"))).alias(
+                "k"
+            ),
+        )
+        .where(F.col("n_docs") >= 2)
+        .select("wt", "k")
+    )
+    nonkeep = wins.join(dup, "wt").where(
+        ~((F.col("id") == F.col("k.i")) & (F.col("start") == F.col("k.s")))
+    )
+    pos = nonkeep.select(
+        "id", F.explode(F.sequence(F.col("start"), F.col("start") + window - 1)).alias("p")
+    ).distinct()
+    rem = pos.groupBy("id").agg(F.sort_array(F.collect_set("p")).alias("plist"))
+    out = toks.join(rem, "id", "left").withColumn(
+        "plist", F.coalesce(F.col("plist"), F.array().cast("array<int>"))
+    )
+    return out.select(
+        F.col("id").alias(id_col),
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size("plist").cast("long").alias("n_removed"),
+        F.array_join(
+            F.filter("toks", lambda _t, i: ~F.array_contains("plist", i)), " "
+        ).alias("clean_text"),
+    )
+
+
 def substring_dup_windows_hashed(
     df: DataFrame,
     window: int = 15,
