@@ -135,6 +135,16 @@ BENCH_QUERIES = [
     "bpe_train_merges",
     "ordered_quality_export",
     "curate_to_packed",
+    "quality_classifier_train",
+    "quality_classifier_score",
+    "bpe_apply_tokens",
+    "pagerank_hosts",
+    "domain_quota_sample",
+    "shard_manifest",
+    "mixture_weights",
+    "passage_chunks",
+    "dedup_cross_snapshot",
+    "dedup_substring_rewrite",
 ]
 
 # RUN order (above) keeps python-kernel queries first for timing
