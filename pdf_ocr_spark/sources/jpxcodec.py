@@ -752,6 +752,26 @@ def _mq_mps(data, a, c, ct, bp, cx, k, st, qe):
             return a, c, ct, bp, bit
 
 
+#: flat indices of a w×h block in EBCOT stripe scan order (4-row
+#: stripes, column-major within a stripe), cached per geometry — code
+#: blocks are almost always 64×64, so this computes once per process
+_SCAN_ORDER_CACHE: dict = {}
+
+
+def _scan_order(w: int, h: int) -> np.ndarray:
+    so = _SCAN_ORDER_CACHE.get((w, h))
+    if so is None:
+        idx = []
+        for y0 in range(0, h, 4):
+            ylim = min(y0 + 4, h)
+            for x in range(w):
+                for y in range(y0, ylim):
+                    idx.append(y * w + x)
+        so = np.asarray(idx, dtype=np.int64)
+        _SCAN_ORDER_CACHE[(w, h)] = so
+    return so
+
+
 def t1_decode_block(
     data: bytes, w: int, h: int, band: str, numpasses: int, nbps: int
 ) -> np.ndarray:
@@ -970,64 +990,66 @@ def t1_decode_block(
                     i += w
 
     def mrp(p):
+        # Unlike SPP/CUP, MRP's visit set — significant and not
+        # visited, `st & 3 == 1` — is FIXED at pass start (MRP sets
+        # only the refined bit), so the stripe-order scan can be one
+        # vectorized numpy select over the state bytes instead of an
+        # interpreted h×w loop; the per-candidate decode below is
+        # byte-identical to the scanning form (profiling had the dead
+        # scan at ~40% of tier-1 time on sparse text rasters).
         nonlocal a, c, ct, bp
         bit_p = 1 << p
-        for y0 in range(0, h, 4):
-            ylim = min(y0 + 4, h)
-            base = y0 * w
-            for x in range(w):
-                i = base + x
-                for _y in range(y0, ylim):
-                    s = st_a[i]
-                    if s & 3 == 1:  # significant, not visited
-                        if s & 4:
-                            k = 16
-                        else:
-                            k = 15 if nb_a[i] else 14
-                        st = cx[k]  # -- inline MQ decode (renorm inline too) --
-                        qe = mq_qe[st >> 1]
-                        a -= qe
-                        if (c >> 16) >= qe and a & 0x8000:
-                            c -= qe << 16
-                            bit = st & 1
-                        else:
-                            if (c >> 16) < qe:
-                                if a < qe:
-                                    bit = st & 1
-                                    cx[k] = mq_nm[st]
-                                else:
-                                    bit = (st & 1) ^ 1
-                                    cx[k] = mq_nl[st]
-                                a = qe
-                            elif a < qe:
-                                c -= qe << 16
-                                bit = (st & 1) ^ 1
-                                cx[k] = mq_nl[st]
+        arr = np.frombuffer(st_a, dtype=np.uint8)
+        so = _scan_order(w, h)
+        for i in so[(arr[so] & 3) == 1].tolist():
+            s = st_a[i]
+            if s & 4:
+                k = 16
+            else:
+                k = 15 if nb_a[i] else 14
+            st = cx[k]  # -- inline MQ decode (renorm inline too) --
+            qe = mq_qe[st >> 1]
+            a -= qe
+            if (c >> 16) >= qe and a & 0x8000:
+                c -= qe << 16
+                bit = st & 1
+            else:
+                if (c >> 16) < qe:
+                    if a < qe:
+                        bit = st & 1
+                        cx[k] = mq_nm[st]
+                    else:
+                        bit = (st & 1) ^ 1
+                        cx[k] = mq_nl[st]
+                    a = qe
+                elif a < qe:
+                    c -= qe << 16
+                    bit = (st & 1) ^ 1
+                    cx[k] = mq_nl[st]
+                else:
+                    c -= qe << 16
+                    bit = st & 1
+                    cx[k] = mq_nm[st]
+                while a < 0x8000:  # RENORMD + marker-safe BYTEIN
+                    if ct == 0:
+                        if data[bp] == 0xFF:
+                            if data[bp + 1] > 0x8F:
+                                c += 0xFF00
+                                ct = 8
                             else:
-                                c -= qe << 16
-                                bit = st & 1
-                                cx[k] = mq_nm[st]
-                            while a < 0x8000:  # RENORMD + marker-safe BYTEIN
-                                if ct == 0:
-                                    if data[bp] == 0xFF:
-                                        if data[bp + 1] > 0x8F:
-                                            c += 0xFF00
-                                            ct = 8
-                                        else:
-                                            bp += 1
-                                            c += data[bp] << 9
-                                            ct = 7
-                                    else:
-                                        bp += 1
-                                        c += data[bp] << 8
-                                        ct = 8
-                                a += a
-                                c = (c << 1) & 0xFFFFFFFF
-                                ct -= 1
-                        if bit:
-                            magf[i] |= bit_p
-                        st_a[i] = s | 4
-                    i += w
+                                bp += 1
+                                c += data[bp] << 9
+                                ct = 7
+                        else:
+                            bp += 1
+                            c += data[bp] << 8
+                            ct = 8
+                    a += a
+                    c = (c << 1) & 0xFFFFFFFF
+                    ct -= 1
+            if bit:
+                magf[i] |= bit_p
+            st_a[i] = s | 4
 
     def _dec(k):
         """Shared decode for the rare CUP special-path bits (RLC,
