@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "passage_chunks",
     "dedup_cross_snapshot",
     "dedup_substring_rewrite",
+    "source_prior_quality",
 ]
 
 # RUN order (above) keeps python-kernel queries first for timing

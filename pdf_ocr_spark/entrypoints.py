@@ -3890,6 +3890,67 @@ def q_pagerank_hosts(spark: SparkSession, sf: str) -> DataFrame:
     return pagerank_fixed(edges)
 
 
+def extract_metadata_hosts(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, host) from each page's own og:url — the honest
+    extraction path shared by pagerank_hosts and the prior query."""
+    from pdf_ocr_spark.operators.webextract import extract_metadata
+
+    return extract_metadata(_html_corpus(spark, sf)).select(
+        "doc_id", F.parse_url(F.col("og_url"), F.lit("HOST")).alias("host")
+    )
+
+
+def _sql_source_prior() -> str:
+    """pagerank_hosts' unrolled CTEs re-used as a prior joined back to
+    every document: host from the doc_id site formula, quality from
+    the shared _sql_quality blend, combined score in ONE fixed-order
+    float chain (cast, divide, multiply, round) so the hash is
+    engine-portable."""
+    from pdf_ocr_spark.operators.pagerank import PAGERANK_ITERS, PAGERANK_SCALE
+
+    pr = _sql_pagerank()
+    body = pr[len("WITH ") : pr.rindex("\nSELECT")]
+    return f"""
+WITH {body},
+prq AS (SELECT doc_id,
+        'site-' || (doc_id % 7) || '.example.' || (['com','org','net','io','co.uk'][doc_id % 5 + 1]) AS host,
+        {_sql_quality('text')} AS quality
+        FROM documents)
+SELECT q.doc_id, q.host, q.quality, r.rank AS host_rank,
+       round(q.quality * (r.rank::DOUBLE / {PAGERANK_SCALE}.0), 9) AS source_weighted_score
+FROM prq q JOIN prr{PAGERANK_ITERS} r ON q.host = r.host
+"""
+
+
+@_register("source_prior_quality", _sql_source_prior())
+def q_source_prior_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """The ranking artifact actually FEEDING curation — per-document
+    admission scoring weighted by the source's PageRank prior (how
+    CommonCrawl's domain ranks are consumed): train the host ranks
+    once (host-bounded), then BROADCAST the rank table back onto the
+    corpus keyed by the document's own og:url host; the combined score
+    is one fixed-op-order float chain. At 100 TB the corpus-side plan
+    is scan → broadcast join → projection: zero corpus shuffles."""
+    from pdf_ocr_spark.operators.pagerank import PAGERANK_SCALE
+
+    ranks = q_pagerank_hosts(spark, sf).withColumnRenamed("rank", "host_rank")
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", quality_score_col(F.col("text")).alias("quality")
+    )
+    docs = d.join(extract_metadata_hosts(spark, sf), "doc_id")
+    return docs.join(F.broadcast(ranks), "host").select(
+        "doc_id",
+        "host",
+        "quality",
+        "host_rank",
+        F.round(
+            F.col("quality")
+            * (F.col("host_rank").cast("double") / F.lit(float(PAGERANK_SCALE))),
+            9,
+        ).alias("source_weighted_score"),
+    )
+
+
 @_register("pdf_extract_text_dct")
 def q_pdf_extract_text_dct(spark: SparkSession, sf: str) -> DataFrame:
     """The same end-to-end pipeline over a **JPEG-scan** corpus: every
