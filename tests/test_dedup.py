@@ -184,3 +184,54 @@ def test_substring_dup_windows_semantics(spark):
     for r in out:
         assert r["n_docs"] == 2 and r["n_occurrences"] == 2
         assert r["window_text"].split(" ")[0].startswith("tok")
+
+
+def test_incremental_dedup_verdict_taxonomy(spark):
+    """All three verdicts, including the within-batch duplicate the
+    registered fixture never produces (its injected texts are unique
+    inside the batch); whitespace/case differences must still hash
+    together through the normalization."""
+    from pdf_ocr_spark.operators.dedup import incremental_dedup_verdicts
+
+    existing = spark.createDataFrame(
+        [(1, "shared corpus text"), (2, "old only")], "id long, text string"
+    )
+    incoming = spark.createDataFrame(
+        [
+            (10, "  SHARED   corpus TEXT "),  # normalizes onto id 1
+            (11, "fresh document"),
+            (12, "twin inside batch"),
+            (13, "twin  INSIDE   batch"),  # same normalized text as 12
+        ],
+        "id long, text string",
+    )
+    got = {
+        r.id: r.verdict
+        for r in incremental_dedup_verdicts(existing, incoming).collect()
+    }
+    assert got == {
+        10: "dup_of_existing",
+        11: "new",
+        12: "new",
+        13: "dup_in_batch",
+    }
+
+
+def test_substring_rewrite_keeper_semantics(spark):
+    """A full-copy doc is fully excised while the keeper copy survives
+    verbatim; docs without duplicated runs pass through unchanged."""
+    from pdf_ocr_spark.operators.dedup import substring_dedup_rewrite
+
+    shared = " ".join(f"tok{i}" for i in range(15))
+    df = spark.createDataFrame(
+        [
+            (1, shared),  # keeper (smallest doc_id)
+            (2, shared),  # full copy -> fully excised
+            (3, "independent words that never repeat anywhere else ok"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in substring_dedup_rewrite(df, window=15).collect()}
+    assert out[1].n_removed == 0 and out[1].clean_text == shared
+    assert out[2].n_removed == 15 and out[2].clean_text == ""
+    assert out[3].n_removed == 0 and out[3].clean_text.startswith("independent")
