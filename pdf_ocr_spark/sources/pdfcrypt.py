@@ -322,15 +322,8 @@ def aes128_cbc_decrypt(key: bytes, data: bytes) -> bytes:
         raise ValueError("AESV2 needs a 16-byte key")
     if len(data) < 32 or len(data) % 16:
         raise ValueError("AES-CBC stream has invalid length")
-    _, dk, nr = _key_schedules(key)
     iv, body = data[:16], data[16:]
-    out = bytearray()
-    prev = iv
-    for i in range(0, len(body), 16):
-        block = body[i : i + 16]
-        plain = _decrypt_block_words(dk, nr, block)
-        out += bytes(a ^ b for a, b in zip(plain, prev))
-        prev = block
+    out = _aes_cbc_nopad(key, iv, body, decrypt=True)
     pad = out[-1]
     if not 1 <= pad <= 16 or out[-pad:] != bytes([pad]) * pad:
         raise ValueError("bad AES-CBC padding (wrong key or corrupt stream)")
@@ -340,16 +333,9 @@ def aes128_cbc_decrypt(key: bytes, data: bytes) -> bytes:
 def aes128_cbc_encrypt(key: bytes, data: bytes, iv: bytes) -> bytes:
     if len(key) != 16 or len(iv) != 16:
         raise ValueError("AESV2 needs 16-byte key and IV")
-    ek, _, nr = _key_schedules(key)
     pad = 16 - len(data) % 16
     body = data + bytes([pad]) * pad
-    out = bytearray(iv)
-    prev = iv
-    for i in range(0, len(body), 16):
-        block = bytes(a ^ b for a, b in zip(body[i : i + 16], prev))
-        prev = _encrypt_block_words(ek, nr, block)
-        out += prev
-    return bytes(out)
+    return iv + _aes_cbc_nopad(key, iv, body, decrypt=False)
 
 
 # ---------------------------------------------------------------------------
@@ -360,11 +346,98 @@ def aes128_cbc_encrypt(key: bytes, data: bytes, iv: bytes) -> bytes:
 # ---------------------------------------------------------------------------
 
 
+#: Lazily probed libcrypto handle: ``None`` = not yet probed,
+#: ``False`` = unavailable (pure-Python path), else the CDLL. The
+#: stdlib already routes this module's SHA-2 calls through the
+#: platform libcrypto (hashlib); the AES side of the R6 KDF does the
+#: same via ctypes — the KDF is deliberately iteration-hardened
+#: (Algorithm 2.B: 64+ rounds of AES-CBC over a 64x-repeated block),
+#: which at interpreter speed costs ~1 s per encrypted file and
+#: dominated every metadata-tier scan over corpora with an /AESV3
+#: minority share.
+_EVP_LIB = None
+
+
+def _evp_lib():
+    global _EVP_LIB
+    if _EVP_LIB is None:
+        _EVP_LIB = False
+        try:
+            import ctypes
+            import ctypes.util
+
+            name = ctypes.util.find_library("crypto")
+            lib = ctypes.CDLL(name or "libcrypto.so.3")
+            c_void_p, c_char_p, c_int = (
+                ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
+            )
+            lib.EVP_CIPHER_CTX_new.restype = c_void_p
+            lib.EVP_CIPHER_CTX_free.argtypes = [c_void_p]
+            lib.EVP_aes_128_cbc.restype = c_void_p
+            lib.EVP_aes_256_cbc.restype = c_void_p
+            lib.EVP_CipherInit_ex.argtypes = [
+                c_void_p, c_void_p, c_void_p, c_char_p, c_char_p, c_int,
+            ]
+            lib.EVP_CipherInit_ex.restype = c_int
+            lib.EVP_CIPHER_CTX_set_padding.argtypes = [c_void_p, c_int]
+            lib.EVP_CIPHER_CTX_set_padding.restype = c_int
+            lib.EVP_CipherUpdate.argtypes = [
+                c_void_p, c_char_p, ctypes.POINTER(c_int), c_char_p, c_int,
+            ]
+            lib.EVP_CipherUpdate.restype = c_int
+            # trust the library only after it reproduces the FIPS-197
+            # reference core on both key sizes and both directions
+            k16, k32 = bytes(range(16)), bytes(range(32))
+            iv, msg = bytes(range(16, 32)), bytes(range(48, 112))
+            for key in (k16, k32):
+                enc = _aes_cbc_nopad_py(key, iv, msg, decrypt=False)
+                if _evp_cbc(lib, key, iv, msg, True) != enc:
+                    raise OSError("EVP encrypt probe mismatch")
+                if _evp_cbc(lib, key, iv, enc, False) != msg:
+                    raise OSError("EVP decrypt probe mismatch")
+            _EVP_LIB = lib
+        except Exception:
+            _EVP_LIB = False
+    return _EVP_LIB
+
+
+def _evp_cbc(lib, key: bytes, iv: bytes, data: bytes, encrypt: bool) -> bytes:
+    import ctypes
+
+    ctx = lib.EVP_CIPHER_CTX_new()
+    if not ctx:
+        raise OSError("EVP_CIPHER_CTX_new failed")
+    try:
+        cipher = lib.EVP_aes_128_cbc() if len(key) == 16 else lib.EVP_aes_256_cbc()
+        if not lib.EVP_CipherInit_ex(ctx, cipher, None, key, iv, 1 if encrypt else 0):
+            raise OSError("EVP_CipherInit_ex failed")
+        lib.EVP_CIPHER_CTX_set_padding(ctx, 0)
+        out = ctypes.create_string_buffer(len(data))
+        outl = ctypes.c_int(0)
+        if not lib.EVP_CipherUpdate(ctx, out, ctypes.byref(outl), data, len(data)):
+            raise OSError("EVP_CipherUpdate failed")
+        if outl.value != len(data):
+            raise OSError("EVP_CipherUpdate length mismatch")
+        return out.raw
+    finally:
+        lib.EVP_CIPHER_CTX_free(ctx)
+
+
 def _aes_cbc_nopad(key: bytes, iv: bytes, data: bytes, decrypt: bool) -> bytes:
     """Raw AES-CBC without padding (the R6 KDF and /UE //OE //Perms
-    shapes are all exact multiples of 16)."""
+    shapes are all exact multiples of 16). Routed through the platform
+    libcrypto when loadable (see :func:`_evp_lib`); the FIPS-197
+    T-table core below is the always-available fallback and the
+    reference the EVP path is probed against."""
     if len(data) % 16:
         raise ValueError("AES-CBC (no pad) needs whole blocks")
+    lib = _evp_lib()
+    if lib is not False and len(key) in (16, 32):
+        return _evp_cbc(lib, key, iv, data, not decrypt)
+    return _aes_cbc_nopad_py(key, iv, data, decrypt)
+
+
+def _aes_cbc_nopad_py(key: bytes, iv: bytes, data: bytes, decrypt: bool) -> bytes:
     ek, dk, nr = _key_schedules(key)
     out = bytearray()
     prev = iv
@@ -425,13 +498,18 @@ def file_key_r6(
     required') when it matches neither — the typed-error contract."""
     if len(u) < 48 or len(o) < 48:
         raise ValueError("R6 /U and /O entries must be 48 bytes")
-    # owner check first, per the spec's ordering (O hashes over U)
-    if hash_r6(password, o[32:40], u[:48]) == o[:32]:
-        ik = hash_r6(password, o[40:48], u[:48])
-        return _aes_cbc_nopad(ik, b"\x00" * 16, oe[:32], decrypt=True)
+    # User check first: a password that authenticates in both roles
+    # decrypts the SAME file key from either /UE or /OE, so check
+    # order cannot change the result — and the overwhelmingly common
+    # shape ("encrypted but freely readable", empty user password)
+    # then costs two KDF invocations instead of three (the owner
+    # validation hash, which such files always fail, is skipped).
     if hash_r6(password, u[32:40]) == u[:32]:
         ik = hash_r6(password, u[40:48])
         return _aes_cbc_nopad(ik, b"\x00" * 16, ue[:32], decrypt=True)
+    if hash_r6(password, o[32:40], u[:48]) == o[:32]:
+        ik = hash_r6(password, o[40:48], u[:48])
+        return _aes_cbc_nopad(ik, b"\x00" * 16, oe[:32], decrypt=True)
     raise ValueError("password required (standard security handler)")
 
 
