@@ -544,7 +544,7 @@ def write_pdf_corpus(
     )
 
 
-def _binary_scan(spark: SparkSession, pattern: str) -> DataFrame:
+def _binary_scan(spark: SparkSession, pattern: str, light: bool = False) -> DataFrame:
     """binaryFile scan with driver-side file listing. Above 32 files
     Spark launches a parallel-listing job with one task per file —
     measured seconds of pure scheduling for hundreds of tiny local
@@ -595,7 +595,33 @@ def _binary_scan(spark: SparkSession, pattern: str) -> DataFrame:
         return s
 
     df = _session("session", None).read.format("binaryFile").load(pattern)
-    target = 4 * max(1, ctx.defaultParallelism)
+    par = max(1, ctx.defaultParallelism)
+    if light:
+        # Light (metadata-tier) kernels cost well under a millisecond
+        # per file, so the fixed per-task cost of a python stage
+        # (~10 ms: worker handshake + Arrow setup) dominates when
+        # openCostInBytes (4 MB/file) — not real bytes — inflates the
+        # partition count of a tiny-file corpus. Detect that regime by
+        # REAL corpus bytes (one ContentSummary call): when the whole
+        # corpus fits inside one wave of default-size splits, coalesce
+        # (narrow, no shuffle) to one task per core. A corpus whose
+        # bytes genuinely need many splits — the 100 TB case — is
+        # untouched, keeping the scan's balance properties.
+        try:
+            jvm = spark._jvm
+            jpath = jvm.org.apache.hadoop.fs.Path(os.path.dirname(pattern))
+            fs = jpath.getFileSystem(ctx._jsc.hadoopConfiguration())
+            total_bytes = fs.getContentSummary(jpath).getLength()
+        except Exception:
+            total_bytes = None
+        if (
+            total_bytes is not None
+            and total_bytes <= par * 134217728
+            and df.rdd.getNumPartitions() > par
+        ):
+            df = df.coalesce(par)
+        return df
+    target = 4 * par
     p0 = df.rdd.getNumPartitions()
     if 1 < p0 < target:
         mpb = max(1, (134217728 * p0) // target)
@@ -653,7 +679,7 @@ def read_pdf_pages(
 def pdf_page_counts(spark: SparkSession, pdf_dir: str) -> DataFrame:
     """Metadata-only page counting: reads /Count from the pages tree,
     no raster decode — the cheap scan (reference app.py:415-430)."""
-    bf = _binary_scan(spark, os.path.join(pdf_dir, "*.pdf"))
+    bf = _binary_scan(spark, os.path.join(pdf_dir, "*.pdf"), light=True)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pdf_ocr_spark.sources.pdfcodec import page_count
@@ -681,7 +707,7 @@ def read_pdf_info(spark: SparkSession, pdf_dir: str) -> DataFrame:
     extraction. One narrow Arrow stage over the binaryFile scan; a
     malformed file yields a row of NULLs rather than failing the
     partition (the error-as-row contract, reference app.py:486-493)."""
-    bf = _binary_scan(spark, os.path.join(pdf_dir, "*.pdf"))
+    bf = _binary_scan(spark, os.path.join(pdf_dir, "*.pdf"), light=True)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pdf_ocr_spark.sources.pdfcodec import pdf_info
@@ -720,7 +746,7 @@ def read_pdf_links(spark: SparkSession, pdf_dir: str) -> DataFrame:
     edges: uri carries the remote file, to_page the remote page
     number). Narrow Arrow stage, no raster decode; malformed files
     contribute no rows."""
-    bf = _binary_scan(spark, os.path.join(pdf_dir, "*.pdf"))
+    bf = _binary_scan(spark, os.path.join(pdf_dir, "*.pdf"), light=True)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pdf_ocr_spark.sources.pdfcodec import pdf_links
@@ -759,7 +785,7 @@ def read_pdf_attachments(
     pipeline runs over invoice/portfolio PDFs. Narrow Arrow stage, no
     raster decode; contents decode as UTF-8 text (replacement chars
     for binary payloads); malformed files contribute no rows."""
-    bf = _binary_scan(spark, os.path.join(pdf_dir, "*.pdf"))
+    bf = _binary_scan(spark, os.path.join(pdf_dir, "*.pdf"), light=True)
     pw = password.encode()
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -793,7 +819,7 @@ def read_pdf_form_fields(
     /Fields order — the structured-data pass an ingestion pipeline
     runs over application/invoice PDFs. Narrow Arrow stage, no raster
     decode; malformed files contribute no rows."""
-    bf = _binary_scan(spark, os.path.join(pdf_dir, "*.pdf"))
+    bf = _binary_scan(spark, os.path.join(pdf_dir, "*.pdf"), light=True)
     pw = password.encode()
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -827,7 +853,7 @@ def read_pdf_outline(
     pre-order — the table-of-contents pass a document-understanding
     pipeline runs for section segmentation. Narrow Arrow stage, no
     raster decode; malformed files contribute no rows."""
-    bf = _binary_scan(spark, os.path.join(pdf_dir, "*.pdf"))
+    bf = _binary_scan(spark, os.path.join(pdf_dir, "*.pdf"), light=True)
     pw = password.encode()
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -867,7 +893,7 @@ def read_pdf_profiles(
     signal. A file any harvest rejects yields NULLs for that signal
     rather than dropping the row; a file the loader rejects yields a
     row of NULLs with doc_id set (error-as-row)."""
-    bf = _binary_scan(spark, os.path.join(pdf_dir, "*.pdf"))
+    bf = _binary_scan(spark, os.path.join(pdf_dir, "*.pdf"), light=True)
     kernel, schema = profile_kernel(password)
     return bf.select("path", "content").mapInPandas(kernel, schema=schema)
 
