@@ -1239,7 +1239,10 @@ def pdf_info(data: bytes, password: bytes = b"") -> dict:
     cipher). UTF-16BE (BOM) text strings decode per §7.9.2.2."""
     if not data.startswith(b"%PDF-"):
         raise ValueError("not a PDF (missing %PDF- header)")
-    body, trailer, decrypt = _load(data, password)
+    return _pdf_info_loaded(*_load(data, password))
+
+
+def _pdf_info_loaded(body, trailer: bytes, decrypt) -> dict:
     out = {
         "title": None, "author": None, "producer": None,
         "created": None, "xmp_title": None,
@@ -1362,7 +1365,12 @@ def pdf_links(
     stream's own encryption)."""
     if not data.startswith(b"%PDF-"):
         raise ValueError("not a PDF (missing %PDF- header)")
-    body, trailer, decrypt = _load(data, password)
+    return _pdf_links_loaded(*_load(data, password))
+
+
+def _pdf_links_loaded(
+    body, trailer: bytes, decrypt
+) -> list[tuple[int, str, str | None, int | None]]:
     str_decrypt = None
     if decrypt is not None:
         ed = _dict_of(body(_ref(trailer, b"Encrypt")))
@@ -1468,7 +1476,12 @@ def pdf_attachments(data: bytes, password: bytes = b"") -> list[tuple[str, bytes
     the standard paths."""
     if not data.startswith(b"%PDF-"):
         raise ValueError("not a PDF (missing %PDF- header)")
-    body, trailer, decrypt = _load(data, password)
+    return _pdf_attachments_loaded(*_load(data, password))
+
+
+def _pdf_attachments_loaded(
+    body, trailer: bytes, decrypt
+) -> list[tuple[str, bytes]]:
     catalog = _dict_of(body(_ref(trailer, b"Root")))
 
     def sub_dict(container: bytes, key: bytes) -> bytes | None:
@@ -1519,7 +1532,12 @@ def pdf_form_fields(data: bytes, password: bytes = b"") -> list[tuple[str, str]]
     /StrF /Identity, so only RC4/V2 fields are ciphertext)."""
     if not data.startswith(b"%PDF-"):
         raise ValueError("not a PDF (missing %PDF- header)")
-    body, trailer, decrypt = _load(data, password)
+    return _pdf_form_fields_loaded(*_load(data, password))
+
+
+def _pdf_form_fields_loaded(
+    body, trailer: bytes, decrypt
+) -> list[tuple[str, str]]:
     str_decrypt = None
     if decrypt is not None:
         ed = _dict_of(body(_ref(trailer, b"Encrypt")))
@@ -1737,7 +1755,12 @@ def pdf_outline(data: bytes, password: bytes = b"") -> list[tuple[int, str, int]
     their winning object's number (top-level objects only)."""
     if not data.startswith(b"%PDF-"):
         raise ValueError("not a PDF (missing %PDF- header)")
-    body, trailer, decrypt = _load(data, password)
+    return _pdf_outline_loaded(*_load(data, password))
+
+
+def _pdf_outline_loaded(
+    body, trailer: bytes, decrypt
+) -> list[tuple[int, str, int]]:
     str_decrypt = None
     if decrypt is not None:
         ed = _dict_of(body(_ref(trailer, b"Encrypt")))
@@ -2793,8 +2816,58 @@ def page_count(data: bytes, password: bytes = b"") -> int:
     if not data.startswith(b"%PDF-"):
         raise ValueError("not a PDF (missing %PDF- header)")
     body, trailer, _decrypt = _load(data, password)
+    return _page_count_loaded(body, trailer)
+
+
+def _page_count_loaded(body, trailer: bytes) -> int:
     catalog = _dict_of(body(_ref(trailer, b"Root")))
     return _int(_dict_of(body(_ref(catalog, b"Pages"))), b"Count")
+
+
+def pdf_profile_signals(data: bytes, password: bytes = b"") -> dict:
+    """The fused metadata-tier pass: every profile signal from ONE
+    object-graph load (``_load`` — the xref/ObjStm/decrypt resolution
+    that dominates the per-file cost) instead of one load per signal.
+    Per-signal semantics are identical to calling the six public
+    harvests: a signal whose walk raises ``ValueError`` comes back
+    None without disturbing the others; a file the loader itself
+    rejects yields all-None (the error-as-row contract). ``links`` is
+    the full pdf_links row list (the caller decides how to count)."""
+    out = {
+        "n_pages": None, "title": None, "links": None,
+        "n_attachments": None, "n_form_fields": None, "n_outline": None,
+    }
+    try:
+        if not data.startswith(b"%PDF-"):
+            raise ValueError("not a PDF (missing %PDF- header)")
+        body, trailer, decrypt = _load(data, password)
+    except ValueError:
+        return out
+    try:
+        out["n_pages"] = _page_count_loaded(body, trailer)
+    except ValueError:
+        pass
+    try:
+        out["title"] = _pdf_info_loaded(body, trailer, decrypt).get("title")
+    except ValueError:
+        pass
+    try:
+        out["links"] = _pdf_links_loaded(body, trailer, decrypt)
+    except ValueError:
+        pass
+    try:
+        out["n_attachments"] = len(_pdf_attachments_loaded(body, trailer, decrypt))
+    except ValueError:
+        pass
+    try:
+        out["n_form_fields"] = len(_pdf_form_fields_loaded(body, trailer, decrypt))
+    except ValueError:
+        pass
+    try:
+        out["n_outline"] = len(_pdf_outline_loaded(body, trailer, decrypt))
+    except ValueError:
+        pass
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -541,7 +541,7 @@ def stream_pdf_profiles(
 
     from pyspark.sql import functions as F
 
-    from pdf_ocr_spark.sources.pdfsource import profile_kernel
+    from pdf_ocr_spark.sources.pdfsource import profile_kernel, scan_session
 
     out_dir = os.path.join(workdir, "out")
     ckpt = os.path.join(workdir, "ckpt")
@@ -550,7 +550,10 @@ def stream_pdf_profiles(
     kernel, schema = profile_kernel(password)
 
     stream = (
-        spark.readStream.format("binaryFile")
+        # the scan session raises the parallel-listing threshold:
+        # getBatch otherwise launches a one-task-per-file listing JOB
+        # per trigger (~2 s pure scheduling per 1250-file batch)
+        scan_session(spark).readStream.format("binaryFile")
         # the streaming file source requires an explicit schema even
         # for fixed-schema formats; this is binaryFile's, verbatim
         .schema(
