@@ -200,7 +200,7 @@ def semantic_dedup(
     candidate pairs is computed JVM-side with the summation-order-
     disciplined :func:`similarity.cosine_col` and rounded to 6 before
     the threshold compare — identical to the DuckDB oracle's fold."""
-    from pdf_ocr_spark.operators.similarity import cosine_col
+    from pdf_ocr_spark.operators.similarity import dot_col, norm_col
 
     assigned = kmeans_assign(df, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
     vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
@@ -208,16 +208,43 @@ def semantic_dedup(
     # materialize once: the self-join below would otherwise run the
     # whole k-means twice (same rationale as dedup's _materialize)
     tagged = tagged.localCheckpoint(eager=True)
+    # Norms are per-ROW values: compute them once in each side's
+    # projection instead of inside the pair predicate, where the
+    # cosine's three interpreted array-folds re-ran per candidate
+    # pair (the dominant cost — Σ size² pairs × 3 folds). The value is
+    # bit-identical to cosine_col's: same norm_col expression over the
+    # same operand, same na*nb multiply order, same divide.
+    #
+    # Salt the self-join when clusters are fewer than the cluster's
+    # task slots (k << cores): id_a takes a deterministic salt,
+    # the b-side replicates S ways, so the per-pair predicate work
+    # spreads over k*S tasks instead of k. S auto-collapses to 1 once
+    # k >= 2*parallelism — the deployment shape (k ∝ n) is untouched.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    s_factor = max(1, -(-2 * par // max(1, k)))
     a = tagged.select(
-        F.col("cluster_id"), F.col("id").alias("id_a"), F.col("v").alias("va")
+        F.col("cluster_id"),
+        F.col("id").alias("id_a"),
+        F.col("v").alias("va"),
+        norm_col(F.col("v")).alias("na"),
+        F.pmod(F.xxhash64("id"), F.lit(s_factor)).cast("int").alias("salt"),
     )
     b = tagged.select(
-        F.col("cluster_id"), F.col("id").alias("id_b"), F.col("v").alias("vb")
+        F.col("cluster_id"),
+        F.col("id").alias("id_b"),
+        F.col("v").alias("vb"),
+        norm_col(F.col("v")).alias("nb"),
+        F.explode(F.sequence(F.lit(0), F.lit(s_factor - 1))).alias("salt"),
     )
     pairs = (
-        a.join(b, "cluster_id")
+        a.join(b, ["cluster_id", "salt"])
         .where(F.col("id_a") < F.col("id_b"))
-        .where(F.round(cosine_col(F.col("va"), F.col("vb")), 6) >= threshold)
+        .where(
+            F.round(
+                dot_col(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            )
+            >= threshold
+        )
     )
     return pairs.groupBy(F.col("id_b").alias("id")).agg(
         F.min("id_a").alias("keeper_id")
