@@ -2907,6 +2907,30 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 _PDF_CACHE_ROOT = "/tmp/pdf_ocr_spark_cache"
 
 
+#: Fixture dirs whose content fingerprint was verified by THIS process
+#: (dir path -> the verified marker content). The fingerprint agg
+#: exists to catch corpus-generator changes and stale /tmp caches from
+#: older rounds — both invariant within one process over the read-only
+#: testdata, so the first call per process validates in full and later
+#: calls skip only the re-validation job (each timed query otherwise
+#: paid a ~0.3 s documents-table checksum agg before touching a PDF).
+_FIXTURE_VALIDATED: dict[str, str] = {}
+
+
+def _fixture_marker_ok(out: str) -> bool:
+    import os
+
+    want = _FIXTURE_VALIDATED.get(out)
+    if want is None:
+        return False
+    marker = os.path.join(out, "_SUCCESS")
+    try:
+        with open(marker) as f:
+            return f.read().strip() == want
+    except OSError:
+        return False
+
+
 def _pdf_fixture_dir(
     spark: SparkSession, sf: str, dct: bool = False, jpx: bool = False
 ) -> str:
@@ -2929,6 +2953,8 @@ def _pdf_fixture_dir(
         _PDF_CACHE_ROOT,
         f"pdfs_{tag}_{variant}" if (dct or jpx) else f"pdfs_{tag}",
     )
+    if _fixture_marker_ok(out):
+        return out
     docs = load_table(spark, sf, "documents").select(
         F.col("doc_id").cast("string").alias("doc_id"), "text"
     )
@@ -2981,6 +3007,7 @@ def _pdf_fixture_dir(
     if os.path.exists(marker):
         with open(marker) as f:
             if f.read().strip() == fingerprint:
+                _FIXTURE_VALIDATED[out] = fingerprint
                 return out
         shutil.rmtree(out, ignore_errors=True)
     # spread generation across the executor pool: each PDF writes to
@@ -2993,6 +3020,7 @@ def _pdf_fixture_dir(
     with open(tmp, "w") as f:
         f.write(fingerprint)
     os.replace(tmp, marker)
+    _FIXTURE_VALIDATED[out] = fingerprint
     return out
 
 
@@ -3007,6 +3035,8 @@ def _text_pdf_fixture_dir(spark: SparkSession, sf: str) -> str:
 
     tag = os.path.basename(os.path.normpath(sf)) or "sf"
     out = os.path.join(_PDF_CACHE_ROOT, f"pdfs_{tag}_textlayer")
+    if _fixture_marker_ok(out):
+        return out
     docs = load_table(spark, sf, "documents").select(
         F.col("doc_id").cast("string").alias("doc_id"), "text"
     )
@@ -3025,6 +3055,7 @@ def _text_pdf_fixture_dir(spark: SparkSession, sf: str) -> str:
     if os.path.exists(marker):
         with open(marker) as f:
             if f.read().strip() == fingerprint:
+                _FIXTURE_VALIDATED[out] = fingerprint
                 return out
         shutil.rmtree(out, ignore_errors=True)
     n_written = write_text_pdf_corpus(docs.repartition(32), out).count()
@@ -3033,6 +3064,7 @@ def _text_pdf_fixture_dir(spark: SparkSession, sf: str) -> str:
     with open(tmp, "w") as f:
         f.write(fingerprint)
     os.replace(tmp, marker)
+    _FIXTURE_VALIDATED[out] = fingerprint
     return out
 
 
@@ -3047,6 +3079,8 @@ def _mixed_pdf_fixture_dir(spark: SparkSession, sf: str) -> str:
 
     tag = os.path.basename(os.path.normpath(sf)) or "sf"
     out = os.path.join(_PDF_CACHE_ROOT, f"pdfs_{tag}_mixed")
+    if _fixture_marker_ok(out):
+        return out
     docs = load_table(spark, sf, "documents").select(
         F.col("doc_id").cast("string").alias("doc_id"), "text"
     )
@@ -3059,6 +3093,7 @@ def _mixed_pdf_fixture_dir(spark: SparkSession, sf: str) -> str:
     if os.path.exists(marker):
         with open(marker) as f:
             if f.read().strip() == fingerprint:
+                _FIXTURE_VALIDATED[out] = fingerprint
                 return out
         shutil.rmtree(out, ignore_errors=True)
     n_written = write_mixed_pdf_corpus(docs, out).count()
@@ -3067,6 +3102,7 @@ def _mixed_pdf_fixture_dir(spark: SparkSession, sf: str) -> str:
     with open(tmp, "w") as f:
         f.write(fingerprint)
     os.replace(tmp, marker)
+    _FIXTURE_VALIDATED[out] = fingerprint
     return out
 
 
@@ -4344,6 +4380,8 @@ def _warc_fixture_dir(spark: SparkSession, sf: str) -> str:
 
     tag = os.path.basename(os.path.normpath(sf)) or "sf"
     out = os.path.join(_PDF_CACHE_ROOT, f"warc_{tag}")
+    if _fixture_marker_ok(out):
+        return out
     docs = load_table(spark, sf, "documents")
     agg = docs.agg(
         F.count("*").alias("n"),
@@ -4354,6 +4392,7 @@ def _warc_fixture_dir(spark: SparkSession, sf: str) -> str:
     if os.path.exists(marker):
         with open(marker) as f:
             if f.read().strip() == fingerprint:
+                _FIXTURE_VALIDATED[out] = fingerprint
                 return out
         shutil.rmtree(out, ignore_errors=True)
     html = generate_html_corpus(docs)
@@ -4363,6 +4402,7 @@ def _warc_fixture_dir(spark: SparkSession, sf: str) -> str:
     with open(tmp, "w") as f:
         f.write(fingerprint)
     os.replace(tmp, marker)
+    _FIXTURE_VALIDATED[out] = fingerprint
     return out
 
 

@@ -1144,7 +1144,7 @@ def read_pdf_text_layers(
     rasterizes and OCRs every input). Unparseable files become
     parse_error rows. ``password`` opens protected files (user or
     owner role)."""
-    bf = _binary_scan(spark, os.path.join(pdf_dir, "*.pdf"))
+    bf = _binary_scan(spark, os.path.join(pdf_dir, "*.pdf"), light=True)
     pw = password.encode()
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1240,7 +1240,7 @@ def read_pdf_spans(
     content-stream order — the PDF source emitting the engine's
     native span model directly. Unparseable files become one
     parse_error row."""
-    bf = _binary_scan(spark, os.path.join(pdf_dir, "*.pdf"))
+    bf = _binary_scan(spark, os.path.join(pdf_dir, "*.pdf"), light=True)
     pw = password.encode()
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
