@@ -2908,19 +2908,22 @@ _PDF_CACHE_ROOT = "/tmp/pdf_ocr_spark_cache"
 
 
 #: Fixture dirs whose content fingerprint was verified by THIS process
-#: (dir path -> the verified marker content). The fingerprint agg
-#: exists to catch corpus-generator changes and stale /tmp caches from
-#: older rounds — both invariant within one process over the read-only
-#: testdata, so the first call per process validates in full and later
-#: calls skip only the re-validation job (each timed query otherwise
-#: paid a ~0.3 s documents-table checksum agg before touching a PDF).
-_FIXTURE_VALIDATED: dict[str, str] = {}
+#: ((abspath(sf), dir path) -> the verified marker content). The
+#: fingerprint agg exists to catch corpus-generator changes and stale
+#: /tmp caches from older rounds — both invariant within one process
+#: over the read-only testdata, so the first call per process
+#: validates in full and later calls skip only the re-validation job
+#: (each timed query otherwise paid a ~0.3 s documents-table checksum
+#: agg before touching a PDF). Keyed by the SOURCE dir too: two sf
+#: roots sharing a basename share the /tmp output path, and the second
+#: one must re-run the full fingerprint check, not inherit the first's.
+_FIXTURE_VALIDATED: dict[tuple[str, str], str] = {}
 
 
-def _fixture_marker_ok(out: str) -> bool:
+def _fixture_marker_ok(sf: str, out: str) -> bool:
     import os
 
-    want = _FIXTURE_VALIDATED.get(out)
+    want = _FIXTURE_VALIDATED.get((os.path.abspath(sf), out))
     if want is None:
         return False
     marker = os.path.join(out, "_SUCCESS")
@@ -2929,6 +2932,12 @@ def _fixture_marker_ok(out: str) -> bool:
             return f.read().strip() == want
     except OSError:
         return False
+
+
+def _fixture_mark_validated(sf: str, out: str, fingerprint: str) -> None:
+    import os
+
+    _FIXTURE_VALIDATED[(os.path.abspath(sf), out)] = fingerprint
 
 
 def _pdf_fixture_dir(
@@ -2953,7 +2962,7 @@ def _pdf_fixture_dir(
         _PDF_CACHE_ROOT,
         f"pdfs_{tag}_{variant}" if (dct or jpx) else f"pdfs_{tag}",
     )
-    if _fixture_marker_ok(out):
+    if _fixture_marker_ok(sf, out):
         return out
     docs = load_table(spark, sf, "documents").select(
         F.col("doc_id").cast("string").alias("doc_id"), "text"
@@ -3007,7 +3016,7 @@ def _pdf_fixture_dir(
     if os.path.exists(marker):
         with open(marker) as f:
             if f.read().strip() == fingerprint:
-                _FIXTURE_VALIDATED[out] = fingerprint
+                _fixture_mark_validated(sf, out, fingerprint)
                 return out
         shutil.rmtree(out, ignore_errors=True)
     # spread generation across the executor pool: each PDF writes to
@@ -3020,7 +3029,7 @@ def _pdf_fixture_dir(
     with open(tmp, "w") as f:
         f.write(fingerprint)
     os.replace(tmp, marker)
-    _FIXTURE_VALIDATED[out] = fingerprint
+    _fixture_mark_validated(sf, out, fingerprint)
     return out
 
 
@@ -3035,7 +3044,7 @@ def _text_pdf_fixture_dir(spark: SparkSession, sf: str) -> str:
 
     tag = os.path.basename(os.path.normpath(sf)) or "sf"
     out = os.path.join(_PDF_CACHE_ROOT, f"pdfs_{tag}_textlayer")
-    if _fixture_marker_ok(out):
+    if _fixture_marker_ok(sf, out):
         return out
     docs = load_table(spark, sf, "documents").select(
         F.col("doc_id").cast("string").alias("doc_id"), "text"
@@ -3055,7 +3064,7 @@ def _text_pdf_fixture_dir(spark: SparkSession, sf: str) -> str:
     if os.path.exists(marker):
         with open(marker) as f:
             if f.read().strip() == fingerprint:
-                _FIXTURE_VALIDATED[out] = fingerprint
+                _fixture_mark_validated(sf, out, fingerprint)
                 return out
         shutil.rmtree(out, ignore_errors=True)
     n_written = write_text_pdf_corpus(docs.repartition(32), out).count()
@@ -3064,7 +3073,7 @@ def _text_pdf_fixture_dir(spark: SparkSession, sf: str) -> str:
     with open(tmp, "w") as f:
         f.write(fingerprint)
     os.replace(tmp, marker)
-    _FIXTURE_VALIDATED[out] = fingerprint
+    _fixture_mark_validated(sf, out, fingerprint)
     return out
 
 
@@ -3079,7 +3088,7 @@ def _mixed_pdf_fixture_dir(spark: SparkSession, sf: str) -> str:
 
     tag = os.path.basename(os.path.normpath(sf)) or "sf"
     out = os.path.join(_PDF_CACHE_ROOT, f"pdfs_{tag}_mixed")
-    if _fixture_marker_ok(out):
+    if _fixture_marker_ok(sf, out):
         return out
     docs = load_table(spark, sf, "documents").select(
         F.col("doc_id").cast("string").alias("doc_id"), "text"
@@ -3093,7 +3102,7 @@ def _mixed_pdf_fixture_dir(spark: SparkSession, sf: str) -> str:
     if os.path.exists(marker):
         with open(marker) as f:
             if f.read().strip() == fingerprint:
-                _FIXTURE_VALIDATED[out] = fingerprint
+                _fixture_mark_validated(sf, out, fingerprint)
                 return out
         shutil.rmtree(out, ignore_errors=True)
     n_written = write_mixed_pdf_corpus(docs, out).count()
@@ -3102,7 +3111,7 @@ def _mixed_pdf_fixture_dir(spark: SparkSession, sf: str) -> str:
     with open(tmp, "w") as f:
         f.write(fingerprint)
     os.replace(tmp, marker)
-    _FIXTURE_VALIDATED[out] = fingerprint
+    _fixture_mark_validated(sf, out, fingerprint)
     return out
 
 
@@ -4380,7 +4389,7 @@ def _warc_fixture_dir(spark: SparkSession, sf: str) -> str:
 
     tag = os.path.basename(os.path.normpath(sf)) or "sf"
     out = os.path.join(_PDF_CACHE_ROOT, f"warc_{tag}")
-    if _fixture_marker_ok(out):
+    if _fixture_marker_ok(sf, out):
         return out
     docs = load_table(spark, sf, "documents")
     agg = docs.agg(
@@ -4392,7 +4401,7 @@ def _warc_fixture_dir(spark: SparkSession, sf: str) -> str:
     if os.path.exists(marker):
         with open(marker) as f:
             if f.read().strip() == fingerprint:
-                _FIXTURE_VALIDATED[out] = fingerprint
+                _fixture_mark_validated(sf, out, fingerprint)
                 return out
         shutil.rmtree(out, ignore_errors=True)
     html = generate_html_corpus(docs)
@@ -4402,7 +4411,7 @@ def _warc_fixture_dir(spark: SparkSession, sf: str) -> str:
     with open(tmp, "w") as f:
         f.write(fingerprint)
     os.replace(tmp, marker)
-    _FIXTURE_VALIDATED[out] = fingerprint
+    _fixture_mark_validated(sf, out, fingerprint)
     return out
 
 

@@ -197,9 +197,12 @@ def semantic_dedup(
     dedup_decisions' near tier.
 
     Exactness: assignment is the integer k-means above; the cosine on
-    candidate pairs is computed JVM-side with the summation-order-
-    disciplined :func:`similarity.cosine_col` and rounded to 6 before
-    the threshold compare — identical to the DuckDB oracle's fold."""
+    candidate pairs is computed JVM-side from the summation-order-
+    disciplined :func:`similarity.dot_col` / :func:`similarity.norm_col`
+    folds (the per-row norms hoisted into the join-side projections —
+    value-identical to ``cosine_col``: same expressions, same operands,
+    same multiply order) and rounded to 6 before the threshold compare
+    — identical to the DuckDB oracle's fold."""
     from pdf_ocr_spark.operators.similarity import dot_col, norm_col
 
     assigned = kmeans_assign(df, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)

@@ -433,7 +433,13 @@ def _aes_cbc_nopad(key: bytes, iv: bytes, data: bytes, decrypt: bool) -> bytes:
         raise ValueError("AES-CBC (no pad) needs whole blocks")
     lib = _evp_lib()
     if lib is not False and len(key) in (16, 32):
-        return _evp_cbc(lib, key, iv, data, not decrypt)
+        try:
+            return _evp_cbc(lib, key, iv, data, not decrypt)
+        except OSError:
+            # runtime EVP failure (e.g. ctx allocation under memory
+            # pressure) must not break the module's ValueError
+            # typed-error contract — fall back to the reference core
+            pass
     return _aes_cbc_nopad_py(key, iv, data, decrypt)
 
 
@@ -498,12 +504,15 @@ def file_key_r6(
     required') when it matches neither — the typed-error contract."""
     if len(u) < 48 or len(o) < 48:
         raise ValueError("R6 /U and /O entries must be 48 bytes")
-    # User check first: a password that authenticates in both roles
-    # decrypts the SAME file key from either /UE or /OE, so check
-    # order cannot change the result — and the overwhelmingly common
-    # shape ("encrypted but freely readable", empty user password)
-    # then costs two KDF invocations instead of three (the owner
-    # validation hash, which such files always fail, is skipped).
+    # User check first: on well-formed files a password valid in both
+    # roles decrypts the SAME file key from either /UE or /OE, so
+    # check order cannot change the result — and the overwhelmingly
+    # common shape ("encrypted but freely readable", empty user
+    # password) then costs two KDF invocations instead of three (the
+    # owner validation hash, which such files always fail, is
+    # skipped). A MALFORMED dual-role file whose /UE and /OE disagree
+    # now resolves through /UE; either way the bad key surfaces as the
+    # same class of typed error downstream.
     if hash_r6(password, u[32:40]) == u[:32]:
         ik = hash_r6(password, u[40:48])
         return _aes_cbc_nopad(ik, b"\x00" * 16, ue[:32], decrypt=True)

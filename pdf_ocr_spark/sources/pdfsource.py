@@ -579,9 +579,10 @@ def _binary_scan(spark: SparkSession, pattern: str, light: bool = False) -> Data
     df = scan_session(spark).read.format("binaryFile").load(pattern)
     par = max(1, ctx.defaultParallelism)
     if light:
-        # Light (metadata-tier) kernels cost well under a millisecond
-        # per file, so the fixed per-task cost of a python stage
-        # (~10 ms: worker handshake + Arrow setup) dominates when
+        # Light (metadata-tier) kernels cost about a millisecond per
+        # file or less (measured: 0.4–1.75 ms across the harvests
+        # using this path), so the fixed per-task cost of a python
+        # stage (~10 ms: worker handshake + Arrow setup) dominates when
         # openCostInBytes (4 MB/file) — not real bytes — inflates the
         # partition count of a tiny-file corpus. Detect that regime by
         # REAL corpus bytes (one ContentSummary call): when the whole
