@@ -1109,3 +1109,42 @@ def test_read_pdf_spans_order_and_error_rows(spark, tmp_path):
                 )
                 off += 1
         assert spans == exp, (i, spans, exp)
+
+
+def test_profile_signals_match_individual_harvests():
+    """Round 8: pdf_profile_signals computes all six metadata signals
+    from ONE object-graph load. Pin per-signal equality against the
+    six public harvests — plain, RC4-encrypted, and /AESV3-encrypted
+    docs (synthesized in-test) plus a non-PDF payload (all-None, the
+    error-as-row shape)."""
+    import numpy as np
+
+    from pdf_ocr_spark.sources import pdfcodec as pc
+
+    img = np.full((10, 12), 77, dtype=np.uint8)
+    docs = {
+        "plain": pc.encode_pdf([img], compress=True),
+        "rc4": pc.encode_pdf([img], compress=True, encrypt=True),
+        "aesv3": pc.encode_pdf([img], compress=True, encrypt=True, cipher="aes256"),
+    }
+    for kind, data in docs.items():
+        got = pc.pdf_profile_signals(data)
+
+        def expect(fn, data=data):
+            try:
+                return fn(data)
+            except ValueError:
+                return None
+
+        assert got["n_pages"] == expect(pc.page_count) == 1, kind
+        info = expect(pc.pdf_info)
+        assert got["title"] == (None if info is None else info.get("title")), kind
+        assert got["links"] == expect(pc.pdf_links), kind
+        att = expect(pc.pdf_attachments)
+        assert got["n_attachments"] == (None if att is None else len(att)), kind
+        ff = expect(pc.pdf_form_fields)
+        assert got["n_form_fields"] == (None if ff is None else len(ff)), kind
+        ol = expect(pc.pdf_outline)
+        assert got["n_outline"] == (None if ol is None else len(ol)), kind
+    bad = pc.pdf_profile_signals(b"not a pdf at all")
+    assert all(v is None for v in bad.values())

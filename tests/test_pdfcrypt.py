@@ -341,3 +341,39 @@ def test_spark_reads_password_protected_corpus(spark, tmp_path):
     with_pw = read_pdf_pages(spark, str(tmp_path), password="pw").collect()
     assert len(with_pw) == 2 and all(r["parse_error"] is None for r in with_pw)
     assert ExtractionConfig(pdf_password="pw").pdf_password == "pw"
+
+
+def test_evp_path_matches_reference_core():
+    """Round 8: AES-CBC routes through the platform libcrypto when
+    loadable. Pin the EVP path against the FIPS-197 T-table core on
+    randomized whole-block vectors (both key sizes, both directions),
+    and pin that a probed-out library leaves the pure path reachable."""
+    import random
+
+    from pdf_ocr_spark.sources import pdfcrypt
+
+    rng = random.Random(0xE5)
+    lib = pdfcrypt._evp_lib()
+    for _ in range(16):
+        key = bytes(rng.randrange(256) for _ in range(rng.choice((16, 32))))
+        iv = bytes(rng.randrange(256) for _ in range(16))
+        data = bytes(rng.randrange(256) for _ in range(16 * rng.randrange(1, 30)))
+        enc_py = pdfcrypt._aes_cbc_nopad_py(key, iv, data, decrypt=False)
+        assert pdfcrypt._aes_cbc_nopad(key, iv, data, decrypt=False) == enc_py
+        assert pdfcrypt._aes_cbc_nopad(key, iv, enc_py, decrypt=True) == data
+        if lib is not False:
+            assert pdfcrypt._evp_cbc(lib, key, iv, data, True) == enc_py
+            assert pdfcrypt._evp_cbc(lib, key, iv, enc_py, False) == data
+
+
+def test_evp_disabled_falls_back_pure_python(monkeypatch):
+    """With libcrypto unavailable the public surface must keep working
+    on the pure-Python core (the always-available fallback contract)."""
+    from pdf_ocr_spark.sources import pdfcrypt
+
+    monkeypatch.setattr(pdfcrypt, "_EVP_LIB", False)
+    key, iv = bytes(range(16)), bytes(range(16, 32))
+    data = bytes(range(64))
+    enc = pdfcrypt._aes_cbc_nopad(key, iv, data, decrypt=False)
+    assert enc == pdfcrypt._aes_cbc_nopad_py(key, iv, data, decrypt=False)
+    assert pdfcrypt._aes_cbc_nopad(key, iv, enc, decrypt=True) == data
