@@ -2034,8 +2034,10 @@ FROM (SELECT f.id, ({margin}) AS m FROM clsfeat f CROSS JOIN clsw{CLS_ITERS} c)
 @_register("quality_classifier_train", _cls_train_oracle())
 def q_quality_classifier_train(spark: SparkSession, sf: str) -> DataFrame:
     """fastText/CCNet-style model-based quality filtering, step 1:
-    train a linear classifier on weak labels (lang == 'en') from cheap
-    integer text signals, with an EXACT value-hash oracle — the whole
+    train a linear classifier on weak labels (the quality-blend
+    teacher: ``quality_score_col(text) >= CLS_TEACHER_FLOOR``,
+    classifier.py) from cheap integer text signals, with an EXACT
+    value-hash oracle — the whole
     gradient-descent loop is fixed-point integer arithmetic (algebraic
     fast sigmoid, truncating-div updates; operators/classifier.py has
     the portability argument). Per iteration: one JVM expression

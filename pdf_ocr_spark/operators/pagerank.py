@@ -49,7 +49,16 @@ def pagerank_fixed(
 ) -> DataFrame:
     """``edges`` = (src, dst, w:long) weighted multigraph, pre-
     aggregated (one row per (src, dst)). Returns (host, rank:long)
-    for every node appearing as src or dst."""
+    for every node appearing as src or dst.
+
+    Overflow envelope (the fixed-point contract's own bound): the
+    per-edge contribution is ``(rank * w) div outw`` in int64, and
+    ``rank`` is bounded by the total mass PAGERANK_SCALE (1e9), so a
+    single (src, dst) aggregated weight must stay below ~2^63 / 1e9 ≈
+    9.2e9 or the multiply wraps silently. Harvested link counts sit
+    many orders below that; a caller feeding synthetic/overflowing
+    multiplicities must cap w (or pre-scale it — PageRank is invariant
+    to uniform per-src weight scaling) before calling."""
     edges = edges.localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("host"))
