@@ -545,9 +545,29 @@ def stream_pdf_profiles(
 
     out_dir = os.path.join(workdir, "out")
     ckpt = os.path.join(workdir, "ckpt")
-    n_files = len(glob.glob(os.path.join(pdf_dir, "*.pdf")))
+    paths = glob.glob(os.path.join(pdf_dir, "*.pdf"))
+    n_files = len(paths)
     per_trigger = max(1, -(-n_files // n_batches))  # ceil
     kernel, schema = profile_kernel(password)
+    # Same light-scan rule as the batch metadata harvests
+    # (_binary_scan light=True): the profile kernel costs ~1 ms/file,
+    # so when a trigger's REAL bytes fit one wave of default-size
+    # splits, open-cost inflation (4 MB/file) is the only reason the
+    # batch has many partitions — coalesce it to one task per core.
+    # Triggers whose bytes genuinely need many splits are untouched.
+    par = max(1, spark.sparkContext.defaultParallelism)
+    try:
+        per_trigger_bytes = (
+            sum(os.path.getsize(p) for p in paths) // max(1, n_batches)
+        )
+    except OSError:
+        per_trigger_bytes = None
+    batch_coalesce = (
+        par
+        if per_trigger_bytes is not None
+        and per_trigger_bytes <= par * 134217728
+        else None
+    )
 
     stream = (
         # the scan session raises the parallel-listing threshold:
@@ -567,9 +587,11 @@ def stream_pdf_profiles(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        src = batch_df.select("path", "content")
+        if batch_coalesce is not None:
+            src = src.coalesce(batch_coalesce)
         (
-            batch_df.select("path", "content")
-            .mapInPandas(kernel, schema=schema)
+            src.mapInPandas(kernel, schema=schema)
             .withColumn("batch_id", F.lit(int(batch_id)))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
